@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's tuned defaults.
+  *
+  * Local runs use `local[N]`; on a real cluster the same conf applies
+  * except parallelism-related knobs scale with the executor count
+  * (AQE coalesces shuffle partitions at runtime, so an over-provisioned
+  * `spark.sql.shuffle.partitions` is corrected automatically).
+  */
+object Engine {
+
+  /** Shared tuning applied to every session (batch, streaming, tests). */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cores]", math.max(cores, 4)).getOrCreate()
+}

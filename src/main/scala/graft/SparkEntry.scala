@@ -1,13 +1,217 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Analytics, Ingest, TimeSeries}
+import graft.sources.Tables
+import graft.functions.Exact.{sql => X}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Analytics.revenueByNation(
+      Tables.orders(spark, dir), Tables.customer(spark, dir),
+      Tables.nation(spark, dir), Tables.region(spark, dir))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. core relational / batch analytics ----
+    "q01_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
+    "q02_filter_pushdown" -> ((s, d) => Analytics.revenueFilter(Tables.lineitem(s, d))),
+    "q03_join_dims" -> ((s, d) => Analytics.revenueByNation(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q04_topn" -> ((s, d) => Analytics.topCustomers(Tables.orders(s, d), Tables.customer(s, d))),
+    "q05_group_stats" -> ((s, d) => Analytics.groupStats(Tables.events(s, d))),
+    "q06_high_value" -> ((s, d) => Analytics.highValue(Tables.events(s, d))),
+    "q07_distinct_count" -> ((s, d) => Analytics.distinctCounts(Tables.events(s, d))),
+    "q08_pivot" -> ((s, d) => Analytics.dayTypePivot(Tables.events(s, d), eventTypes)),
+    "q09_window_rank" -> ((s, d) => Analytics.topOrderPerCustomer(Tables.orders(s, d))),
+    "q10_latest_per_key" -> ((s, d) => Analytics.latestPerUser(Tables.events(s, d))),
+    // ---- B. time-series OLAP ----
+    "q11_time_floor_hour" -> ((s, d) => TimeSeries.hourlyAvg(Tables.events(s, d))),
+    "q12_time_floor_day_max" -> ((s, d) => TimeSeries.dailyExtremes(Tables.events(s, d))),
+    "q13_rollup_minute" -> ((s, d) => TimeSeries.minuteRollup(Tables.events(s, d))),
+    "q14_per_source_stats" -> ((s, d) => TimeSeries.perSourceStats(Tables.documents(s, d))),
+    "q15_freshness" -> ((s, d) => TimeSeries.freshness(Tables.events(s, d))),
+    "q16_gap_detection" -> ((s, d) => TimeSeries.gaps(Tables.events(s, d))),
+    "q17_sessionize" -> ((s, d) => TimeSeries.sessionize(Tables.events(s, d))),
+    "q18_anomaly_zscore" -> ((s, d) => TimeSeries.anomalies(Tables.events(s, d))),
+    "q19_storage_metrics" -> ((s, d) => TimeSeries.storageMetrics(Tables.documents(s, d))),
+    // ---- C. ingestion / semi-structured ----
+    "q20_log_parse" -> ((s, d) => Ingest.logParse(Tables.events(s, d))),
+    "q21_json_extract" -> ((s, d) => Ingest.jsonExtract(Tables.events(s, d))),
+    "q22_normalize" -> ((s, d) => Ingest.normalize(Tables.events(s, d))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Aggregates of double columns round-trip through DECIMAL(18,2) in
+    * BOTH engines (see graft.functions.Exact) so results are exact.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+          ${X.dsum("l_quantity")} AS sum_qty,
+          ${X.dsum("l_extendedprice")} AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          ${X.davg("l_quantity")} AS avg_qty,
+          ${X.davg("l_extendedprice")} AS avg_price,
+          COUNT(*) AS count_order
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q02_filter_pushdown" ->
+      s"""SELECT
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q03_join_dims" ->
+      s"""SELECT r_name, n_name, ${X.dsum("o_totalprice")} AS revenue,
+          COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q04_topn" ->
+      s"""SELECT c_custkey, c_name, total_spend, n_orders FROM (
+          SELECT o_custkey, ${X.dsum("o_totalprice")} AS total_spend,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY 1) t
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_spend DESC, c_custkey LIMIT 10""",
+    "q05_group_stats" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${X.davg("value")} AS avg_value,
+          ${X.dsum("value")} AS sum_value,
+          MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "q06_high_value" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        WHERE value > 400.0 ORDER BY value DESC, event_id LIMIT 100""",
+    "q07_distinct_count" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_users,
+          COUNT(DISTINCT event_type) AS n_event_types,
+          COUNT(*) AS n_events FROM events""",
+    "q08_pivot" ->
+      ("""SELECT date_trunc('day', ts) AS day, """
+        + eventTypes.map(t =>
+            s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+          .mkString(", ")
+        + """ FROM events GROUP BY 1 ORDER BY 1"""),
+    "q09_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t WHERE rn = 1 ORDER BY o_custkey""",
+    "q10_latest_per_key" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t WHERE rn = 1 ORDER BY user_id""",
+    "q11_time_floor_hour" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, ${X.davg("value")} AS avg_value,
+          COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "q12_time_floor_day_max" ->
+      """SELECT date_trunc('day', ts) AS day, MAX(value) AS max_value,
+          MIN(value) AS min_value
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "q13_rollup_minute" ->
+      s"""SELECT date_trunc('minute', ts) AS minute, event_type,
+          COUNT(*) AS n, ${X.dsum("value")} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q14_per_source_stats" ->
+      """SELECT source, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+          MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY 1""",
+    "q15_freshness" ->
+      """SELECT COUNT(*) AS n_last_24h, MAX(ts) AS max_ts FROM events
+        WHERE ts >= (SELECT MAX(ts) - INTERVAL 24 HOUR FROM events)""",
+    "q16_gap_detection" ->
+      """SELECT user_id, prev_ts, ts, epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+        FROM (
+          SELECT user_id, ts, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events) t
+        WHERE epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+        ORDER BY user_id, ts""",
+    "q17_sessionize" ->
+      s"""WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, ts, event_id, value,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events) t),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               ${X.dsum("value")} AS session_value
+        FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q18_anomaly_zscore" ->
+      s"""WITH stats AS (
+          SELECT event_type AS t,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 ${X.dsum("value")} AS s,
+                 ${X.dsumsq("value")} AS ss
+          FROM events GROUP BY 1),
+        enriched AS (
+          SELECT t, s / n AS mean,
+                 SQRT((ss - s * s / n) / (n - 1)) AS sd
+          FROM stats)
+        SELECT event_id, event_type, value, (value - mean) / sd AS zscore
+        FROM events JOIN enriched ON event_type = t
+        WHERE sd > 0 AND ABS((value - mean) / sd) > 1.5
+        ORDER BY event_id""",
+    "q19_storage_metrics" ->
+      """WITH per_source AS (
+          SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars
+          FROM documents GROUP BY 1),
+        totals AS (
+          SELECT COUNT(*) AS n_sources, CAST(SUM(n) AS BIGINT) AS n_docs,
+                 CAST(SUM(chars) AS BIGINT) AS total_chars
+          FROM per_source)
+        SELECT n_sources, n_docs, total_chars,
+               total_chars / 1024.0 / 1024.0 AS total_mb,
+               total_chars / 1024.0 / n_docs AS avg_record_kb,
+               total_chars / 1024.0 / 1024.0 / n_sources * 1440.0 AS daily_growth_mb,
+               total_chars / 1024.0 / 1024.0 / n_sources * 1440.0 * 7.0 AS weekly_growth_mb,
+               total_chars / 1024.0 / 1024.0 / n_sources * 1440.0 * 30.0 AS monthly_growth_mb
+        FROM totals""",
+    "q20_log_parse" ->
+      """SELECT event_id,
+          '192.168.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+            CAST(event_id % 256 AS VARCHAR) AS ip_address,
+          CASE WHEN event_type IN ('purchase', 'signup') THEN 'POST'
+               ELSE 'GET' END AS method,
+          '/' || event_type AS url,
+          CAST(CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS INTEGER) AS status_code,
+          CAST(FLOOR(value * 10) AS BIGINT) AS response_size
+        FROM events ORDER BY event_id""",
+    "q21_json_extract" ->
+      """SELECT k % 10 AS k_bucket, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+          MIN(k) AS min_k, MAX(k) AS max_k
+        FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events) t
+        WHERE k IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    "q22_normalize" ->
+      """SELECT event_id, epoch_us(ts) AS time_us,
+          'channel_' || CAST(user_id % 4 AS VARCHAR) AS channel,
+          CASE WHEN isnan(value) THEN 0.0 ELSE value END AS value_clean,
+          event_type AS kind, 'events.parquet' AS source_file
+        FROM events ORDER BY event_id""",
+  )
 }

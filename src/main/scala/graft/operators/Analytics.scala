@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.{davg, dec, dsum, dsumExpr}
+
+/** Core relational/batch analytics — SURVEY.md §2 block A.
+  *
+  * Re-expresses the reference's Druid SQL dashboard queries
+  * (README.md:172-193, GOES_PIPELINE_REPORT.md:275-314) and its Spark
+  * batch job (app_airflow/app/dags/demoSpark.py:69-100) as declarative
+  * DataFrame pipelines: Catalyst handles pushdown/pruning, partial
+  * aggregation is map-side, dimension joins are broadcast.
+  */
+object Analytics {
+
+  /** Multi-aggregate pricing summary (demoSpark.py:69 country_stats
+    * pattern, TPC-H Q1 shape). Map-side partial agg on low-cardinality
+    * keys — scales linearly with input, no skew risk.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsumExpr(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("sum_disc_price"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  /** Selective filter + narrow projection + global agg (TPC-H Q6
+    * shape). Filter and the 4-column projection must reach the parquet
+    * scan (PushedFilters / ReadSchema) — at 100 TB this is the
+    * difference between scanning 4 columns of a date range and the
+    * whole table.
+    */
+  def revenueFilter(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1996-01-01").cast("timestamp") &&
+              $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(
+        dsumExpr(dec($"l_extendedprice") * dec($"l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Star join: orders ⋈ customer ⋈ nation ⋈ region → revenue per
+    * nation. Dimension sides are broadcast (explicit hint for the tiny
+    * dims; customer is small enough for AQE/auto-broadcast at any SF
+    * where it fits, else it shuffles on the join key).
+    */
+  def revenueByNation(orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        dsum($"o_totalprice").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"r_name", $"n_name")
+
+  /** Top-N by aggregate (README.md:186-192 `ORDER BY market_cap DESC`
+    * pattern). Aggregate first, then a global top-10 — Spark's
+    * TakeOrderedAndProject keeps only N rows per partition, so no full
+    * sort at scale.
+    */
+  def topCustomers(orders: DataFrame, customer: DataFrame, n: Int = 10): DataFrame =
+    orders
+      .groupBy($"o_custkey")
+      .agg(dsum($"o_totalprice").as("total_spend"), count(lit(1)).as("n_orders"))
+      .join(customer, $"o_custkey" === customer("c_custkey"))
+      .select($"c_custkey", $"c_name", $"total_spend", $"n_orders")
+      .orderBy($"total_spend".desc, $"c_custkey")
+      .limit(n)
+
+  /** Per-event-type stats (demoSpark.py:69-89 groupBy+count/avg/sum). */
+  def groupStats(events: DataFrame): DataFrame =
+    events
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        davg($"value").as("avg_value"),
+        dsum($"value").as("sum_value"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"))
+      .orderBy($"event_type")
+
+  /** High-value filter + projection + ordered top rows
+    * (demoSpark.py:92-94 `filter(col("revenue") > 100)`).
+    */
+  def highValue(events: DataFrame, threshold: Double = 400.0, n: Int = 100): DataFrame =
+    events
+      .filter($"value" > threshold)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy($"value".desc, $"event_id")
+      .limit(n)
+
+  /** Exact distinct cardinalities (README "data points" counts).
+    * Exact countDistinct shuffles on the key; at 100 TB you reach for
+    * approx_count_distinct (HLL, map-side mergeable) — covered by the
+    * ScalaTest spec since approx values are engine-specific.
+    */
+  def distinctCounts(events: DataFrame): DataFrame =
+    events.agg(
+      countDistinct($"user_id").as("n_users"),
+      countDistinct($"event_type").as("n_event_types"),
+      count(lit(1)).as("n_events"))
+
+  /** Superset-style pivot: day × event_type counts. Conditional
+    * aggregation (one pass) rather than a pivot shuffle; missing cells
+    * are 0 like Druid's rollup.
+    */
+  def dayTypePivot(events: DataFrame, types: Seq[String]): DataFrame = {
+    val cells = types.map(t =>
+      sum(when($"event_type" === t, 1L).otherwise(0L)).as(t))
+    events
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(cells.head, cells.tail: _*)
+      .orderBy($"day")
+  }
+
+  /** Rank-within-group, keep top-1: each customer's largest order.
+    * Window partitioned by customer — parallel per key, no global sort.
+    */
+  def topOrderPerCustomer(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey")
+  }
+
+  /** Latest record per key (Druid LATEST rollup / upsert compaction).
+    * This is the canonical "dedup to newest" pattern for CDC streams.
+    */
+  def latestPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingestion / semi-structured extraction — SURVEY.md §2 block C.
+  *
+  * The reference's Airflow DAGs normalize heterogeneous inputs into
+  * canonical JSON records before producing to Kafka: web-access-log
+  * regex parsing (database_etl.py:231-255), JSON event payloads
+  * (real_data_etl.py / demoKafka.py), and NetCDF variable-alias
+  * normalization with NaN-cleaning + provenance enrichment
+  * (goes_satellite_etl.py:218-289). Here each is a pure Column
+  * pipeline — codegen'd, no UDFs, fully distributed.
+  */
+object Ingest {
+
+  /** Apache combined-log regex (database_etl.py:231). */
+  val logPattern = """(\S+) - - \[([^\]]+)\] "(\S+) (\S+) HTTP/1.1" (\d+) (\d+)"""
+
+  /** Render events as web-access-log lines (deterministic projection
+    * of the events table — stands in for a raw log file source).
+    */
+  def toLogLines(events: DataFrame): DataFrame =
+    events.select(
+      $"event_id",
+      concat(
+        lit("192.168."), ($"user_id" % 256).cast("string"),
+        lit("."), ($"event_id" % 256).cast("string"),
+        lit(" - - ["), date_format($"ts", "dd/MMM/yyyy:HH:mm:ss Z"),
+        lit("] \""),
+        when($"event_type".isin("purchase", "signup"), "POST").otherwise("GET"),
+        lit(" /"), $"event_type", lit(" HTTP/1.1\" "),
+        when($"event_type" === "error", 500L).otherwise(200L).cast("string"),
+        lit(" "), floor($"value" * 10).cast("long").cast("string")
+      ).as("line"))
+
+  /** Parse access-log lines → structured records
+    * (database_etl.py:240-253: ip/method/url/status/size extraction).
+    * regexp_extract is a codegen'd expression evaluated in one scan
+    * pass — the shape that survives a 100 TB raw-log ingest.
+    */
+  def parseLogLines(lines: DataFrame): DataFrame =
+    lines.select(
+      $"event_id",
+      regexp_extract($"line", logPattern, 1).as("ip_address"),
+      regexp_extract($"line", logPattern, 3).as("method"),
+      regexp_extract($"line", logPattern, 4).as("url"),
+      regexp_extract($"line", logPattern, 5).cast("int").as("status_code"),
+      regexp_extract($"line", logPattern, 6).cast("long").as("response_size"))
+      .orderBy($"event_id")
+
+  /** End-to-end: events → log lines → parsed structured records. */
+  def logParse(events: DataFrame): DataFrame =
+    parseLogLines(toLogLines(events))
+
+  /** JSON payload extraction + aggregation (the Kafka topics carry
+    * JSON objects; Druid ingests typed dimensions from them). The
+    * `props` column holds a JSON document; we extract a typed field
+    * and aggregate per derived bucket.
+    */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .filter($"k".isNotNull)
+      .groupBy(($"k" % 10).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"k_bucket")
+
+  /** Canonical-schema normalization (goes_satellite_etl.py:241-289):
+    * epoch-time conversion, NaN→0 measure cleaning, categorical
+    * channel labels (`channel_{i % 4}`, goes_satellite_etl.py:262),
+    * and provenance enrichment (source tag — goes_satellite_etl.py
+    * :267-273 attaches source_file/extraction metadata).
+    */
+  def normalize(events: DataFrame): DataFrame =
+    events.select(
+      $"event_id",
+      unix_micros($"ts").as("time_us"),
+      concat(lit("channel_"), ($"user_id" % 4).cast("string")).as("channel"),
+      when(isnan($"value"), 0.0).otherwise($"value").as("value_clean"),
+      $"event_type".as("kind"),
+      lit("events.parquet").as("source_file"))
+      .orderBy($"event_id")
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Exact.{davg, dsum, dsumsq}
+
+/** Time-series OLAP — SURVEY.md §2 block B.
+  *
+  * Re-expresses Druid's query surface over the reference's Kafka
+  * topics: TIME_FLOOR bucketing (GOES_PIPELINE_REPORT.md:295-314),
+  * queryGranularity rollup (druid-*-datasource.json), freshness and
+  * timestamp-continuity data-quality checks (README.md:224-228), and
+  * the storage-growth projections (goes_satellite_etl.py:415-489).
+  *
+  * All bucketing is `date_trunc` on the event-time column — a pure
+  * projection, so rollups are one hash aggregation with map-side
+  * partials. (bucket, key) grouping keys distribute evenly; no skew.
+  */
+object TimeSeries {
+
+  /** TIME_FLOOR(__time,'PT1H') + AVG — GOES_PIPELINE_REPORT.md:297. */
+  def hourlyAvg(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(davg($"value").as("avg_value"), count(lit(1)).as("n"))
+      .orderBy($"hour")
+
+  /** TIME_FLOOR(__time,'P1D') + MAX — GOES_PIPELINE_REPORT.md:308. */
+  def dailyExtremes(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(max($"value").as("max_value"), min($"value").as("min_value"))
+      .orderBy($"day")
+
+  /** Druid queryGranularity=MINUTE ingestion rollup
+    * (druid-goes-satellite-datasource.json granularitySpec): truncate
+    * to minute, aggregate per (minute, dimension).
+    */
+  def minuteRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("minute", $"ts").as("minute"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"minute", $"event_type")
+
+  /** Per-source record stats — GOES_PIPELINE_REPORT.md:275-283
+    * (COUNT/MIN(__time)/MAX(__time) per source_file).
+    */
+  def perSourceStats(documents: DataFrame): DataFrame =
+    documents
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"source")
+
+  /** Freshness check — README.md:318 (`COUNT(*) WHERE __time >
+    * now - interval`): volume in the trailing 24h window relative to
+    * the newest event. The max-ts bound is a 1-row broadcast join, so
+    * the big side stays a single filtered scan.
+    */
+  def freshness(events: DataFrame): DataFrame = {
+    val bounds = events.agg(max($"ts").as("max_ts"))
+    events
+      .crossJoin(broadcast(bounds))
+      .filter($"ts" >= $"max_ts" - expr("INTERVAL 24 HOURS"))
+      .agg(count(lit(1)).as("n_last_24h"), max($"ts").as("max_ts"))
+  }
+
+  /** Timestamp-continuity gap detection — README.md:226 ("Gap
+    * detection in time series"). Per-user lag window; emits gaps
+    * larger than the threshold with microsecond-exact durations.
+    */
+  def gaps(events: DataFrame, thresholdUs: Long = 3600L * 1000000L): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("gap_us", unix_micros($"ts") - unix_micros($"prev_ts"))
+      .filter($"gap_us" > thresholdUs)
+      .select($"user_id", $"prev_ts", $"ts", $"gap_us")
+      .orderBy($"user_id", $"ts")
+  }
+
+  /** Gap-based sessionization (30-min inactivity): running sum over a
+    * new-session indicator. Partitioned by user — embarrassingly
+    * parallel; state per user is one row in flight.
+    */
+  def sessionize(events: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+             unix_micros($"ts") - unix_micros($"prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        dsum($"value").as("session_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** Z-score anomaly detection per event_type (README.md "Machine
+    * Learning: Anomaly detection"). Moments come from exact decimal
+    * sums (see [[graft.functions.Exact]]) so the derived doubles are
+    * identical on any cluster size; the z formula is then pure
+    * per-row arithmetic. Stats side is tiny → broadcast back.
+    */
+  def anomalies(events: DataFrame, z: Double = 1.5): DataFrame = {
+    val stats = events
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum($"value").as("s"),
+        dsumsq($"value").as("ss"))
+      .withColumn("mean", $"s" / $"n")
+      .withColumn("sd", sqrt(($"ss" - $"s" * $"s" / $"n") / ($"n" - 1)))
+      .select($"event_type".as("t"), $"mean", $"sd")
+    events
+      .join(broadcast(stats), $"event_type" === $"t")
+      .withColumn("zscore", ($"value" - $"mean") / $"sd")
+      .filter($"sd" > 0 && abs($"zscore") > z)
+      .select($"event_id", $"event_type", $"value", $"zscore")
+      .orderBy($"event_id")
+  }
+
+  /** Storage-growth projections — goes_satellite_etl.py:415-489:
+    * total/average payload size and extrapolated daily/weekly/monthly
+    * growth assuming one source batch per minute (the reference's
+    * GOES cadence, goes_satellite_etl.py:456).
+    */
+  def storageMetrics(documents: DataFrame): DataFrame =
+    documents
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum($"n").as("n_docs"),
+        sum($"chars").as("total_chars"))
+      .withColumn("total_mb", $"total_chars" / 1024.0 / 1024.0)
+      .withColumn("avg_record_kb", $"total_chars" / 1024.0 / $"n_docs")
+      .withColumn("avg_source_mb", $"total_mb" / $"n_sources")
+      .withColumn("daily_growth_mb", $"avg_source_mb" * 1440.0)
+      .withColumn("weekly_growth_mb", $"daily_growth_mb" * 7.0)
+      .withColumn("monthly_growth_mb", $"daily_growth_mb" * 30.0)
+      .select($"n_sources", $"n_docs", $"total_chars", $"total_mb",
+        $"avg_record_kb", $"daily_growth_mb", $"weekly_growth_mb",
+        $"monthly_growth_mb")
+}

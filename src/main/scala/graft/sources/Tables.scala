@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Loaders for the engine's canonical tables (one parquet per table).
+  *
+  * Mirrors the reference stack's source surface: the Druid datasources
+  * (`druid-*-datasource.json`) define typed event tables keyed by a
+  * timestamp column; here every table is a parquet directory so scans
+  * get predicate pushdown + column pruning from Catalyst for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects. Read nanos as long
+    * (`nanosAsLong`) and truncate to a micro-precision timestamp —
+    * the same ns→us truncation DuckDB applies on scan.
+    */
+  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+  }
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame =
+    eventsRaw(s, d).withColumn("ts",
+      timestamp_micros(expr("ts div 1000")))
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + invariant tests for SURVEY.md §2 blocks A-C on sf0.001.
+  * Cross-engine value correctness is covered by the DuckDB oracle gate
+  * (Verify + oracleSql); these specs assert structural invariants.
+  */
+class CoreQueriesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and every oracle key exists") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("q01 groups cover all flag/status combos present") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    val li = sources.Tables.lineitem(spark, dir)
+    assert(df.count() ==
+      li.select("l_returnflag", "l_linestatus").distinct().count())
+  }
+
+  test("q10 latest-per-key has one row per user") {
+    val df = SparkEntry.queries("q10_latest_per_key")(spark, dir)
+    val users = sources.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(df.count() == users)
+    assert(df.select("user_id").distinct().count() == users)
+  }
+
+  test("q17 sessionize: session counts sum to event count") {
+    val df = SparkEntry.queries("q17_sessionize")(spark, dir)
+    val total = df.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect()(0).getLong(0)
+    assert(total == sources.Tables.events(spark, dir).count())
+  }
+
+  test("q13 rollup row count equals distinct (minute,type) pairs") {
+    val df = SparkEntry.queries("q13_rollup_minute")(spark, dir)
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, dir)
+    assert(df.count() == ev.select(
+      date_trunc("minute", col("ts")), col("event_type")).distinct().count())
+  }
+
+  test("approx_count_distinct is within 5% of exact (HLL scale path)") {
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, dir)
+    val Array(approx, exact) = ev.agg(
+      approx_count_distinct("user_id").cast("double"),
+      countDistinct("user_id").cast("double")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = SparkEntry.queries("q02_filter_pushdown")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("l_shipdate"),
+      s"expected pushed filters in:\n$plan")
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val df = SparkEntry.queries("q03_join_dims")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+}
