@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Ingest, TimeSeries}
+import graft.operators.{Analytics, Dedup, Ingest, Multimodal, Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
+import graft.streaming.EventStream
 import graft.functions.Exact.{sql => X}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -46,6 +47,23 @@ object SparkEntry {
     "q20_log_parse" -> ((s, d) => Ingest.logParse(Tables.events(s, d))),
     "q21_json_extract" -> ((s, d) => Ingest.jsonExtract(Tables.events(s, d))),
     "q22_normalize" -> ((s, d) => Ingest.normalize(Tables.events(s, d))),
+    // ---- D. deduplication ----
+    "q23_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "q24_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d))),
+    "q25_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "q26_dedup_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "q27_dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    // ---- E. similarity search ----
+    "q28_cosine_topk" -> ((s, d) => Similarity.cosineTopK(Tables.embeddings(s, d))),
+    "q29_ann_lsh" -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
+    // ---- F. text analysis ----
+    "q30_token_stats" -> ((s, d) => TextAnalysis.tokenStats(Tables.documents(s, d))),
+    "q31_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q32_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q33_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // ---- G. multimodal / streaming ----
+    "q34_multimodal_features" -> ((s, d) => Multimodal.featurePipeline(Tables.documents(s, d))),
+    "q35_streaming_rollup" -> ((s, d) => EventStream.batchRollup(Tables.events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -213,5 +231,127 @@ object SparkEntry {
           CASE WHEN isnan(value) THEN 0.0 ELSE value END AS value_clean,
           event_type AS kind, 'events.parquet' AS source_file
         FROM events ORDER BY event_id""",
+    "q23_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+          MIN(doc_id) AS keeper_doc_id
+        FROM documents GROUP BY 1 ORDER BY 1""",
+    "q24_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(w)-1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, n_common, jaccard FROM (
+          SELECT doc_a, doc_b, n_common,
+                 n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+          FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id) t
+        WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b""",
+    "q27_dedup_embedding" ->
+      """WITH q AS (
+          SELECT vec_id, label,
+            list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, label, v,
+            sqrt(CAST(list_sum(list_transform(range(1, 65), i -> v[i]*v[i])) AS DOUBLE)) AS nrm
+          FROM q)
+        SELECT vec_a, vec_b, label, cosine FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+            CAST(list_sum(list_transform(range(1, 65), i -> a.v[i]*b.v[i])) AS DOUBLE)
+              / (a.nrm * b.nrm) AS cosine
+          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id) t
+        WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""",
+    "q28_cosine_topk" ->
+      """WITH q AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, v,
+            sqrt(CAST(list_sum(list_transform(range(1, 65), i -> v[i]*v[i])) AS DOUBLE)) AS nrm
+          FROM q),
+        queries AS (
+          SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+          WHERE vec_id < 10),
+        scored AS (
+          SELECT query_id, vec_id,
+            CAST(list_sum(list_transform(range(1, 65), i -> v[i]*qv[i])) AS DOUBLE)
+              / (nrm * qnrm) AS cosine
+          FROM n, queries WHERE vec_id != query_id)
+        SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored) t
+        WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q30_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+        FROM (
+          SELECT lang,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents) t
+        GROUP BY 1 ORDER BY 1""",
+    "q31_quality_score" ->
+      """SELECT doc_id, n_chars_actual, n_tokens,
+          punct_count * 1.0 / n_chars_actual AS punct_ratio,
+          stop_count * 1.0 / n_tokens AS stop_ratio,
+          n_chars_actual * 1.0 / n_tokens AS avg_token_len,
+          (stop_count * 1.0 / n_tokens) * 0.5
+            + (1.0 - punct_count * 1.0 / n_chars_actual) * 0.3
+            + CASE WHEN n_chars_actual * 1.0 / n_tokens BETWEEN 3.0 AND 8.0
+                   THEN 0.2 ELSE 0.0 END AS quality
+        FROM (
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_actual,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_count,
+            CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS stop_count
+          FROM documents) t
+        ORDER BY doc_id""",
+    "q32_lang_id" ->
+      """WITH hits AS (
+          SELECT lang,
+            CAST(len(list_filter(w, t -> t IN ('the','a','and','of','is'))) AS BIGINT) AS en_hits,
+            CAST(len(list_filter(w, t -> t IN ('el','la','de','que','y'))) AS BIGINT) AS es_hits,
+            CAST(len(list_filter(w, t -> t IN ('le','la','et','les','des'))) AS BIGINT) AS fr_hits,
+            CAST(len(list_filter(w, t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits
+          FROM (SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+                FROM documents) t)
+        SELECT lang,
+          CASE WHEN en_hits >= greatest(es_hits, fr_hits, de_hits) AND en_hits > 0 THEN 'en'
+               WHEN es_hits >= greatest(fr_hits, de_hits) AND es_hits > 0 THEN 'es'
+               WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+               WHEN de_hits > 0 THEN 'de'
+               ELSE 'unknown' END AS predicted,
+          COUNT(*) AS n
+        FROM hits GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_norm,
+          list_min(list_transform(
+            list_transform(range(1, len(w)-1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+            s -> md5(s))) AS fp_min_shingle
+        FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents) t
+        ORDER BY doc_id""",
+    "q35_streaming_rollup" ->
+      s"""SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
+          event_type, COUNT(*) AS n, ${X.dsum("value")} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Vec
+
+/** Deduplication suite for training-data pipelines — SURVEY.md §2
+  * block D: exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design: every candidate-pair generator is *blocked* (hash
+  * key, LSH band, simhash band, label) — the only joins are equi-joins
+  * on block keys, so candidate generation shuffles once on the block
+  * key and never materializes the O(n²) pair space.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content digest. One shuffle on the
+    * digest; at 100 TB this is the cheapest possible full-corpus dedup
+    * (digest is 16 bytes/row on the wire, not the document).
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper_doc_id"))
+      .orderBy($"content_hash")
+
+  /** Exact word-shingle Jaccard near-dup pairs: explode distinct
+    * shingles, equi-join on shingle (candidates must share ≥1), count
+    * intersections, compute |A∩B| / |A∪B|, threshold.
+    */
+  def ngramJaccard(documents: DataFrame, n: Int = 3, tau: Double = 0.1): DataFrame = {
+    val sh = documents
+      .select($"doc_id", explode(TextAnalysis.shingles($"text", n)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        $"n_common" * 1.0 / ($"n_a" + $"n_b" - $"n_common"))
+      .filter($"jaccard" >= tau)
+      .select($"doc_a", $"doc_b", $"n_common", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Number of MinHash functions and LSH banding (16 bands × 2 rows:
+    * catches J≈0.1+ candidates on the synthetic corpus; production
+    * would use 128 hashes, bands tuned to the target threshold).
+    */
+  val MinHashK = 32
+  val Bands = 16
+  private val RowsPerBand = MinHashK / Bands
+
+  /** MinHash signatures: k universal-hash permutations of the shingle
+    * space, minimum per document. One explode + one groupBy — the
+    * signature is k longs per doc regardless of document size.
+    */
+  def minhashSignatures(documents: DataFrame, n: Int = 3): DataFrame = {
+    val sh = documents
+      .select($"doc_id", explode(TextAnalysis.shingles($"text", n)).as("s"))
+      .distinct()
+      .withColumn("h", xxhash64($"s"))
+    // k independent hash functions: rehash the shingle hash with the
+    // function index as seed material (no overflow-wrapping arithmetic
+    // so the plan is ANSI-mode safe)
+    val sigCols = (0 until MinHashK).map { i =>
+      min(xxhash64(lit(i), $"h")).as(s"m$i")
+    }
+    sh.groupBy($"doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select($"doc_id", array((0 until MinHashK).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH candidate pairs with estimated Jaccard (fraction of
+    * matching signature components). Join is blocked on (band,
+    * band-hash) — candidate generation never compares all pairs.
+    */
+  def minhashLsh(documents: DataFrame, n: Int = 3, tauEst: Double = 0.1): DataFrame = {
+    val sigs = minhashSignatures(documents, n)
+    val banded = sigs.select($"doc_id", $"sig",
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .withColumn("band_key",
+        xxhash64($"band", slice($"sig", $"band" * RowsPerBand + 1, lit(RowsPerBand))))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("est_jaccard",
+        size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y), b => b))
+          * 1.0 / MinHashK)
+      .filter($"est_jaccard" >= tauEst)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** 64-bit SimHash per document: per-bit majority vote over token
+    * hashes. 64 conditional sums in one aggregation pass (all
+    * codegen'd); no shuffle beyond the doc_id groupBy.
+    */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select($"doc_id", explode(TextAnalysis.tokens($"text")).as("t"))
+      .withColumn("h", xxhash64($"t"))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val voted = tok.groupBy($"doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val hashExpr = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    voted.select($"doc_id", hashExpr.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 4 × 16-bit bands (two docs
+    * within hamming distance 3 must agree on ≥1 band), then verify
+    * with exact popcount of the XOR.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(documents)
+    val banded = sh.select($"doc_id", $"simhash",
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val",
+        expr("(simhash >> (band * 16)) & 65535").as("band_val"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("hamming", bit_count($"h_a".bitwiseXOR($"h_b")))
+      .filter($"hamming" <= maxHamming)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked on `label` (the
+    * cluster/partition key — at 100 TB the blocking key comes from a
+    * coarse quantizer, e.g. IVF cell or LSH bucket, so each block's
+    * pair space fits one executor).
+    */
+  def embeddingNearDup(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+    val q = embeddings.select($"vec_id", $"label",
+      Vec.quantize($"embedding").as("v"))
+    val n = q.withColumn("nrm", Vec.normQ($"v"))
+    n.as("a").join(n.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        (Vec.dotQ(col("a.v"), col("b.v")).cast("double") /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter($"cosine" >= tau)
+      .orderBy($"vec_a", $"vec_b")
+  }
+}

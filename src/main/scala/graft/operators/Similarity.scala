@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vec
+
+/** Similarity search over embedding columns — SURVEY.md §2 block E.
+  *
+  * Baseline: brute-force cosine top-k (query set broadcast against the
+  * corpus — one scan, no corpus shuffle). Scale path: multi-table
+  * sign-random-projection LSH, where candidate generation is an
+  * equi-join on (table, bucket) keys.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k for a bounded query set. The query side
+    * is broadcast, so the corpus is scanned once wherever it lives;
+    * per-query top-k is a window over the (small) candidate output.
+    * Scores use exact integer-quantized math (see [[Vec]]).
+    */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val q = embeddings
+      .select($"vec_id", Vec.quantize($"embedding").as("v"))
+      .withColumn("nrm", Vec.normQ($"v"))
+    val queries = q.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val scored = q.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (Vec.dotQ($"v", $"qv").cast("double") / ($"nrm" * $"qnrm")).as("cosine"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id", $"cosine", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** LSH tables: `Tables` independent hash tables, each bucketing on
+    * the sign pattern of `PlanesPerTable` pseudo-random ±1 hyperplane
+    * projections. Near vectors (angle θ) collide in one table with
+    * prob (1-θ/π)^planes; multiple tables multiply recall.
+    */
+  val LshTables = 8
+  val PlanesPerTable = 4
+
+  /** Deterministic ±1 hyperplanes (seeded — same planes every run,
+    * every executor).
+    */
+  private[operators] def planes(dim: Int): IndexedSeq[IndexedSeq[Seq[Int]]] = {
+    val rng = new scala.util.Random(42)
+    IndexedSeq.fill(LshTables)(IndexedSeq.fill(PlanesPerTable)(
+      Seq.fill(dim)(if (rng.nextBoolean()) 1 else -1)))
+  }
+
+  /** Approximate top-k via multi-table hyperplane LSH: candidates are
+    * vectors sharing a (table, bucket) with the query; exact
+    * quantized-cosine rescoring + window top-k on the candidates only.
+    */
+  def annTopK(embeddings: DataFrame, dim: Int = 64,
+              nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val ps = planes(dim)
+    val q = embeddings
+      .select($"vec_id", Vec.quantize($"embedding").as("v"))
+      .withColumn("nrm", Vec.normQ($"v"))
+    // bucket id per table: bit pattern of plane sides
+    val bucketed = q.select($"vec_id", $"v", $"nrm",
+      explode(array((0 until LshTables).map { t =>
+        val bits = (0 until PlanesPerTable).map { p =>
+          when(Vec.planeSide($"v", ps(t)(p)), 1L << p).otherwise(0L)
+        }.reduce(_ + _)
+        struct(lit(t).as("table"), bits.as("bucket"))
+      }: _*)).as("tb"))
+      .select($"vec_id", $"v", $"nrm",
+        $"tb.table".as("table"), $"tb.bucket".as("bucket"))
+    val queries = bucketed.filter($"vec_id" < nQueries)
+      .select($"table", $"bucket", $"vec_id".as("query_id"),
+        $"v".as("qv"), $"nrm".as("qnrm"))
+    val cands = bucketed.join(queries, Seq("table", "bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"v", $"nrm", $"qv", $"qnrm")
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cands.select($"query_id", $"vec_id",
+      (Vec.dotQ($"v", $"qv").cast("double") / ($"nrm" * $"qnrm")).as("cosine"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id", $"cosine", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Exact.dsum
+
+/** Structured Streaming pipeline — SURVEY.md §2 block G.
+  *
+  * Mirrors the reference's Kafka → Druid ingestion path
+  * (druid-*-datasource.json: timestampSpec + queryGranularity rollup):
+  * a stream of typed events is watermarked on event time and rolled
+  * up into fixed windows per dimension. Here the unbounded source is a
+  * file stream (same API shape as `format("kafka")` — swap the source,
+  * keep the query).
+  */
+object EventStream {
+
+  /** Parquet-on-disk schema of the events stream (ts arrives as
+    * parquet TIMESTAMP(NANOS) → read as long, converted in
+    * [[fromRaw]]).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def fromRaw(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** 5-minute windowed rollup per event_type (Druid
+    * queryGranularity-style). Works identically on a bounded batch
+    * frame or an unbounded stream — the streaming variant adds a
+    * watermark so state for closed windows is dropped.
+    */
+  def windowRollup(events: DataFrame, watermarked: Boolean): DataFrame = {
+    val in = if (watermarked) events.withWatermark("ts", "10 minutes") else events
+    in.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Batch-equivalent of the streaming rollup (the driver-verifiable
+    * face of the operator; ordering added for the oracle compare).
+    */
+  def batchRollup(events: DataFrame): DataFrame =
+    windowRollup(events, watermarked = false)
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Open the events directory as an unbounded stream. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fromRaw(
+      spark.readStream.schema(rawSchema)
+        // glob form: FileStreamSource force-overrides basePath with the
+        // source path unless it's a glob, and a file basePath breaks
+        // partition inference in getBatch
+        .option("basePath", dir)
+        .parquet(s"$dir/events.parque*"))
+  }
+
+  /** Run the streaming rollup over everything currently in the
+    * directory and return the final result table (memory sink,
+    * complete mode — the smoke path used by tests; production would
+    * `writeStream` to a real sink with `append` + watermark).
+    */
+  def runOnce(spark: SparkSession, dir: String, name: String = "rollup"): DataFrame = {
+    val q = windowRollup(readEventStream(spark, dir), watermarked = true)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventStream
+import graft.sources.Tables
+
+/** Invariant tests for the non-oracled operators (SURVEY.md §2 blocks
+  * D, E, G): approximate algorithms verified against exact baselines
+  * and planted duplicates.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  private def docsWithPlantedDup = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60L),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60L),
+      (3L, "the quick brown fox jumps over the lazy dog again and once", "en", "s", 59L),
+      (4L, "completely different words about spark query engines at scale", "en", "s", 61L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("minhash LSH finds planted exact and near duplicates") {
+    val pairs = Dedup.minhashLsh(docsWithPlantedDup)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exactDup = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exactDup.isDefined, s"exact dup 1-2 not found in $pairs")
+    assert(exactDup.get._3 == 1.0, "identical docs must have est_jaccard 1.0")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L), "near dup 1-3 not found")
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L),
+      s"unrelated doc paired: $pairs")
+  }
+
+  test("minhash LSH recall vs exact jaccard on documents table") {
+    val docs = Tables.documents(spark, dir)
+    val exact = Dedup.ngramJaccard(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh),
+      s"LSH missed high-jaccard pairs: ${exact -- lsh}")
+  }
+
+  test("simhash: identical docs get identical hash, near dups are close") {
+    val h = Dedup.simhash(docsWithPlantedDup)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 10,
+      "near-dup hamming too large")
+    assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) > 10,
+      "unrelated docs suspiciously close")
+  }
+
+  test("simhash pairs returns the planted dup with hamming 0") {
+    val pairs = Dedup.simhashPairs(docsWithPlantedDup)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0), s"got ${pairs.toSeq}")
+  }
+
+  test("ANN LSH recall@5 vs brute force") {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.cosineTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ANN recall too low: $recall")
+  }
+
+  test("streaming rollup equals batch rollup") {
+    val batch = EventStream.batchRollup(Tables.events(spark, dir))
+    val stream = EventStream.runOnce(spark, dir, "rollup_spec")
+    val b = batch.collect().map(_.toSeq).toSet
+    val s = stream.collect().map(_.toSeq).toSet
+    assert(b == s, s"stream/batch mismatch: missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
+  }
+
+  test("multimodal decode: schema and deterministic features") {
+    val out = Multimodal.featurePipeline(Tables.documents(spark, dir))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "modality", "n_bytes", "f_len", "f_distinct_bytes", "f_mean_byte"))
+    val rows = out.collect()
+    assert(rows.length == Tables.documents(spark, dir).count())
+    // payload length must equal the feature the decoder extracted
+    assert(rows.forall(r => r.getLong(2).toDouble == r.getDouble(3)))
+  }
+}
