@@ -22,6 +22,11 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // InferFiltersFromGenerate re-inlines the full generator input
+      // expression into a pushed-down Filter; for expensive array
+      // builders (shingling) that doubles-to-quadruples per-row cost.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Two paths to the same functions:
+  *  - [[Registry.ensure]] — idempotent per-session registration,
+  *    invoked by the operators themselves, so any externally-created
+  *    SparkSession works;
+  *  - [[GraftExtensions]] — `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    for deployments that want the functions injected at session
+  *    build time (cluster-wide SQL access).
+  */
+object Registry {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dotq" -> (exprs => LongDotProduct(exprs(0), exprs(1))))
+
+  /** Idempotently register graft functions in the session's registry. */
+  def ensure(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** SparkSessionExtensions injector (`spark.sql.extensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Registry.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.LongDotProduct", name),
+        builder))
+    }
+}

@@ -22,8 +22,17 @@ object Vec {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
+  /** Exact integer dot product of two quantized vectors — resolves to
+    * the native codegen'd [[LongDotProduct]] (see [[Registry.ensure]];
+    * operators register it on their input's session).
+    */
+  def dotQ(a: Column, b: Column): Column = call_function("graft_dotq", a, b)
+
+  /** Higher-order-function formulation of the same dot product (kept
+    * as the registration-free fallback and as the differential-test
+    * twin of [[LongDotProduct]]).
+    */
+  def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Euclidean norm of a quantized vector (double, deterministic). */

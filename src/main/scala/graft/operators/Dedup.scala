@@ -25,24 +25,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper_doc_id"))
       .orderBy($"content_hash")
 
-  /** Exact word-shingle Jaccard near-dup pairs: explode distinct
-    * shingles, equi-join on shingle (candidates must share ≥1), count
-    * intersections, compute |A∩B| / |A∪B|, threshold.
+  /** Exact word-shingle Jaccard near-dup pairs: per-doc distinct
+    * shingle-hash sets in one scan (set size rides along, so no
+    * separate sizes join), explode, equi-join on the 8-byte hash
+    * (candidates must share ≥1 shingle), count intersections,
+    * |A∩B| / |A∪B|, threshold.
+    *
+    * Joining on xxhash64(shingle) instead of the shingle string keeps
+    * the shuffle payload at 8 bytes/key — at 100 TB the shuffle is the
+    * bottleneck, not the hash (collision odds over 2^64 are
+    * negligible for any realistic corpus).
     */
   def ngramJaccard(documents: DataFrame, n: Int = 3, tau: Double = 0.1): DataFrame = {
-    val sh = documents
-      .select($"doc_id", explode(TextAnalysis.shingles($"text", n)).as("s"))
-      .distinct()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val sets = documents
+      .withColumn("w", TextAnalysis.tokens($"text"))
+      .select(
+        $"doc_id",
+        array_distinct(transform(TextAnalysis.shinglesOf($"w", n), s => xxhash64(s)))
+          .as("hs"))
+      .withColumn("n_sh", size($"hs"))
+    val sh = sets.select($"doc_id", $"n_sh", explode($"hs").as("h"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .agg(count(lit(1)).as("n_common"),
+        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
       .withColumn("jaccard",
         $"n_common" * 1.0 / ($"n_a" + $"n_b" - $"n_common"))
       .filter($"jaccard" >= tau)
@@ -64,9 +71,10 @@ object Dedup {
     */
   def minhashSignatures(documents: DataFrame, n: Int = 3): DataFrame = {
     val sh = documents
-      .select($"doc_id", explode(TextAnalysis.shingles($"text", n)).as("s"))
-      .distinct()
-      .withColumn("h", xxhash64($"s"))
+      .withColumn("w", TextAnalysis.tokens($"text"))
+      .select($"doc_id",
+        explode(array_distinct(
+          transform(TextAnalysis.shinglesOf($"w", n), s => xxhash64(s)))).as("h"))
     // k independent hash functions: rehash the shingle hash with the
     // function index as seed material (no overflow-wrapping arithmetic
     // so the plan is ANSI-mode safe)
@@ -152,6 +160,7 @@ object Dedup {
     * pair space fits one executor).
     */
   def embeddingNearDup(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val q = embeddings.select($"vec_id", $"label",
       Vec.quantize($"embedding").as("v"))
     val n = q.withColumn("nrm", Vec.normQ($"v"))

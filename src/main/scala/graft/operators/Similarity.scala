@@ -20,6 +20,7 @@ object Similarity {
     * Scores use exact integer-quantized math (see [[Vec]]).
     */
   def cosineTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val q = embeddings
       .select($"vec_id", Vec.quantize($"embedding").as("v"))
       .withColumn("nrm", Vec.normQ($"v"))
@@ -59,6 +60,7 @@ object Similarity {
     */
   def annTopK(embeddings: DataFrame, dim: Int = 64,
               nQueries: Int = 10, k: Int = 5): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val ps = planes(dim)
     val q = embeddings
       .select($"vec_id", Vec.quantize($"embedding").as("v"))

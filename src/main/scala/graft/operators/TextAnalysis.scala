@@ -39,16 +39,16 @@ object TextAnalysis {
   /** Per-document quality scoring: length, punctuation ratio, stopword
     * ratio — the heuristics used to filter web-scraped training text.
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
-    val toks = tokens($"text")
+  def qualityScore(documents: DataFrame): DataFrame =
     documents
+      .withColumn("toks", tokens($"text"))  // bind once; see shinglesOf note
       .withColumn("n_chars_actual", length($"text").cast("long"))
-      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("punct_count",
         (length($"text") - length(regexp_replace($"text", "[.,;:!?]", "")))
           .cast("long"))
       .withColumn("stop_count",
-        size(filter(toks, t => t.isInCollection(stopwords))).cast("long"))
+        size(filter($"toks", t => t.isInCollection(stopwords))).cast("long"))
       .withColumn("punct_ratio", $"punct_count" * 1.0 / $"n_chars_actual")
       .withColumn("stop_ratio", $"stop_count" * 1.0 / $"n_tokens")
       .withColumn("avg_token_len", $"n_chars_actual" * 1.0 / $"n_tokens")
@@ -58,16 +58,15 @@ object TextAnalysis {
       .select($"doc_id", $"n_chars_actual", $"n_tokens", $"punct_ratio",
         $"stop_ratio", $"avg_token_len", $"quality")
       .orderBy($"doc_id")
-  }
 
   /** Stopword-profile language ID (n-gram/stopword heuristic) scored
     * against the labeled `lang` column. Confusion-matrix output.
     */
   def langId(documents: DataFrame): DataFrame = {
-    val toks = tokens(lower($"text"))
     def hits(words: Seq[String]): Column =
-      size(filter(toks, t => t.isInCollection(words))).cast("long")
+      size(filter($"toks", t => t.isInCollection(words))).cast("long")
     documents
+      .withColumn("toks", tokens(lower($"text")))  // bind once
       .withColumn("en_hits", hits(Seq("the", "a", "and", "of", "is")))
       .withColumn("es_hits", hits(Seq("el", "la", "de", "que", "y")))
       .withColumn("fr_hits", hits(Seq("le", "la", "et", "les", "des")))
@@ -84,14 +83,25 @@ object TextAnalysis {
       .orderBy($"lang", $"predicted")
   }
 
-  /** Word n-gram shingles (guarded: <n tokens → empty array). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
+  /** Word n-gram shingles from an already-materialized token-array
+    * column (guarded: <n tokens → empty array).
+    *
+    * IMPORTANT perf contract: pass a *column reference* (e.g. bound
+    * via `withColumn("w", tokens($"text"))`), not the `tokens(...)`
+    * expression itself — every `element_at(w, …)` inside the lambda
+    * re-evaluates its subtree, so an inline `split()` would run
+    * 3×|shingles| regex splits per row instead of one.
+    */
+  def shinglesOf(w: Column, n: Int = 3): Column =
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience form over raw text — fine for small/cold paths; hot
+    * paths should materialize the token column and use [[shinglesOf]].
+    */
+  def shingles(text: Column, n: Int = 3): Column = shinglesOf(tokens(text), n)
 
   /** Document fingerprints: whitespace-normalized md5 (exact-dup key)
     * + minimum shingle hash (a 1-hash MinHash, stable under small
@@ -99,10 +109,11 @@ object TextAnalysis {
     */
   def fingerprint(documents: DataFrame): DataFrame =
     documents
+      .withColumn("w", tokens($"text"))
       .withColumn("fp_norm",
         md5(lower(regexp_replace(trim($"text"), "\\s+", " "))))
       .withColumn("fp_min_shingle",
-        array_min(transform(shingles($"text"), s => md5(s))))
+        array_min(transform(shinglesOf($"w"), s => md5(s))))
       .select($"doc_id", $"fp_norm", $"fp_min_shingle")
       .orderBy($"doc_id")
 }

@@ -79,6 +79,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(b == s, s"stream/batch mismatch: missing=${(b -- s).take(3)} extra=${(s -- b).take(3)}")
   }
 
+  test("native LongDotProduct matches HOF dot product on real embeddings") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.Registry.ensure(spark)
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), graft.functions.Vec.quantize(col("embedding")).as("v"))
+    val diff = q.select(
+        (graft.functions.Vec.dotQ(col("v"), col("v")) -
+         graft.functions.Vec.dotQHof(col("v"), col("v"))).as("d"))
+      .filter(col("d") =!= 0L).count()
+    assert(diff == 0)
+  }
+
   test("multimodal decode: schema and deterministic features") {
     val out = Multimodal.featurePipeline(Tables.documents(spark, dir))
     assert(out.columns.toSeq ==
