@@ -64,6 +64,8 @@ object SparkEntry {
     // ---- G. multimodal / streaming ----
     "q34_multimodal_features" -> ((s, d) => Multimodal.featurePipeline(Tables.documents(s, d))),
     "q35_streaming_rollup" -> ((s, d) => EventStream.batchRollup(Tables.events(s, d))),
+    "q36_session_window" -> ((s, d) => TimeSeries.sessionWindows(Tables.events(s, d))),
+    "q37_kafka_roundtrip" -> ((s, d) => Ingest.kafkaRoundTrip(Tables.events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -353,5 +355,30 @@ object SparkEntry {
       s"""SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
           event_type, COUNT(*) AS n, ${X.dsum("value")} AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q36_session_window" ->
+      s"""WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (
+            SELECT user_id, ts, event_id, value,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events) t),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events, ${X.dsum("value")} AS session_value
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_start""",
+    "q37_kafka_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS timestamp, event_type AS kind,
+          value, 'events' AS source
+        FROM events ORDER BY event_id""",
   )
 }

@@ -71,6 +71,33 @@ object Ingest {
         max($"k").as("max_k"))
       .orderBy($"k_bucket")
 
+  /** Kafka-message round trip: serialize events to the JSON wire shape
+    * the reference's producers emit (real_data_etl.py:43-50 crypto
+    * records: timestamp/id/value/source), then parse back with an
+    * explicit schema — `to_json`/`from_json` are the codegen'd
+    * serde pair a Spark Kafka source/sink uses.
+    */
+  def kafkaRoundTrip(events: DataFrame): DataFrame = {
+    val wire = events.select(
+      $"event_id",
+      to_json(struct(
+        unix_micros($"ts").as("timestamp"),
+        $"event_type".as("kind"),
+        $"value".as("value"),
+        lit("events").as("source"))).as("json"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "timestamp BIGINT, kind STRING, value DOUBLE, source STRING")
+    wire
+      .withColumn("rec", from_json($"json", schema))
+      .select(
+        $"event_id",
+        $"rec.timestamp".as("timestamp"),
+        $"rec.kind".as("kind"),
+        $"rec.value".as("value"),
+        $"rec.source".as("source"))
+      .orderBy($"event_id")
+  }
+
   /** Canonical-schema normalization (goes_satellite_etl.py:241-289):
     * epoch-time conversion, NaN→0 measure cleaning, categorical
     * channel labels (`channel_{i % 4}`, goes_satellite_etl.py:262),

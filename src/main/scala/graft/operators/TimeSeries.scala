@@ -106,6 +106,22 @@ object TimeSeries {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Native session-window sessionization — the Spark-first form of
+    * [[sessionize]]: `session_window(ts, gap)` merges events into
+    * sessions inside the aggregation operator itself (no per-user sort
+    * chain, streaming-capable with a watermark). Session end is
+    * last-event + gap, per Spark/Flink session-window semantics.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window($"ts", gap).as("sw"), $"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum($"value").as("session_value"))
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"sw.end".as("session_end"), $"n_events", $"session_value")
+      .orderBy($"user_id", $"session_start")
+
   /** Z-score anomaly detection per event_type (README.md "Machine
     * Learning: Anomaly detection"). Moments come from exact decimal
     * sums (see [[graft.functions.Exact]]) so the derived doubles are

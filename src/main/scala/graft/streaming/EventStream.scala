@@ -64,6 +64,43 @@ object EventStream {
         .parquet(s"$dir/events.parque*"))
   }
 
+  /** A per-user running profile maintained with explicit state —
+    * `mapGroupsWithState` (the Structured Streaming stateful-operator
+    * API). Each micro-batch folds new events into the stored
+    * aggregate and emits the updated profile; state size is O(users),
+    * partitioned by the group key across executors.
+    */
+  final case class UserProfile(
+      user_id: Long, n_events: Long, total_value: Double, last_seen_us: Long)
+
+  def userProfiles(events: DataFrame): org.apache.spark.sql.Dataset[UserProfile] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    val spark = events.sparkSession
+    import spark.implicits.{newProductEncoder, newLongEncoder}
+    events
+      .select("user_id", "ts", "value")
+      .withColumn("ts_us", org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts")))
+      .select("user_id", "ts_us", "value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(UserProfile(uid, 0L, 0.0, Long.MinValue))
+          // fold deterministically: value totals in cents (exact longs)
+          var n = prev.n_events
+          var cents = math.round(prev.total_value * 100)
+          var last = prev.last_seen_us
+          rows.foreach { case (_, tsUs, v) =>
+            n += 1; cents += math.round(v * 100); last = math.max(last, tsUs)
+          }
+          val next = UserProfile(uid, n, cents / 100.0, last)
+          state.update(next)
+          next
+      }
+  }
+
   /** Run the streaming rollup over everything currently in the
     * directory and return the final result table (memory sink,
     * complete mode — the smoke path used by tests; production would

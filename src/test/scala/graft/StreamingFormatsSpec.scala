@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Formats, Tables}
+import graft.streaming.EventStream
+
+/** Stateful streaming + file-format round-trip coverage. */
+class StreamingFormatsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  test("mapGroupsWithState user profiles equal the batch aggregate") {
+    val events = Tables.events(spark, dir)
+    val got = EventStream.userProfiles(events)
+      .collect().map(p => p.user_id -> ((p.n_events, p.total_value, p.last_seen_us))).toMap
+    val expected = events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total"),
+        max(unix_micros(col("ts"))).as("last"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    val bad = got.filter { case (k, v) => expected(k) != v }
+    assert(bad.isEmpty, s"profile mismatches: ${bad.take(3)}")
+  }
+
+  test("csv round trip preserves the events table") {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Formats.writeCsv(events, path)
+    val back = Formats.readCsv(spark, path,
+      "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    assert(back.count() == events.count())
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+  }
+
+  test("json round trip preserves the events table") {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_json").toString
+    Formats.writeJson(events, path)
+    val back = Formats.readJson(spark, path,
+      "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+  }
+
+  test("partitioned parquet sink enables partition pruning") {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Formats.writePartitioned(events, path, "event_type")
+    val pruned = spark.read.parquet(path).filter(col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition filter in:\n$plan")
+    assert(pruned.count() ==
+      Tables.events(spark, dir).filter(col("event_type") === "click").count())
+  }
+
+  test("session_window operator matches the lag-based sessionize totals") {
+    val events = Tables.events(spark, dir)
+    val sw = operators.TimeSeries.sessionWindows(events)
+    val lag = operators.TimeSeries.sessionize(events)
+    assert(sw.count() == lag.count())
+    assert(sw.agg(sum("n_events")).collect()(0).getLong(0) == events.count())
+  }
+}
