@@ -66,6 +66,10 @@ object SparkEntry {
     "q35_streaming_rollup" -> ((s, d) => EventStream.batchRollup(Tables.events(s, d))),
     "q36_session_window" -> ((s, d) => TimeSeries.sessionWindows(Tables.events(s, d))),
     "q37_kafka_roundtrip" -> ((s, d) => Ingest.kafkaRoundTrip(Tables.events(s, d))),
+    "q38_data_quality" -> ((s, d) => Analytics.dataQuality(Tables.events(s, d))),
+    "q39_percentiles" -> ((s, d) => Analytics.percentiles(Tables.events(s, d))),
+    "q40_shipping_priority" -> ((s, d) => Analytics.shippingPriority(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -380,5 +384,35 @@ object SparkEntry {
       """SELECT event_id, epoch_us(ts) AS timestamp, event_type AS kind,
           value, 'events' AS source
         FROM events ORDER BY event_id""",
+    "q38_data_quality" ->
+      """SELECT n_rows, n_users, n_null_props, n_nan_values, n_errors,
+          n_errors * 1.0 / n_rows AS error_rate
+        FROM (
+          SELECT COUNT(*) AS n_rows,
+            COUNT(DISTINCT user_id) AS n_users,
+            CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+            CAST(SUM(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_values,
+            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+          FROM events) t""",
+    "q39_percentiles" ->
+      """SELECT event_type,
+          quantile_cont(value, 0.25) AS p25,
+          quantile_cont(value, 0.5) AS p50,
+          quantile_cont(value, 0.75) AS p75,
+          quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "q40_shipping_priority" ->
+      """SELECT l_orderkey,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 3, 4
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""",
   )
 }

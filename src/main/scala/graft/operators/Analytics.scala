@@ -136,6 +136,57 @@ object Analytics {
       .orderBy($"o_custkey")
   }
 
+  /** Data-quality report (README.md:224-228 "Data Quality Metrics":
+    * record counts, error rates, null/NaN tracking) — one scan, one
+    * row out.
+    */
+  def dataQuality(events: DataFrame): DataFrame =
+    events.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct($"user_id").as("n_users"),
+      sum(when($"props".isNull, 1L).otherwise(0L)).as("n_null_props"),
+      sum(when(isnan($"value"), 1L).otherwise(0L)).as("n_nan_values"),
+      sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("error_rate", $"n_errors" * 1.0 / $"n_rows")
+
+  /** Exact interpolated percentiles per group (the Superset/Druid
+    * percentile-chart surface). Exact `percentile` shuffles values per
+    * group; the 100 TB path swaps in `approx_percentile` (KLL-style
+    * mergeable sketch) — spec-covered since approx values are
+    * engine-specific.
+    */
+  def percentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy($"event_type")
+      .agg(
+        percentile($"value", lit(0.25)).as("p25"),
+        percentile($"value", lit(0.5)).as("p50"),
+        percentile($"value", lit(0.75)).as("p75"),
+        percentile($"value", lit(0.95)).as("p95"))
+      .orderBy($"event_type")
+
+  /** Shipping-priority top-N (TPC-H Q3 shape): segment-filtered
+    * customer ⋈ orders ⋈ lineitem with date range predicates on both
+    * fact sides, revenue per open order. The two fact tables shuffle
+    * on the join key; the filtered customer side broadcasts.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame): DataFrame = {
+    import graft.functions.Exact.{dec, dsumExpr}
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    customer.filter($"c_mktsegment" === "BUILDING")
+      .join(orders, $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" < cutoff)
+      .join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .filter($"l_shipdate" > cutoff)
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsumExpr(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+        .as("revenue"))
+      .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
   /** Latest record per key (Druid LATEST rollup / upsert compaction).
     * This is the canonical "dedup to newest" pattern for CDC streams.
     */
