@@ -70,6 +70,8 @@ object SparkEntry {
     "q39_percentiles" -> ((s, d) => Analytics.percentiles(Tables.events(s, d))),
     "q40_shipping_priority" -> ((s, d) => Analytics.shippingPriority(
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q41_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.events(s, d))),
+    "q42_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -414,5 +416,33 @@ object SparkEntry {
           AND l_shipdate > TIMESTAMP '1998-01-01'
         GROUP BY 1, 3, 4
         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q41_pii_scrub" ->
+      """WITH c AS (
+          SELECT event_id,
+            'reach user' || user_id || ' at u' || user_id ||
+            '@example.com or 555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+            ' re ' || event_type AS contact
+          FROM events)
+        SELECT event_id,
+          CAST(len(regexp_split_to_array(contact,
+            '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS BIGINT) AS n_emails,
+          CAST(len(regexp_split_to_array(contact,
+            '\b555-[0-9]{4}\b')) - 1 AS BIGINT) AS n_phones,
+          regexp_replace(regexp_replace(contact,
+            '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+        FROM c ORDER BY event_id""",
+    "q42_repetition" ->
+      """WITH sh AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(w)-1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents) t
+          WHERE len(w) >= 3),
+        cnt AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles,
+          MAX(c) AS max_repeat, MAX(c) * 1.0 / SUM(c) AS repetition_ratio
+        FROM cnt GROUP BY 1 ORDER BY 1""",
   )
 }

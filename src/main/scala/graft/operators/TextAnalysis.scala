@@ -103,6 +103,51 @@ object TextAnalysis {
     */
   def shingles(text: Column, n: Int = 3): Column = shinglesOf(tokens(text), n)
 
+  /** Email/phone regexes for PII scrubbing (training corpora are
+    * scrubbed before use; same pattern family as web-scrape cleaners).
+    */
+  val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** PII detection + redaction over a text column. The `contact` text
+    * here is derived deterministically from events (stands in for a
+    * raw scraped field); detection counts and the redacted form are
+    * pure per-row Column expressions — one scan, no shuffle.
+    */
+  def piiScrub(events: DataFrame): DataFrame = {
+    val contact = concat(
+      lit("reach user"), $"user_id", lit(" at u"), $"user_id",
+      lit("@example.com or 555-"), lpad(($"event_id" % 10000).cast("string"), 4, "0"),
+      lit(" re "), $"event_type")
+    events
+      .withColumn("contact", contact)
+      .withColumn("n_emails",
+        size(split($"contact", EmailRe, -1)).cast("long") - 1L)
+      .withColumn("n_phones",
+        size(split($"contact", PhoneRe, -1)).cast("long") - 1L)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace($"contact", EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .select($"event_id", $"n_emails", $"n_phones", $"redacted")
+      .orderBy($"event_id")
+  }
+
+  /** Within-document repetition scoring (the Gopher-style "repeated
+    * n-gram fraction" quality rule): most-frequent 3-gram count over
+    * total 3-grams per document.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    val sh = documents
+      .withColumn("w", tokens($"text"))
+      .select($"doc_id", explode(shinglesOf($"w")).as("s"))
+    sh.groupBy($"doc_id", $"s")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_shingles"), max($"c").as("max_repeat"))
+      .withColumn("repetition_ratio", $"max_repeat" * 1.0 / $"n_shingles")
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprints: whitespace-normalized md5 (exact-dup key)
     * + minimum shingle hash (a 1-hash MinHash, stable under small
     * edits — the rolling-hash fingerprint family).

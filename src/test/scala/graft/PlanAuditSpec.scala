@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-catalog physical-plan audit: the plan shapes that matter at
+  * 100 TB, asserted for every declared query.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  // q28/q29 intentionally broadcast a bounded query set against the
+  // corpus with a non-equi condition (BroadcastNestedLoopJoin of a
+  // 10-row side) — that's the designed brute-force baseline, not an
+  // accidental cross join.
+  private val allowedNestedLoop = Set("q28_cosine_topk", "q29_ann_lsh")
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+    }
+  }
+
+  test("nested-loop joins appear only where a broadcast baseline is intended") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val hasNlj = plan.contains("BroadcastNestedLoopJoin")
+      if (hasNlj && name == "q15_freshness") {
+        // 1-row bounds frame broadcast — fine by construction
+      } else if (hasNlj) {
+        assert(allowedNestedLoop.contains(name),
+          s"$name has an unexpected BroadcastNestedLoopJoin:\n$plan")
+      }
+    }
+  }
+
+  test("narrow projections prune the parquet scan schema") {
+    // q02 reads 4 of 11 lineitem columns; the scan must not read more
+    val plan = SparkEntry.queries("q02_filter_pushdown")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_shipdate") && readSchema.contains("l_discount")
+      && !readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"scan schema not pruned: $readSchema")
+  }
+
+  test("dedup joins shuffle on block keys, not documents") {
+    val plan = SparkEntry.queries("q24_dedup_ngram_jaccard")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"jaccard join not an equi-join:\n$plan")
+  }
+
+  test("every aggregate query keeps whole-stage codegen in the scan stage") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    df.collect()  // AQE finalizes the plan (and codegen wrapping) on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators carry the `*(stageId)` prefix in simpleString
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+  }
+}
