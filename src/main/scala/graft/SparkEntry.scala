@@ -72,6 +72,8 @@ object SparkEntry {
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q41_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.events(s, d))),
     "q42_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "q43_salted_agg" -> ((s, d) => operators.Skew.saltedAgg(Tables.events(s, d), "event_type", "value")),
+    "q44_catalog_meta" -> ((s, d) => sources.CatalogMeta.describeTables(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -444,5 +446,8 @@ object SparkEntry {
         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles,
           MAX(c) AS max_repeat, MAX(c) * 1.0 / SUM(c) AS repetition_ratio
         FROM cnt GROUP BY 1 ORDER BY 1""",
+    "q43_salted_agg" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${X.dsum("value")} AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities.
+  *
+  * AQE's skew-join splitting handles most runtime skew; salting is the
+  * explicit fallback for *aggregation* skew, where one hot key would
+  * otherwise serialize into a single reducer. Two-phase plan:
+  * partial-aggregate on (key, salt), then merge per key — the hot
+  * key's work spreads over `salts` reducers and the second shuffle
+  * only moves `|keys| × salts` pre-aggregated rows.
+  */
+object Skew {
+
+  /** Salted count+sum aggregation over a possibly-skewed key. The
+    * result is identical to a direct groupBy (counts/sums are
+    * mergeable; decimal sums keep it exact), only the shuffle shape
+    * differs.
+    */
+  def saltedAgg(df: DataFrame, key: String, valueCol: String,
+                salts: Int = 16): DataFrame = {
+    import graft.functions.Exact.dec
+    df
+      .withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .groupBy(col(key), $"_salt")
+      .agg(count(lit(1)).as("_n"), sum(dec(col(valueCol))).as("_s"))
+      .groupBy(col(key))
+      .agg(sum($"_n").as("n"), sum($"_s").cast("double").as("sum_value"))
+      .orderBy(col(key))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+import graft.sources.{Bucketed, CatalogMeta, Tables}
+
+/** Scale-technique coverage: salting, bucketed co-located joins,
+  * catalog metadata.
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    Engine.builder("local[4]", 4)
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
+  }
+  val dir = "/root/testdata/sf0.001"
+
+  test("salted aggregation equals direct groupBy exactly") {
+    val events = Tables.events(spark, dir)
+    val salted = Skew.saltedAgg(events, "event_type", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.dsum(col("value")).as("sum_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"))
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    Bucketed.writeBucketed(events, "ev_bucketed", "user_id")
+    Bucketed.writeBucketed(users, "users_bucketed", "user_id")
+    val joined = Bucketed.read(spark, "ev_bucketed")
+      .join(Bucketed.read(spark, "users_bucketed"), "user_id")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == events.count())
+  }
+
+  test("catalog metadata lists every table with schema and row counts") {
+    val meta = CatalogMeta.describeTables(spark, dir)
+    val tables = meta.select("table_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(tables == Tables.names.toSet)
+    val li = meta.filter(col("table_name") === "lineitem")
+    assert(li.count() == 11)  // 11 lineitem columns
+    assert(li.select("n_rows").first().getLong(0) == 6000L)
+  }
+}
