@@ -74,6 +74,7 @@ object SparkEntry {
     "q42_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "q43_salted_agg" -> ((s, d) => operators.Skew.saltedAgg(Tables.events(s, d), "event_type", "value")),
     "q44_catalog_meta" -> ((s, d) => sources.CatalogMeta.describeTables(s, d)),
+    "q45_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

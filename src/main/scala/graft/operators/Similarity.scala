@@ -54,6 +54,52 @@ object Similarity {
       Seq.fill(dim)(if (rng.nextBoolean()) 1 else -1)))
   }
 
+  /** IVF-style ANN: a coarse quantizer (here: the first `nCells`
+    * vectors as fixed centroids — production would use trained k-means
+    * centroids, same plan shape) assigns every vector to its nearest
+    * cell in one broadcast pass; queries probe their `nProbe` nearest
+    * cells and rescore exactly within them. Candidate generation is an
+    * equi-join on cell id — the corpus shuffles once on assignment and
+    * each query touches nProbe/nCells of the data.
+    */
+  def ivfTopK(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
+              nQueries: Int = 10, k: Int = 5): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val q = embeddings
+      .select($"vec_id", Vec.quantize($"embedding").as("v"))
+      .withColumn("nrm", Vec.normQ($"v"))
+    val centroids = q.filter($"vec_id" < nCells)
+      .select($"vec_id".as("cell"), $"v".as("cv"), $"nrm".as("cnrm"))
+    // nearest-centroid assignment: argmax cosine via max(struct)
+    val scored = q.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"v", $"nrm",
+        struct((Vec.dotQ($"v", $"cv").cast("double") / ($"nrm" * $"cnrm")).as("cos"),
+          $"cell").as("sc"))
+    val assigned = scored.groupBy($"vec_id")
+      .agg(max($"sc").as("best"), first($"v").as("v"), first($"nrm").as("nrm"))
+      .select($"vec_id", $"best.cell".as("cell"), $"v", $"nrm")
+    // queries probe their nProbe nearest cells
+    val probeW = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cell")
+    val probes = q.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+      .crossJoin(broadcast(centroids))
+      .select($"query_id", $"qv", $"qnrm", $"cell",
+        (Vec.dotQ($"qv", $"cv").cast("double") / ($"qnrm" * $"cnrm")).as("pcos"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter($"pr" <= nProbe)
+      .select($"query_id", $"qv", $"qnrm", $"cell")
+    val cands = assigned.join(probes, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+    val scoredC = cands.select($"query_id", $"vec_id",
+      (Vec.dotQ($"v", $"qv").cast("double") / ($"nrm" * $"qnrm")).as("cosine"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    scoredC
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id", $"cosine", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH: candidates are
     * vectors sharing a (table, bucket) with the query; exact
     * quantized-cosine rescoring + window top-k on the candidates only.

@@ -64,6 +64,25 @@ object EventStream {
         .parquet(s"$dir/events.parque*"))
   }
 
+  /** Checkpointed ingestion into a parquet sink: the durable
+    * exactly-once path (file-source offsets + sink commit log in the
+    * checkpoint). Processes whatever is currently in `srcDir` and
+    * returns; re-invoking with the same checkpoint resumes from the
+    * recorded offsets, so already-seen files are never reprocessed.
+    */
+  def ingestOnce(spark: SparkSession, srcDir: String,
+                 sinkDir: String, checkpointDir: String): Unit = {
+    val q = readEventStream(spark, srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** A per-user running profile maintained with explicit state —
     * `mapGroupsWithState` (the Structured Streaming stateful-operator
     * API). Each micro-batch folds new events into the stored

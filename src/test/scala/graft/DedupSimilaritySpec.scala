@@ -71,6 +71,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"ANN recall too low: $recall")
   }
 
+  test("IVF ANN recall@5 vs brute force") {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.cosineTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall too low: $recall")
+  }
+
   test("streaming rollup equals batch rollup") {
     val batch = EventStream.batchRollup(Tables.events(spark, dir))
     val stream = EventStream.runOnce(spark, dir, "rollup_spec")

@@ -14,7 +14,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // corpus with a non-equi condition (BroadcastNestedLoopJoin of a
   // 10-row side) — that's the designed brute-force baseline, not an
   // accidental cross join.
-  private val allowedNestedLoop = Set("q28_cosine_topk", "q29_ann_lsh")
+  private val allowedNestedLoop =
+    Set("q28_cosine_topk", "q29_ann_lsh", "q45_ann_ivf")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -30,6 +30,18 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    // suites share one JVM/session: the warehouse dir may carry
+    // leftovers from a previous run whose in-memory catalog is gone
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("ev_bucketed", "users_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists)
+      }
+    }
     val events = Tables.events(spark, dir)
       .select(col("user_id"), col("value"))
     val users = Tables.events(spark, dir)

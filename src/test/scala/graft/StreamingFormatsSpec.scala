@@ -61,6 +61,28 @@ class StreamingFormatsSpec extends AnyFunSuite {
       Tables.events(spark, dir).filter(col("event_type") === "click").count())
   }
 
+  test("checkpointed ingestion is exactly-once across restart") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Files.createTempDirectory("graft_stream_src").toString
+    val sink = Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val eventsFile = Paths.get(s"$dir/events.parquet")
+    val n = Tables.events(spark, dir).count()
+
+    Files.copy(eventsFile, Paths.get(s"$src/events.parquet_a"),
+      StandardCopyOption.REPLACE_EXISTING)
+    EventStream.ingestOnce(spark, src, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == n, "first run ingested once")
+
+    // restart with same checkpoint: old file must NOT reprocess,
+    // newly arrived file must
+    Files.copy(eventsFile, Paths.get(s"$src/events.parquet_b"),
+      StandardCopyOption.REPLACE_EXISTING)
+    EventStream.ingestOnce(spark, src, sink, ckpt)
+    assert(spark.read.parquet(sink).count() == 2 * n,
+      "restart processed exactly the new file")
+  }
+
   test("session_window operator matches the lag-based sessionize totals") {
     val events = Tables.events(spark, dir)
     val sw = operators.TimeSeries.sessionWindows(events)
