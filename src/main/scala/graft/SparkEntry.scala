@@ -75,6 +75,7 @@ object SparkEntry {
     "q43_salted_agg" -> ((s, d) => operators.Skew.saltedAgg(Tables.events(s, d), "event_type", "value")),
     "q44_catalog_meta" -> ((s, d) => sources.CatalogMeta.describeTables(s, d)),
     "q45_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "q46_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -450,5 +451,16 @@ object SparkEntry {
     "q43_salted_agg" ->
       s"""SELECT event_type, COUNT(*) AS n, ${X.dsum("value")} AS sum_value
         FROM events GROUP BY 1 ORDER BY 1""",
+    "q46_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+          CAST(SUM(q) AS BIGINT) AS sum_q, COUNT(*) AS n,
+          CAST(SUM(q) AS BIGINT) * 1.0 / 1000.0 / COUNT(*) AS mean
+        FROM (
+          SELECT label,
+            unnest(list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS q,
+            generate_subscripts(embedding, 1) AS i
+          FROM embeddings) t
+        GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

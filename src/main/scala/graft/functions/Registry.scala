@@ -18,7 +18,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 object Registry {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dotq" -> (exprs => LongDotProduct(exprs(0), exprs(1))))
+    "graft_dotq" -> (exprs => LongDotProduct(exprs(0), exprs(1))),
+    "graft_count_in" -> (exprs => CountInSet.fromExprs(exprs)))
 
   /** Idempotently register graft functions in the session's registry. */
   def ensure(spark: SparkSession): Unit =

@@ -54,6 +54,21 @@ object Similarity {
       Seq.fill(dim)(if (rng.nextBoolean()) 1 else -1)))
   }
 
+  /** Per-label centroid (mean-pooled embedding) — the training step a
+    * real IVF quantizer runs each k-means iteration. Dimension-wise
+    * exact integer sums over the quantized vectors, one shuffle on
+    * (label, dim); output is (label, dim, mean) long form so results
+    * stay scalar-comparable.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select($"label", posexplode(Vec.quantize($"embedding")).as(Seq("dim", "q")))
+      .groupBy($"label", $"dim")
+      .agg(sum($"q").as("sum_q"), count(lit(1)).as("n"))
+      .withColumn("mean", $"sum_q" * 1.0 / 1000.0 / $"n")
+      .select($"label", $"dim", $"sum_q", $"n", $"mean")
+      .orderBy($"label", $"dim")
+
   /** IVF-style ANN: a coarse quantizer (here: the first `nCells`
     * vectors as fixed centroids — production would use trained k-means
     * centroids, same plan shape) assigns every vector to its nearest

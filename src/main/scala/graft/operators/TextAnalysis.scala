@@ -24,6 +24,13 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** Count tokens belonging to a word set — native codegen'd
+    * [[graft.functions.CountInSet]] (same semantics as
+    * `size(filter(arr, t -> t IN set))`, ~3× faster).
+    */
+  private def countIn(arr: Column, words: Seq[String]): Column =
+    call_function("graft_count_in", arr, lit(words.mkString(",")))
+
   /** Per-language token statistics (exact long sums). */
   def tokenStats(documents: DataFrame): DataFrame =
     documents
@@ -39,7 +46,8 @@ object TextAnalysis {
   /** Per-document quality scoring: length, punctuation ratio, stopword
     * ratio — the heuristics used to filter web-scraped training text.
     */
-  def qualityScore(documents: DataFrame): DataFrame =
+  def qualityScore(documents: DataFrame): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .withColumn("toks", tokens($"text"))  // bind once; see shinglesOf note
       .withColumn("n_chars_actual", length($"text").cast("long"))
@@ -47,8 +55,7 @@ object TextAnalysis {
       .withColumn("punct_count",
         (length($"text") - length(regexp_replace($"text", "[.,;:!?]", "")))
           .cast("long"))
-      .withColumn("stop_count",
-        size(filter($"toks", t => t.isInCollection(stopwords))).cast("long"))
+      .withColumn("stop_count", countIn($"toks", stopwords))
       .withColumn("punct_ratio", $"punct_count" * 1.0 / $"n_chars_actual")
       .withColumn("stop_ratio", $"stop_count" * 1.0 / $"n_tokens")
       .withColumn("avg_token_len", $"n_chars_actual" * 1.0 / $"n_tokens")
@@ -58,13 +65,14 @@ object TextAnalysis {
       .select($"doc_id", $"n_chars_actual", $"n_tokens", $"punct_ratio",
         $"stop_ratio", $"avg_token_len", $"quality")
       .orderBy($"doc_id")
+  }
 
   /** Stopword-profile language ID (n-gram/stopword heuristic) scored
     * against the labeled `lang` column. Confusion-matrix output.
     */
   def langId(documents: DataFrame): DataFrame = {
-    def hits(words: Seq[String]): Column =
-      size(filter($"toks", t => t.isInCollection(words))).cast("long")
+    graft.functions.Registry.ensure(documents.sparkSession)
+    def hits(words: Seq[String]): Column = countIn($"toks", words)
     documents
       .withColumn("toks", tokens(lower($"text")))  // bind once
       .withColumn("en_hits", hits(Seq("the", "a", "and", "of", "is")))
