@@ -76,6 +76,9 @@ object SparkEntry {
     "q44_catalog_meta" -> ((s, d) => sources.CatalogMeta.describeTables(s, d)),
     "q45_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "q46_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
+    "q47_new_high_alerts" -> ((s, d) =>
+      EventStream.newHighAlerts(Tables.events(s, d)).toDF()
+        .orderBy("user_id", "ts_us", "value")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -462,5 +465,14 @@ object SparkEntry {
             generate_subscripts(embedding, 1) AS i
           FROM embeddings) t
         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q47_new_high_alerts" ->
+      """SELECT user_id, ts_us, value, prev_max FROM (
+          SELECT user_id, epoch_us(ts) AS ts_us, value,
+            COALESCE(MAX(value) OVER (PARTITION BY user_id
+              ORDER BY ts, value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST('-infinity' AS DOUBLE)) AS prev_max
+          FROM events) t
+        WHERE value > prev_max ORDER BY user_id, ts_us, value""",
   )
 }

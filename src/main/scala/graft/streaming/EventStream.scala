@@ -120,6 +120,39 @@ object EventStream {
       }
   }
 
+  /** New-high-watermark alerts via `flatMapGroupsWithState`: emit a
+    * row whenever a user's event value exceeds every value seen
+    * before it (0..n alerts per input batch — the flatMap shape).
+    * State per user is one double. Events are ordered by event time
+    * inside the group before folding, so results are deterministic
+    * regardless of arrival order.
+    */
+  final case class Alert(user_id: Long, ts_us: Long, value: Double, prev_max: Double)
+
+  def newHighAlerts(events: DataFrame): org.apache.spark.sql.Dataset[Alert] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits.{newProductEncoder, newLongEncoder, newDoubleEncoder}
+    events
+      .select("user_id", "ts", "value")
+      .withColumn("ts_us", org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col("ts")))
+      .select("user_id", "ts_us", "value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Double]) =>
+          var mx = state.getOption.getOrElse(Double.NegativeInfinity)
+          val alerts = rows.toSeq.sortBy(r => (r._2, r._3)).flatMap {
+            case (_, tsUs, v) =>
+              if (v > mx) { val prev = mx; mx = v; Some(Alert(uid, tsUs, v, prev)) }
+              else None
+          }
+          state.update(mx)
+          alerts.iterator
+      }
+  }
+
   /** Run the streaming rollup over everything currently in the
     * directory and return the final result table (memory sink,
     * complete mode — the smoke path used by tests; production would

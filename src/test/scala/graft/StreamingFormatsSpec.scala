@@ -61,6 +61,23 @@ class StreamingFormatsSpec extends AnyFunSuite {
       Tables.events(spark, dir).filter(col("event_type") === "click").count())
   }
 
+  test("flatMapGroupsWithState new-high alerts equal window-based computation") {
+    import org.apache.spark.sql.expressions.Window
+    val events = Tables.events(spark, dir)
+    val got = EventStream.newHighAlerts(events)
+      .collect().map(a => (a.user_id, a.ts_us, a.value)).toSet
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = events
+      .withColumn("prev_max", max(col("value")).over(w))
+      .filter(col("prev_max").isNull || col("value") > col("prev_max"))
+      .select(col("user_id"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("checkpointed ingestion is exactly-once across restart") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Files.createTempDirectory("graft_stream_src").toString
