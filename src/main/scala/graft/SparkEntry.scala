@@ -79,6 +79,20 @@ object SparkEntry {
     "q47_new_high_alerts" -> ((s, d) =>
       EventStream.newHighAlerts(Tables.events(s, d)).toDF()
         .orderBy("user_id", "ts_us", "value")),
+    "q48_asof_join" -> { (s, d) =>
+      import org.apache.spark.sql.functions.{col, max}
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      operators.AsOf.joinAsOf(
+          Tables.events(s, d), o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payload = Seq("o_orderdate", "o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("o_orderdate"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -474,5 +488,13 @@ object SparkEntry {
               CAST('-infinity' AS DOUBLE)) AS prev_max
           FROM events) t
         WHERE value > prev_max ORDER BY user_id, ts_us, value""",
+    "q48_asof_join" ->
+      """WITH o AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderdate, o.o_orderkey
+        FROM events e ASOF LEFT JOIN o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id""",
   )
 }
