@@ -93,6 +93,8 @@ object SparkEntry {
           col("o_orderdate"), col("o_orderkey"))
         .orderBy(col("event_id"))
     },
+    "q49_range_join" -> ((s, d) => TimeSeries.eventPairsWithin(Tables.events(s, d))),
+    "q50_hash_split" -> ((s, d) => TextAnalysis.splitSummary(Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -496,5 +498,12 @@ object SparkEntry {
         FROM events e ASOF LEFT JOIN o
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         ORDER BY e.event_id""",
+    "q49_range_join" ->
+      """SELECT a.user_id AS user_id, a.event_id AS event_a,
+          b.event_id AS event_b, epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN -300000000 AND 300000000
+        ORDER BY user_id, event_a, event_b""",
   )
 }

@@ -156,6 +156,29 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic hash-based dataset splitting — the train/val/test
+    * sharding every training-data pipeline needs. Assignment is a pure
+    * function of the id (xxhash64 bucket), so it is stable across
+    * runs, partitionings, and cluster sizes, and documents never
+    * migrate between splits when the corpus grows.
+    */
+  def hashSplit(documents: DataFrame, idCol: String = "doc_id",
+                valPct: Int = 1, testPct: Int = 1): DataFrame =
+    documents
+      .withColumn("_bucket", pmod(xxhash64(col(idCol)), lit(100)))
+      .withColumn("split",
+        when($"_bucket" < testPct, "test")
+          .when($"_bucket" < testPct + valPct, "val")
+          .otherwise("train"))
+      .drop("_bucket")
+
+  /** Split-size summary (the verifiable face of [[hashSplit]]). */
+  def splitSummary(documents: DataFrame): DataFrame =
+    hashSplit(documents)
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_doc_id"))
+      .orderBy($"split")
+
   /** Document fingerprints: whitespace-normalized md5 (exact-dup key)
     * + minimum shingle hash (a 1-hash MinHash, stable under small
     * edits — the rolling-hash fingerprint family).

@@ -146,6 +146,35 @@ object TimeSeries {
       .orderBy($"event_id")
   }
 
+  /** Range (interval) self-join: pairs of a user's events within
+    * `windowUs` of each other. A naive inequality join is O(n²) per
+    * key; here candidates are blocked on coarse time buckets — each
+    * row lands in its own bucket and joins bucket b against b and b+1
+    * (bucket width = window, so any qualifying pair shares a bucket or
+    * sits in adjacent ones), then the exact predicate filters. Shuffle
+    * is on (user, bucket): the scalable range-join pattern.
+    */
+  def eventPairsWithin(events: DataFrame, windowUs: Long = 300L * 1000000L): DataFrame = {
+    val e = events.select($"user_id", $"event_id", unix_micros($"ts").as("t"))
+      .withColumn("bucket", floor($"t" / windowUs))
+    // the a-side keeps one bucket; the b-side probes its own bucket ±1
+    // (pair ordering is by event_id, so b can precede OR follow a in
+    // time — both directions must reach a's bucket)
+    val probe = e.select($"user_id", $"event_id", $"t",
+        explode(array($"bucket" - 1, $"bucket", $"bucket" + 1)).as("bucket"))
+    val pairs = e.as("a").join(probe.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.event_id") < col("b.event_id"))
+      .filter(col("b.t") - col("a.t") <= windowUs &&
+              col("b.t") - col("a.t") >= -windowUs)
+      .select(col("a.user_id").as("user_id"),
+        col("a.event_id").as("event_a"), col("b.event_id").as("event_b"),
+        (col("b.t") - col("a.t")).as("delta_us"))
+      .dropDuplicates("event_a", "event_b")
+    pairs.orderBy($"user_id", $"event_a", $"event_b")
+  }
+
   /** Storage-growth projections — goes_satellite_etl.py:415-489:
     * total/average payload size and extrapolated daily/weekly/monthly
     * growth assuming one source batch per minute (the reference's

@@ -65,6 +65,23 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("hash split: deterministic, disjoint, roughly proportional") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, dir)
+    val s1 = operators.TextAnalysis.hashSplit(docs)
+    val s2 = operators.TextAnalysis.hashSplit(docs)
+    // deterministic: same assignment on re-run
+    assert(s1.select("doc_id", "split").exceptAll(s2.select("doc_id", "split")).isEmpty)
+    // every doc in exactly one split
+    assert(s1.count() == docs.count())
+    val counts = s1.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.9, s"train too small: $counts")
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0,
+      s"holdout splits empty: $counts")
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val df = SparkEntry.queries("q02_filter_pushdown")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
