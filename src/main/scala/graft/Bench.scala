@@ -14,24 +14,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = Engine.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warmup: parquet footer + codegen + shuffle machinery init
-    try materialize(SparkEntry.queries.head._2(spark, sfDir))
+    // warmup with a known-cheap query: parquet footer + codegen +
+    // shuffle machinery init (an arbitrary Map.head could pick an
+    // expensive self-join and run it twice)
+    try materialize(SparkEntry.queries("q02_filter_pushdown")(spark, sfDir))
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -72,7 +72,8 @@ object SparkEntry {
       Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q41_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.events(s, d))),
     "q42_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
-    "q43_salted_agg" -> ((s, d) => operators.Skew.saltedAgg(Tables.events(s, d), "event_type", "value")),
+    "q43_salted_agg" -> ((s, d) =>
+      operators.Skew.saltedAgg(Tables.events(s, d), "event_type", "value", "event_id")),
     "q44_catalog_meta" -> ((s, d) => sources.CatalogMeta.describeTables(s, d)),
     "q45_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "q46_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
@@ -385,10 +386,13 @@ object SparkEntry {
           event_type, COUNT(*) AS n, ${X.dsum("value")} AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q36_session_window" ->
+      // NOTE >= (not >): Spark's session_window treats sessions as
+      // half-open [start, last+gap), so an event at exactly last+gap
+      // starts a NEW session
       s"""WITH flagged AS (
           SELECT user_id, ts, event_id, value,
                  CASE WHEN prev_ts IS NULL
-                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                        OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
                       THEN 1 ELSE 0 END AS new_session
           FROM (
             SELECT user_id, ts, event_id, value,

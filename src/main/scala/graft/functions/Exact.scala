@@ -29,7 +29,11 @@ object Exact {
     */
   def dec(c: Column): Column = c.cast(D)
 
-  /** Exact sum of a fixed-scale(2) numeric column, returned as double. */
+  /** Exact sum of a fixed-scale(2) numeric column, returned as double.
+    * NULLs are skipped like SQL SUM; NaN casts to decimal NULL (non-ANSI)
+    * and is therefore also skipped — callers with NaN-bearing inputs
+    * should clean via `nanvl` first (see Ingest.normalize).
+    */
   def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
 
   /** Exact sum of an already-decimal expression (e.g. a product of
@@ -37,8 +41,10 @@ object Exact {
     */
   def dsumExpr(e: Column): Column = sum(e).cast("double")
 
-  /** Exact average: exact decimal sum divided (in double) by count. */
-  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  /** Exact average: exact decimal sum divided (in double) by the
+    * non-null count — matching SQL AVG semantics on nullable input.
+    */
+  def davg(c: Column): Column = dsum(c) / count(c)
 
   /** Exact sum of squares (scale-2 input -> scale-4 exact square). */
   def dsumsq(c: Column): Column = {
@@ -50,7 +56,7 @@ object Exact {
   object sql {
     def dsum(c: String): String =
       s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
-    def davg(c: String): String = s"${dsum(c)} / COUNT(*)"
+    def davg(c: String): String = s"${dsum(c)} / COUNT($c)"
     def dsumsq(c: String): String =
       s"CAST(SUM(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
   }

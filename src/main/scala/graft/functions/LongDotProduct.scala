@@ -37,10 +37,17 @@ case class LongDotProduct(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  override def nullable: Boolean = true
+
+  // Length mismatch → NULL, matching the higher-order twin
+  // (`zip_with` pads the shorter side with nulls, which nulls the
+  // whole fold) — a ragged vector must not yield a plausible-looking
+  // partial score.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
@@ -53,12 +60,16 @@ case class LongDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $x.getLong($i) * $y.getLong($i);
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

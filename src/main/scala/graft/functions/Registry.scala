@@ -17,13 +17,15 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 object Registry {
 
-  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dotq" -> (exprs => LongDotProduct(exprs(0), exprs(1))),
-    "graft_count_in" -> (exprs => CountInSet.fromExprs(exprs)))
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dotq", "graft.functions.LongDotProduct",
+      exprs => LongDotProduct(exprs(0), exprs(1))),
+    ("graft_count_in", "graft.functions.CountInSet",
+      exprs => CountInSet.fromExprs(exprs)))
 
   /** Idempotently register graft functions in the session's registry. */
   def ensure(spark: SparkSession): Unit =
-    functions.foreach { case (name, builder) =>
+    functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
@@ -32,10 +34,10 @@ object Registry {
 /** SparkSessionExtensions injector (`spark.sql.extensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    Registry.functions.foreach { case (name, builder) =>
+    Registry.functions.foreach { case (name, className, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.LongDotProduct", name),
+        new ExpressionInfo(className, name),
         builder))
     }
 }

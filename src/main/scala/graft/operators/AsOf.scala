@@ -31,23 +31,29 @@ object AsOf {
                leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // The payload travels as ONE struct (null on left-side rows) and a
+    // single last(ignoreNulls) propagates it atomically: a matched
+    // right row's columns are never torn across different right rows,
+    // and a NULL *inside* the matched row's payload stays NULL instead
+    // of being backfilled from an older row.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(name = c)))
     // tag: right rows sort before left rows at equal times, so a right
     // row at exactly t matches a left row at t (asof is inclusive)
     val l = left.select(
-      (col(leftKey).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
-        leftCols.map(col)) ++ payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      col(leftKey).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
+        lit(null).cast(payloadType).as("_p") +: leftCols.map(col): _*)
     val r = right.select(
       (col(rightKey).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        payload.map(col): _*)
+        struct(payload.map(col): _*).as("_p") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val merged = l.unionByName(r)
-      .select(col("*") +: payload.map(c =>
-        last(col(c), ignoreNulls = true).over(w).as(s"_asof_$c")): _*)
+      .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
     merged
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"_asof_$c").as(c)): _*)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"_asof.$c").as(c)): _*)
   }
 }

@@ -18,12 +18,18 @@ object Skew {
     * result is identical to a direct groupBy (counts/sums are
     * mergeable; decimal sums keep it exact), only the shuffle shape
     * differs.
+    *
+    * The salt is a content hash of a caller-provided stable row id —
+    * NOT `monotonically_increasing_id()`, whose values depend on
+    * partition layout, so a task retry after a fetch failure would
+    * re-salt recomputed rows differently and corrupt the two-phase
+    * aggregation (the SPARK-23207 failure class).
     */
-  def saltedAgg(df: DataFrame, key: String, valueCol: String,
+  def saltedAgg(df: DataFrame, key: String, valueCol: String, idCol: String,
                 salts: Int = 16): DataFrame = {
     import graft.functions.Exact.dec
     df
-      .withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .withColumn("_salt", pmod(xxhash64(col(idCol)), lit(salts)))
       .groupBy(col(key), $"_salt")
       .agg(count(lit(1)).as("_n"), sum(dec(col(valueCol))).as("_s"))
       .groupBy(col(key))

@@ -101,6 +101,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("native dot product returns NULL on ragged vectors like the HOF twin") {
+    import spark.implicits._
+    graft.functions.Registry.ensure(spark)
+    val df = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    val native = df.select(graft.functions.Vec.dotQ(
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"))).collect()(0)
+    val hof = df.select(graft.functions.Vec.dotQHof(
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"))).collect()(0)
+    assert(native.isNullAt(0) && hof.isNullAt(0),
+      s"ragged vectors must yield NULL: native=$native hof=$hof")
+  }
+
   test("multimodal decode: schema and deterministic features") {
     val out = Multimodal.featurePipeline(Tables.documents(spark, dir))
     assert(out.columns.toSeq ==

@@ -20,7 +20,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
 
   test("salted aggregation equals direct groupBy exactly") {
     val events = Tables.events(spark, dir)
-    val salted = Skew.saltedAgg(events, "event_type", "value")
+    val salted = Skew.saltedAgg(events, "event_type", "value", "event_id")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     val direct = events.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
