@@ -96,6 +96,10 @@ object SparkEntry {
     },
     "q49_range_join" -> ((s, d) => TimeSeries.eventPairsWithin(Tables.events(s, d))),
     "q50_hash_split" -> ((s, d) => TextAnalysis.splitSummary(Tables.documents(s, d))),
+    "q51_cube" -> ((s, d) => Analytics.cubeDayType(Tables.events(s, d))),
+    "q52_unpivot" -> ((s, d) => Analytics.measureTotals(Tables.lineitem(s, d))),
+    "q53_time_weighted_avg" -> ((s, d) => TimeSeries.timeWeightedAvg(Tables.events(s, d))),
+    "q54_weighted_mean" -> ((s, d) => Analytics.weightedMeanByType(Tables.events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -509,5 +513,43 @@ object SparkEntry {
           ON a.user_id = b.user_id AND a.event_id < b.event_id
          AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN -300000000 AND 300000000
         ORDER BY user_id, event_a, event_b""",
+    "q51_cube" ->
+      s"""SELECT CAST(CASE WHEN day IS NULL THEN 2 ELSE 0 END
+            + CASE WHEN event_type IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+          day, event_type, COUNT(*) AS n, ${X.dsum("value")} AS sum_value
+        FROM (SELECT date_trunc('day', ts) AS day, event_type, value FROM events) t
+        GROUP BY CUBE (day, event_type)
+        ORDER BY gid, day NULLS FIRST, event_type NULLS FIRST""",
+    "q52_unpivot" ->
+      s"""SELECT * FROM (
+          SELECT 'l_discount' AS measure, COUNT(*) AS n,
+            ${X.dsum("l_discount")} AS total FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', COUNT(*), ${X.dsum("l_extendedprice")} FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity', COUNT(*), ${X.dsum("l_quantity")} FROM lineitem) t
+        ORDER BY measure""",
+    "q53_time_weighted_avg" ->
+      """WITH x AS (
+          SELECT user_id, value,
+            LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              - epoch_us(ts) AS dur
+          FROM events),
+        g AS (
+          SELECT user_id,
+            CAST(SUM(CAST(round(value * 100) AS BIGINT) * dur) AS BIGINT) AS weighted_cents,
+            CAST(SUM(dur) AS BIGINT) AS total_dur,
+            COUNT(*) AS n_intervals
+          FROM x WHERE dur IS NOT NULL GROUP BY 1)
+        SELECT user_id, n_intervals, total_dur,
+          weighted_cents / 100.0 / total_dur AS twa
+        FROM g ORDER BY user_id""",
+    "q54_weighted_mean" ->
+      """SELECT event_type,
+          CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT) * (user_id + 1)) AS BIGINT) AS DOUBLE)
+            / 100.0
+            / CAST(CAST(SUM(user_id + 1) AS BIGINT) AS DOUBLE) AS wmean,
+          COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

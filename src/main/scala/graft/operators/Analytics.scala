@@ -187,6 +187,44 @@ object Analytics {
       .limit(10)
   }
 
+  /** CUBE aggregation over (day, event_type) with subtotals and a
+    * grand total (the Superset pivot-with-totals surface; GROUPING
+    * SETS are one shuffle with grouping-id expansion, not one scan
+    * per set).
+    */
+  def cubeDayType(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", date_trunc("day", $"ts"))
+      .cube($"day", $"event_type")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"gid", $"day", $"event_type", $"n", $"sum_value")
+      .orderBy($"gid", $"day", $"event_type")
+
+  /** Unpivot (melt) wide measures to long form + per-measure totals —
+    * the schema-normalization step for heterogeneous metric tables.
+    */
+  def measureTotals(lineitem: DataFrame): DataFrame =
+    lineitem
+      .unpivot(
+        Array.empty[org.apache.spark.sql.Column],
+        Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        "measure", "val")
+      .groupBy($"measure")
+      .agg(count(lit(1)).as("n"), dsum($"val").as("total"))
+      .orderBy($"measure")
+
+  /** Custom-Aggregator weighted mean per event type (value weighted by
+    * user_id+1) — exercises the typed Aggregator/udaf API with an
+    * exact integer buffer.
+    */
+  def weightedMeanByType(events: DataFrame): DataFrame =
+    events
+      .groupBy($"event_type")
+      .agg(graft.functions.WeightedMean($"value", $"user_id" + 1).as("wmean"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+
   /** Latest record per key (Druid LATEST rollup / upsert compaction).
     * This is the canonical "dedup to newest" pattern for CDC streams.
     */

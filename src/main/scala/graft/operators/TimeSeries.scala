@@ -122,6 +122,32 @@ object TimeSeries {
         $"sw.end".as("session_end"), $"n_events", $"session_value")
       .orderBy($"user_id", $"session_start")
 
+  /** Time-weighted average per user (the Druid/time-series "TWA"):
+    * each value is weighted by its holding duration (until the next
+    * event). Exact arithmetic: decimal value × integer micros, summed
+    * exactly, divided as double by the total span.
+    */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .withColumn("t", unix_micros($"ts"))
+      .withColumn("next_t", lead($"t", 1).over(w))
+      .filter($"next_t".isNotNull)
+      .withColumn("dur", $"next_t" - $"t")
+      // integer cents × integer micros: sums stay exact longs; a
+      // decimal sum cast to double here would hit engine-dependent
+      // last-ulp rounding for >2^53 significands
+      .withColumn("wc", round($"value" * 100).cast("long") * $"dur")
+      .groupBy($"user_id")
+      .agg(
+        sum($"wc").as("weighted_cents"),
+        sum($"dur").as("total_dur"),
+        count(lit(1)).as("n_intervals"))
+      .withColumn("twa", $"weighted_cents" / 100.0 / $"total_dur")
+      .select($"user_id", $"n_intervals", $"total_dur", $"twa")
+      .orderBy($"user_id")
+  }
+
   /** Z-score anomaly detection per event_type (README.md "Machine
     * Learning: Anomaly detection"). Moments come from exact decimal
     * sums (see [[graft.functions.Exact]]) so the derived doubles are
