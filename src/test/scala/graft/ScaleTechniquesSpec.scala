@@ -57,6 +57,22 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(joined.count() == events.count())
   }
 
+  test("pipeline runner executes stages in order with failure isolation") {
+    val out = Pipeline.run(spark, Seq(
+      Pipeline.stage("load_events")(s => Tables.events(s, dir)),
+      Pipeline.stage("rollup")(s =>
+        operators.TimeSeries.minuteRollup(Tables.events(s, dir))),
+      Pipeline.stage("bad_stage")(s => s.read.parquet("/nonexistent")),
+      Pipeline.stage("after_failure")(s => Tables.documents(s, dir))))
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getBoolean(3))).toSeq
+    assert(rows.map(_._1) ==
+      Seq("load_events", "rollup", "bad_stage", "after_failure"))
+    assert(rows(0)._2 == 1000L && rows(0)._3)
+    assert(!rows(2)._3, "bad stage must be recorded as failed")
+    assert(rows(3)._3, "stages after a failure must still run")
+  }
+
   test("catalog metadata lists every table with schema and row counts") {
     val meta = CatalogMeta.describeTables(spark, dir)
     val tables = meta.select("table_name").distinct()
