@@ -9,8 +9,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * success) into a metrics table like the reference's task-status
   * monitoring (README.md:219-228).
   *
-  * Stages stay lazy DataFrames; `run` materializes each with a
-  * count-free noop write so a stage's cost is its real plan cost.
+  * Stages stay lazy DataFrames; `run` times a full noop-sink
+  * materialization (a `count()` would let Catalyst prune projected
+  * columns and understate the stage) and records the row count
+  * separately, untimed.
   */
 object Pipeline {
 
@@ -31,8 +33,9 @@ object Pipeline {
       val t0 = System.nanoTime()
       try {
         val df = s.build(spark)
-        val rows = df.count()
-        StageResult(s.name, rows, (System.nanoTime() - t0) / 1e9, ok = true, "")
+        df.write.format("noop").mode("overwrite").save()
+        val seconds = (System.nanoTime() - t0) / 1e9
+        StageResult(s.name, df.count(), seconds, ok = true, "")
       } catch {
         case e: Exception =>
           StageResult(s.name, -1L, (System.nanoTime() - t0) / 1e9,

@@ -67,14 +67,24 @@ case class CountInSet(child: Expression, words: Seq[String])
 }
 
 object CountInSet {
-  /** Registry builder: second argument must be a comma-separated
-    * string literal of set members.
+  /** Word-list wire delimiter: NUL cannot appear in real tokens, so
+    * set members containing commas (e.g. "1,000") survive intact.
     */
-  def fromExprs(exprs: Seq[Expression]): Expression = exprs(1) match {
-    case Literal(s: UTF8String, StringType) =>
-      CountInSet(exprs.head, s.toString.split(',').toSeq)
-    case other =>
+  val Delimiter = "\u0000"
+
+  /** Registry builder: (array<string>, delimiter-joined word-list
+    * literal) — see [[Delimiter]].
+    */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
       throw new IllegalArgumentException(
-        s"graft_count_in expects a string literal word list, got $other")
+        s"graft_count_in expects 2 arguments (array, word list), got ${exprs.length}")
+    exprs(1) match {
+      case Literal(s: UTF8String, StringType) =>
+        CountInSet(exprs.head, s.toString.split(Delimiter).toSeq)
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft_count_in expects a string literal word list, got $other")
+    }
   }
 }

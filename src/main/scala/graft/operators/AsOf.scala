@@ -31,6 +31,14 @@ object AsOf {
                leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val internal = Seq("_k", "_t", "_side", "_p", "_asof")
+    require(!(leftCols ++ payload).exists(internal.contains),
+      s"joinAsOf reserves column names ${internal.mkString(", ")}; " +
+        "rename the conflicting input column")
+    // SQL as-of semantics on NULLs: a right row with NULL key or NULL
+    // time can never satisfy `l.t >= r.t AND l.k = r.k`, and must not
+    // leak its payload via null-first ordering / null-key grouping
+    val rightClean = right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
     // The payload travels as ONE struct (null on left-side rows) and a
     // single last(ignoreNulls) propagates it atomically: a matched
     // right row's columns are never torn across different right rows,
@@ -43,7 +51,7 @@ object AsOf {
     val l = left.select(
       col(leftKey).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
         lit(null).cast(payloadType).as("_p") +: leftCols.map(col): _*)
-    val r = right.select(
+    val r = rightClean.select(
       (col(rightKey).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
         struct(payload.map(col): _*).as("_p") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)

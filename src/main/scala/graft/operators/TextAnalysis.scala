@@ -29,7 +29,8 @@ object TextAnalysis {
     * `size(filter(arr, t -> t IN set))`, ~3× faster).
     */
   private def countIn(arr: Column, words: Seq[String]): Column =
-    call_function("graft_count_in", arr, lit(words.mkString(",")))
+    call_function("graft_count_in", arr,
+      lit(words.mkString(graft.functions.CountInSet.Delimiter)))
 
   /** Per-language token statistics (exact long sums). */
   def tokenStats(documents: DataFrame): DataFrame =

@@ -197,7 +197,10 @@ object TimeSeries {
       .select(col("a.user_id").as("user_id"),
         col("a.event_id").as("event_a"), col("b.event_id").as("event_b"),
         (col("b.t") - col("a.t")).as("delta_us"))
-      .dropDuplicates("event_a", "event_b")
+    // no dedup needed: a.bucket === b.bucket and b explodes three
+    // DISTINCT bucket values, so each qualifying pair matches exactly
+    // one exploded row — a dropDuplicates here would be a wasted
+    // full shuffle of the largest intermediate
     pairs.orderBy($"user_id", $"event_a", $"event_b")
   }
 
