@@ -11,6 +11,18 @@ object SparkEntry {
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** One SQL text, two engines: runs verbatim through `spark.sql`
+    * over registered views AND as its own DuckDB oracle (the
+    * dialect-neutral subset) — the BI-tool SQL surface.
+    */
+  private val sqlInterfaceQuery =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        MAX(value) AS max_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -100,6 +112,10 @@ object SparkEntry {
     "q52_unpivot" -> ((s, d) => Analytics.measureTotals(Tables.lineitem(s, d))),
     "q53_time_weighted_avg" -> ((s, d) => TimeSeries.timeWeightedAvg(Tables.events(s, d))),
     "q54_weighted_mean" -> ((s, d) => Analytics.weightedMeanByType(Tables.events(s, d))),
+    "q55_sql_interface" -> { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql(sqlInterfaceQuery)
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -551,5 +567,6 @@ object SparkEntry {
             / CAST(CAST(SUM(user_id + 1) AS BIGINT) AS DOUBLE) AS wmean,
           COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1""",
+    "q55_sql_interface" -> sqlInterfaceQuery,
   )
 }

@@ -18,6 +18,16 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every table as a temp view so pure SQL text runs
+    * against the engine — the surface a BI tool (the reference's
+    * Superset, README.md:154-166) connects to.
+    */
+  def registerViews(s: SparkSession, d: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, d) else load(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
