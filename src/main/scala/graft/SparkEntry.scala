@@ -116,6 +116,11 @@ object SparkEntry {
       Tables.registerViews(s, d)
       s.sql(sqlInterfaceQuery)
     },
+    "q56_semi_join" -> ((s, d) =>
+      Analytics.ordersWithReturns(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q57_anti_join" -> ((s, d) =>
+      Analytics.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q58_set_ops" -> ((s, d) => Analytics.clickPurchaseSets(Tables.events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -568,5 +573,25 @@ object SparkEntry {
           COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY 1""",
     "q55_sql_interface" -> sqlInterfaceQuery,
+    "q56_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        ORDER BY o_orderkey""",
+    "q57_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""",
+    "q58_set_ops" ->
+      """SELECT 'click_and_purchase' AS cohort, user_id FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'purchase') a
+        UNION ALL
+        SELECT 'click_no_purchase' AS cohort, user_id FROM (
+          SELECT user_id FROM events WHERE event_type = 'click'
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'purchase') b
+        ORDER BY cohort, user_id""",
   )
 }

@@ -187,6 +187,40 @@ object Analytics {
       .limit(10)
   }
 
+  /** Semi join (EXISTS): orders having at least one returned line.
+    * left_semi keeps the probe side only — no payload duplication, no
+    * row multiplication, one shuffle (or broadcast of the filter set).
+    */
+  def ordersWithReturns(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.filter($"l_returnflag" === "R").select($"l_orderkey"),
+        $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+
+  /** Anti join (NOT EXISTS): customers with no orders at all. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+
+  /** Set operations: users who clicked AND purchased (INTERSECT), and
+    * users who clicked but never purchased (EXCEPT), unioned with a
+    * tag. Spark plans INTERSECT/EXCEPT as semi/anti joins over
+    * distinct sets.
+    */
+  def clickPurchaseSets(events: DataFrame): DataFrame = {
+    val clickers = events.filter($"event_type" === "click").select($"user_id")
+    val purchasers = events.filter($"event_type" === "purchase").select($"user_id")
+    clickers.intersect(purchasers).withColumn("cohort", lit("click_and_purchase"))
+      .unionByName(
+        clickers.except(purchasers).withColumn("cohort", lit("click_no_purchase")))
+      .select($"cohort", $"user_id")
+      .orderBy($"cohort", $"user_id")
+  }
+
   /** CUBE aggregation over (day, event_type) with subtotals and a
     * grand total (the Superset pivot-with-totals surface; GROUPING
     * SETS are one shuffle with grouping-id expansion, not one scan
