@@ -121,6 +121,11 @@ object SparkEntry {
     "q57_anti_join" -> ((s, d) =>
       Analytics.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q58_set_ops" -> ((s, d) => Analytics.clickPurchaseSets(Tables.events(s, d))),
+    "q59_local_supplier_volume" -> ((s, d) => Analytics.localSupplierVolume(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q60_moving_average" -> ((s, d) => Analytics.movingAverage(Tables.orders(s, d))),
+    "q61_histogram" -> ((s, d) => Analytics.valueHistogram(Tables.events(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -593,5 +598,34 @@ object SparkEntry {
           EXCEPT
           SELECT user_id FROM events WHERE event_type = 'purchase') b
         ORDER BY cohort, user_id""",
+    "q59_local_supplier_volume" ->
+      """SELECT r_name, n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_lines
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q60_moving_average" ->
+      """WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS day,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+            COUNT(*) AS n_orders
+          FROM orders GROUP BY 1)
+        SELECT day, n_orders, cents / 100.0 AS revenue,
+          (CAST(SUM(cents) OVER w AS BIGINT) / 100.0)
+            / CAST(SUM(n_orders) OVER w AS BIGINT) AS ma7
+        FROM daily
+        WINDOW w AS (ORDER BY epoch_us(day)
+          RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW)
+        ORDER BY day""",
+    "q61_histogram" ->
+      """SELECT CAST(FLOOR(value / 25.0) + 1 AS BIGINT) AS bin,
+          COUNT(*) AS n, MIN(value) AS bin_min, MAX(value) AS bin_max
+        FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

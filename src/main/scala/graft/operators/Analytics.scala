@@ -187,6 +187,62 @@ object Analytics {
       .limit(10)
   }
 
+  /** Local-supplier volume (TPC-H Q5 shape): six-table join across
+    * both fact tables and the full dimension chain, with the
+    * customer-nation = supplier-nation colocation predicate. Catalyst
+    * reorders the join tree; dims broadcast.
+    */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame): DataFrame = {
+    import graft.functions.Exact.{dec, dsumExpr}
+    customer
+      .join(orders, $"c_custkey" === $"o_custkey")
+      .join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .join(supplier, $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        dsumExpr(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** 7-day trailing moving average over daily revenue — a RANGE-frame
+    * window (time-based, not row-based: days can be missing). Daily
+    * pre-aggregation keeps the window input small; exact cents keep
+    * the running sums deterministic.
+    */
+  def movingAverage(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(unix_micros($"day"))
+      .rangeBetween(-6L * 86400L * 1000000L, 0L)
+    daily
+      .withColumn("ma7",
+        (sum($"cents").over(w) / 100.0) / sum($"n_orders").over(w))
+      .withColumn("revenue", $"cents" / 100.0)
+      .select($"day", $"n_orders", $"revenue", $"ma7")
+      .orderBy($"day")
+  }
+
+  /** Histogram binning via width_bucket (Superset distribution
+    * charts): fixed-width value bins with counts — one scan, one
+    * low-cardinality aggregation.
+    */
+  def valueHistogram(events: DataFrame, bins: Int = 20): DataFrame =
+    events
+      .groupBy(width_bucket($"value", lit(0.0), lit(500.0), lit(bins)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min($"value").as("bin_min"), max($"value").as("bin_max"))
+      .orderBy($"bin")
+
   /** Semi join (EXISTS): orders having at least one returned line.
     * left_semi keeps the probe side only — no payload duplication, no
     * row multiplication, one shuffle (or broadcast of the filter set).
