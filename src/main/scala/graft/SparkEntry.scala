@@ -126,6 +126,9 @@ object SparkEntry {
       Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q60_moving_average" -> ((s, d) => Analytics.movingAverage(Tables.orders(s, d))),
     "q61_histogram" -> ((s, d) => Analytics.valueHistogram(Tables.events(s, d))),
+    "q62_rollup" -> ((s, d) => Analytics.revenueRollup(
+      Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q63_fuzzy_join" -> ((s, d) => Analytics.fuzzyPartNames(Tables.part(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -627,5 +630,24 @@ object SparkEntry {
       """SELECT CAST(FLOOR(value / 25.0) + 1 AS BIGINT) AS bin,
           COUNT(*) AS n, MIN(value) AS bin_min, MAX(value) AS bin_max
         FROM events GROUP BY 1 ORDER BY 1""",
+    "q62_rollup" ->
+      s"""SELECT CAST(CASE WHEN r_name IS NULL THEN 2 ELSE 0 END
+            + CASE WHEN n_name IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+          r_name, n_name, COUNT(*) AS n_orders,
+          ${X.dsum("o_totalprice")} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q63_fuzzy_join" ->
+      """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+          a.p_brand AS p_brand,
+          CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 5
+        ORDER BY part_a, part_b""",
   )
 }

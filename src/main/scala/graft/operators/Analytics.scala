@@ -232,6 +232,38 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** ROLLUP hierarchy subtotals (region → nation → grand total) over
+    * order revenue — the drill-down complement of [[cubeDayType]].
+    */
+  def revenueRollup(orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .select($"gid", $"r_name", $"n_name", $"n_orders", $"revenue")
+      .orderBy($"gid", $"r_name", $"n_name")
+
+  /** Fuzzy-match join: near-identical part names within a brand block
+    * (edit distance ≤ threshold). Candidate pairs are blocked on the
+    * brand key — the O(n²) edit-distance comparisons happen only
+    * inside blocks, the standard entity-resolution layout.
+    */
+  def fuzzyPartNames(part: DataFrame, maxDist: Int = 5): DataFrame = {
+    val p = part.select($"p_partkey", $"p_brand", $"p_name")
+    p.as("a").join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter($"dist" <= maxDist)
+      .select(col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
+        col("a.p_brand").as("p_brand"), $"dist")
+      .orderBy($"part_a", $"part_b")
+  }
+
   /** Histogram binning via width_bucket (Superset distribution
     * charts): fixed-width value bins with counts — one scan, one
     * low-cardinality aggregation.
