@@ -627,7 +627,10 @@ object SparkEntry {
           RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW)
         ORDER BY day""",
     "q61_histogram" ->
-      """SELECT CAST(FLOOR(value / 25.0) + 1 AS BIGINT) AS bin,
+      // LEAST(.., 21): width_bucket sends all over-range values to the
+      // single overflow bucket count+1 (caught at sf0.1 where values
+      // exceed the [0,500) range)
+      """SELECT CAST(LEAST(FLOOR(value / 25.0) + 1, 21) AS BIGINT) AS bin,
           COUNT(*) AS n, MIN(value) AS bin_min, MAX(value) AS bin_max
         FROM events GROUP BY 1 ORDER BY 1""",
     "q62_rollup" ->
@@ -647,7 +650,7 @@ object SparkEntry {
           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
         FROM part a JOIN part b
           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        WHERE levenshtein(a.p_name, b.p_name) <= 5
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
         ORDER BY part_a, part_b""",
   )
 }
