@@ -27,7 +27,14 @@ object Bench {
     try materialize(SparkEntry.queries("q02_filter_pushdown")(spark, sfDir))
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_ONLY=q32_lang_id,q63_fuzzy_join
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => only.contains(k) }
+
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try materialize(fn(spark, sfDir))
       catch { case _: Throwable => () }

@@ -21,7 +21,9 @@ object Registry {
     ("graft_dotq", "graft.functions.LongDotProduct",
       exprs => LongDotProduct(exprs(0), exprs(1))),
     ("graft_count_in", "graft.functions.CountInSet",
-      exprs => CountInSet.fromExprs(exprs)))
+      exprs => CountInSet.fromExprs(exprs)),
+    ("graft_lang_best", "graft.functions.LangBest",
+      exprs => LangBest.fromExprs(exprs)))
 
   /** Idempotently register graft functions in the session's registry. */
   def ensure(spark: SparkSession): Unit =

@@ -248,33 +248,59 @@ object Analytics {
       .orderBy($"gid", $"r_name", $"n_name")
 
   /** Fuzzy-match join: near-identical part names within a brand block
-    * (edit distance ≤ threshold). Candidate pairs are blocked on the
-    * brand key — the O(n²) edit-distance comparisons happen only
-    * inside blocks, the standard entity-resolution layout.
+    * (edit distance ≤ threshold), dictionary-factored.
+    *
+    * The row-level self-join form is O(n²/|brands|) edit-distance
+    * kernels — quadratic within-block growth that turned a 10× data
+    * increase into 100× the work (12.8 s at sf0.1, the round-1 perf
+    * outlier). But names repeat heavily (a dictionary of distinct
+    * strings ≪ rows — 64 distinct names over 20k parts here, and at
+    * 100 TB a catalog's name vocabulary still grows far slower than
+    * its row count). So:
+    *
+    *  1. dedup to the distinct-name dictionary;
+    *  2. run the edit-distance kernel on dictionary pairs only —
+    *     O(|dict|²) work, constant as rows grow, pre-pruned by the
+    *     |len diff| ≤ d necessary condition and the thresholded
+    *     (early-bail) `levenshtein`;
+    *  3. expand back to row pairs with two hash equi-joins on
+    *     (brand, name) — linear in input + output size, no kernel on
+    *     the big side.
+    *
+    * The ordered dictionary-pair table (both directions + the
+    * identical-name diagonal, dist 0) makes each row pair match
+    * exactly one dictionary row under the `part_a < part_b` ordering.
+    * If the dictionary ever outgrows broadcast range, step 2's
+    * candidate generation swaps to a PassJoin-style segment equi-join
+    * (partition names into d+1 segments; pigeonhole guarantees
+    * recall) — the row-side expansion joins are unchanged.
     */
-  /** Sub-blocks per brand: a brand block is split by hashing one side
-    * and replicating the other, so parallelism is |brands| × SubBlocks
-    * instead of |brands| (25 blocks serialized 8M comparisons into a
-    * handful of tasks — measured 20×23s before splitting).
-    */
-  private val FuzzySubBlocks = 16
-
   def fuzzyPartNames(part: DataFrame, maxDist: Int = 2): DataFrame = {
     val p = part.select($"p_partkey", $"p_brand", $"p_name")
-      .withColumn("len", length($"p_name"))
-    val a = p.withColumn("bucket", pmod($"p_partkey", lit(FuzzySubBlocks)))
-    val b = p.withColumn("bucket",
-      explode(sequence(lit(0L), lit(FuzzySubBlocks - 1L))))
-    a.as("a").join(b.as("b"),
-        col("a.p_brand") === col("b.p_brand") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.p_partkey") < col("b.p_partkey") &&
-        // cheap necessary condition: |len(a)-len(b)| <= d for
+    val names = p.select($"p_name").distinct()
+    // length-bucket equi-key (width d+1): |len diff| <= d confines a
+    // true pair to the same or adjacent buckets, so replicating one
+    // side to lb-1..lb+1 keeps an equi-join (no nested loop) with
+    // guaranteed recall; each pair meets on exactly one bucket value
+    val lb = floor(length($"p_name") / (maxDist + 1))
+    val nx = names.withColumn("lb", lb)
+    val ny = names.withColumn("lb",
+      explode(array((-1 to 1).map(d => lb + d): _*)))
+    val namePairs = nx.as("x").join(ny.as("y"),
+        col("x.lb") === col("y.lb") &&
+        // cheap necessary condition: |len(x)-len(y)| <= d for
         // edit distance <= d — prunes before the DP kernel
-        abs(col("a.len") - col("b.len")) <= maxDist)
+        abs(length(col("x.p_name")) - length(col("y.p_name"))) <= maxDist)
       // threshold form bails early with -1 past maxDist
-      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), maxDist))
+      .withColumn("dist", levenshtein(col("x.p_name"), col("y.p_name"), maxDist))
       .filter($"dist" >= 0)
+      .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"), $"dist")
+    p.as("a")
+      .join(broadcast(namePairs), col("a.p_name") === $"name_a")
+      .join(p.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+        $"name_b" === col("b.p_name") &&
+        col("a.p_partkey") < col("b.p_partkey"))
       .select(col("a.p_partkey").as("part_a"), col("b.p_partkey").as("part_b"),
         col("a.p_brand").as("p_brand"), $"dist")
       .orderBy($"part_a", $"part_b")

@@ -68,25 +68,31 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Stopword profiles for [[langId]], in tie-break preference order
+    * (first-listed profile wins ties — matches the original
+    * `CASE WHEN en_hits >= greatest(…)` cascade).
+    */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
   /** Stopword-profile language ID (n-gram/stopword heuristic) scored
     * against the labeled `lang` column. Confusion-matrix output.
+    *
+    * Classification is a single native [[graft.functions.LangBest]]
+    * call: one `split` + one token pass per row. The per-profile
+    * `*_hits` column cascade this replaces re-evaluated the tokenizer
+    * subtree up to ~12× per row after CollapseProject inlining
+    * (8.3 s → <1 s at sf0.1; the SURVEY §7a pitfall).
     */
   def langId(documents: DataFrame): DataFrame = {
     graft.functions.Registry.ensure(documents.sparkSession)
-    def hits(words: Seq[String]): Column = countIn($"toks", words)
     documents
-      .withColumn("toks", tokens(lower($"text")))  // bind once
-      .withColumn("en_hits", hits(Seq("the", "a", "and", "of", "is")))
-      .withColumn("es_hits", hits(Seq("el", "la", "de", "que", "y")))
-      .withColumn("fr_hits", hits(Seq("le", "la", "et", "les", "des")))
-      .withColumn("de_hits", hits(Seq("der", "die", "das", "und", "ist")))
       .withColumn("predicted",
-        when($"en_hits" >= greatest($"es_hits", $"fr_hits", $"de_hits") &&
-             $"en_hits" > 0, "en")
-          .when($"es_hits" >= greatest($"fr_hits", $"de_hits") && $"es_hits" > 0, "es")
-          .when($"fr_hits" >= $"de_hits" && $"fr_hits" > 0, "fr")
-          .when($"de_hits" > 0, "de")
-          .otherwise("unknown"))
+        call_function("graft_lang_best", tokens(lower($"text")),
+          lit(graft.functions.LangBest.encode(langProfiles))))
       .groupBy($"lang", $"predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy($"lang", $"predicted")
