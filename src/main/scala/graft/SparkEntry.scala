@@ -627,10 +627,12 @@ object SparkEntry {
           RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW)
         ORDER BY day""",
     "q61_histogram" ->
-      // LEAST(.., 21): width_bucket sends all over-range values to the
-      // single overflow bucket count+1 (caught at sf0.1 where values
-      // exceed the [0,500) range)
-      """SELECT CAST(LEAST(FLOOR(value / 25.0) + 1, 21) AS BIGINT) AS bin,
+      // LEAST(.., 21)/GREATEST(.., 0): width_bucket clamps BOTH tails
+      // to single overflow buckets — over-range → count+1 (caught at
+      // sf0.1 where values exceed [0,500)), under-range → 0 (no
+      // negative values in testdata today, but an unclamped FLOOR
+      // would silently diverge the day they appear)
+      """SELECT CAST(GREATEST(LEAST(FLOOR(value / 25.0) + 1, 21), 0) AS BIGINT) AS bin,
           COUNT(*) AS n, MIN(value) AS bin_min, MAX(value) AS bin_max
         FROM events GROUP BY 1 ORDER BY 1""",
     "q62_rollup" ->

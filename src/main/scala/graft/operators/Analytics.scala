@@ -275,9 +275,14 @@ object Analytics {
     * (partition names into d+1 segments; pigeonhole guarantees
     * recall) — the row-side expansion joins are unchanged.
     */
-  def fuzzyPartNames(part: DataFrame, maxDist: Int = 2): DataFrame = {
-    val p = part.select($"p_partkey", $"p_brand", $"p_name")
-    val names = p.select($"p_name").distinct()
+  /** The dictionary-pair stage of [[fuzzyPartNames]]: ordered distinct
+    * name pairs within edit distance `maxDist` (both directions + the
+    * identical-name diagonal at dist 0). Exposed so the scale spec can
+    * assert the edit-distance candidate space grows with the
+    * dictionary, not the row count.
+    */
+  def fuzzyNamePairs(part: DataFrame, maxDist: Int = 2): DataFrame = {
+    val names = part.select($"p_name").distinct()
     // length-bucket equi-key (width d+1): |len diff| <= d confines a
     // true pair to the same or adjacent buckets, so replicating one
     // side to lb-1..lb+1 keeps an equi-join (no nested loop) with
@@ -286,7 +291,7 @@ object Analytics {
     val nx = names.withColumn("lb", lb)
     val ny = names.withColumn("lb",
       explode(array((-1 to 1).map(d => lb + d): _*)))
-    val namePairs = nx.as("x").join(ny.as("y"),
+    nx.as("x").join(ny.as("y"),
         col("x.lb") === col("y.lb") &&
         // cheap necessary condition: |len(x)-len(y)| <= d for
         // edit distance <= d — prunes before the DP kernel
@@ -295,6 +300,11 @@ object Analytics {
       .withColumn("dist", levenshtein(col("x.p_name"), col("y.p_name"), maxDist))
       .filter($"dist" >= 0)
       .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"), $"dist")
+  }
+
+  def fuzzyPartNames(part: DataFrame, maxDist: Int = 2): DataFrame = {
+    val p = part.select($"p_partkey", $"p_brand", $"p_name")
+    val namePairs = fuzzyNamePairs(p, maxDist)
     p.as("a")
       .join(broadcast(namePairs), col("a.p_name") === $"name_a")
       .join(p.as("b"),

@@ -55,8 +55,15 @@ object AsOf {
       (col(rightKey).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
         struct(payload.map(col): _*).as("_p") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // _p as final sort key: when the right side has several rows at the
+    // same (key, time), the propagated payload is the struct-greatest
+    // one — a deterministic pick under any partitioning/retry, instead
+    // of whichever row happened to sort last. (Struct ordering is
+    // field-by-field; payloads with non-orderable fields, e.g. maps,
+    // would need a caller-side dedup first.) Left rows carry a null _p
+    // but sort among themselves only, where _p never matters.
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val merged = l.unionByName(r)
       .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))

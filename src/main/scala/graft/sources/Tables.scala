@@ -39,6 +39,16 @@ object Tables {
     * Spark's vectorized reader rejects. Read nanos as long
     * (`nanosAsLong`) and truncate to a micro-precision timestamp —
     * the same ns→us truncation DuckDB applies on scan.
+    *
+    * SESSION-WIDE SIDE EFFECT, by design: `nanosAsLong` is flipped on
+    * the shared session and left on, so any later parquet read of a
+    * nanos-timestamp column in this session surfaces a long, not a
+    * timestamp. It cannot be scoped: Spark consults the session conf
+    * again at task time (per-read options don't reach the footer
+    * converter — verified empirically), so a save/restore around the
+    * lazy read breaks the scan at execution. Graft-canonical tables are
+    * unaffected (`events` is the only nanos table, always read through
+    * here).
     */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -52,7 +52,13 @@ object EventStream {
     windowRollup(events, watermarked = false)
       .orderBy(col("window_start"), col("event_type"))
 
-  /** Open the events directory as an unbounded stream. */
+  /** Open the events directory as an unbounded stream.
+    *
+    * Same session-wide `nanosAsLong` side effect as
+    * [[graft.sources.Tables.events]] (see its scaladoc): the conf must
+    * stay on for the lifetime of the streaming query, so it is not
+    * restored.
+    */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fromRaw(
@@ -107,12 +113,15 @@ object EventStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[UserProfile]) =>
           val prev = state.getOption.getOrElse(UserProfile(uid, 0L, 0.0, Long.MinValue))
-          // fold deterministically: value totals in cents (exact longs)
+          // fold deterministically: value totals in cents (exact longs,
+          // half-away-from-zero rounding to match SQL round())
           var n = prev.n_events
-          var cents = math.round(prev.total_value * 100)
+          var cents = graft.functions.Rounding.halfAwayCents(prev.total_value)
           var last = prev.last_seen_us
           rows.foreach { case (_, tsUs, v) =>
-            n += 1; cents += math.round(v * 100); last = math.max(last, tsUs)
+            n += 1
+            cents += graft.functions.Rounding.halfAwayCents(v)
+            last = math.max(last, tsUs)
           }
           val next = UserProfile(uid, n, cents / 100.0, last)
           state.update(next)

@@ -57,6 +57,21 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(joined.count() == events.count())
   }
 
+  test("fuzzy-join edit-distance candidates grow with the dictionary, not rows") {
+    // the round-1 form was O(rows²/|brands|): 10× data → 100× kernel
+    // work. Dictionary factoring bounds kernel work by |distinct
+    // names|², which is invariant across SFs here (same vocabulary).
+    def candidates(sf: String): Long =
+      operators.Analytics.fuzzyNamePairs(
+        Tables.part(spark, s"/root/testdata/$sf")).count()
+    def rows(sf: String): Long = Tables.part(spark, s"/root/testdata/$sf").count()
+    val growthData = rows("sf0.01").toDouble / rows("sf0.001")
+    val growthCand = candidates("sf0.01").toDouble / candidates("sf0.001")
+    assert(growthData >= 5.0, s"expected ≥5× part growth, got $growthData")
+    assert(growthCand <= 1.5,
+      s"candidate pairs grew ${growthCand}× on ${growthData}× data — blocking regressed")
+  }
+
   test("pipeline runner executes stages in order with failure isolation") {
     val out = Pipeline.run(spark, Seq(
       Pipeline.stage("load_events")(s => Tables.events(s, dir)),

@@ -101,10 +101,23 @@ class StreamingFormatsSpec extends AnyFunSuite {
   }
 
   test("session_window operator matches the lag-based sessionize totals") {
+    import org.apache.spark.sql.expressions.Window
     val events = Tables.events(spark, dir)
     val sw = operators.TimeSeries.sessionWindows(events)
-    val lag = operators.TimeSeries.sessionize(events)
-    assert(sw.count() == lag.count())
+    // expected session count from a lag-based fold with session_window's
+    // OWN boundary rule (>=: an event exactly gap after its predecessor
+    // opens a NEW session). Comparing against sessionize (strict >)
+    // would hold only while no test event lands exactly on a 30-min
+    // boundary — dataset-fragile.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val expectedSessions = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .agg(sum(col("new_session"))).collect()(0).getLong(0)
+    assert(sw.count() == expectedSessions)
     assert(sw.agg(sum("n_events")).collect()(0).getLong(0) == events.count())
   }
 }
