@@ -129,6 +129,8 @@ object SparkEntry {
     "q62_rollup" -> ((s, d) => Analytics.revenueRollup(
       Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q63_fuzzy_join" -> ((s, d) => Analytics.fuzzyPartNames(Tables.part(s, d))),
+    "q64_approx_aggregates" -> ((s, d) => Analytics.approxGroupStats(Tables.events(s, d))),
+    "q65_bucketed_join" -> ((s, d) => sources.Bucketed.bucketedOrderRevenue(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -654,5 +656,44 @@ object SparkEntry {
           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         WHERE levenshtein(a.p_name, b.p_name) <= 2
         ORDER BY part_a, part_b""",
+    // q64_approx_aggregates: rows-only by design (HLL++/quantile-sketch
+    // contents are engine-specific); error bounded vs the exact twins
+    // q07/q39 in CoreQueriesSpec.
+    "q44_catalog_meta" ->
+      // DuckDB's information_schema over the same views, with its type
+      // names mapped onto Spark simpleString names. events.ts is
+      // special-cased: graft reads parquet TIMESTAMP(NANOS) as bigint
+      // (nanosAsLong), while DuckDB truncates it to TIMESTAMP on scan.
+      """WITH counts AS (
+          SELECT 'region' AS t, COUNT(*) AS n FROM region
+          UNION ALL SELECT 'nation', COUNT(*) FROM nation
+          UNION ALL SELECT 'customer', COUNT(*) FROM customer
+          UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+          UNION ALL SELECT 'part', COUNT(*) FROM part
+          UNION ALL SELECT 'orders', COUNT(*) FROM orders
+          UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+          UNION ALL SELECT 'events', COUNT(*) FROM events
+          UNION ALL SELECT 'documents', COUNT(*) FROM documents
+          UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings)
+        SELECT c.table_name, CAST(c.ordinal_position - 1 AS INTEGER) AS ordinal,
+          c.column_name,
+          CASE WHEN c.table_name = 'events' AND c.column_name = 'ts' THEN 'bigint'
+               WHEN c.data_type = 'BIGINT' THEN 'bigint'
+               WHEN c.data_type = 'INTEGER' THEN 'int'
+               WHEN c.data_type = 'DOUBLE' THEN 'double'
+               WHEN c.data_type = 'VARCHAR' THEN 'string'
+               WHEN c.data_type = 'FLOAT[]' THEN 'array<float>'
+               WHEN c.data_type = 'TIMESTAMP' THEN 'timestamp_ntz'
+               ELSE lower(c.data_type) END AS data_type,
+          cnt.n AS n_rows
+        FROM information_schema.columns c
+        JOIN counts cnt ON cnt.t = c.table_name
+        ORDER BY c.table_name, ordinal""",
+    "q65_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1 ORDER BY 1""",
   )
 }

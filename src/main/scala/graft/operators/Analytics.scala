@@ -165,6 +165,26 @@ object Analytics {
         percentile($"value", lit(0.95)).as("p95"))
       .orderBy($"event_type")
 
+  /** Approximate aggregates per group — the declared 100 TB form of
+    * the exact twins [[distinctCounts]] (q07) and [[percentiles]]
+    * (q39). `approx_count_distinct` (HLL++) and `approx_percentile`
+    * (mergeable quantile sketch) build one partial sketch per
+    * partition in constant memory and merge map-side, where the exact
+    * forms ship full per-group value sets through the shuffle.
+    * Rows-only correctness gate (sketch contents are engine-specific);
+    * the ScalaTest spec bounds relative error against the exact twins.
+    */
+  def approxGroupStats(events: DataFrame): DataFrame =
+    events
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id").as("approx_users"),
+        approx_percentile($"value", array(lit(0.5), lit(0.95)), lit(10000)).as("p"),
+        count(lit(1)).as("n"))
+      .select($"event_type", $"approx_users",
+        $"p"(0).as("p50_approx"), $"p"(1).as("p95_approx"), $"n")
+      .orderBy($"event_type")
+
   /** Shipping-priority top-N (TPC-H Q3 shape): segment-filtered
     * customer ⋈ orders ⋈ lineitem with date range predicates on both
     * fact sides, revenue per open order. The two fact tables shuffle

@@ -65,6 +65,33 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("q64 approx aggregates track the exact twins per group") {
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, dir)
+    val approx = SparkEntry.queries("q64_approx_aggregates")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (u, p50, p95, n)) =>
+      val (au, ap50, ap95, an) = approx(k)
+      assert(an == n, s"$k: row count must be exact")
+      assert(math.abs(au - u).toDouble / u < 0.1, s"$k: HLL users off: $au vs $u")
+      // approx_percentile returns an element of the value set near the
+      // target rank; exact `percentile` interpolates — compare loosely
+      assert(math.abs(ap50 - p50) / math.max(p50.abs, 1.0) < 0.1,
+        s"$k: p50 off: $ap50 vs $p50")
+      assert(math.abs(ap95 - p95) / math.max(p95.abs, 1.0) < 0.1,
+        s"$k: p95 off: $ap95 vs $p95")
+    }
+  }
+
   test("hash split: deterministic, disjoint, roughly proportional") {
     import org.apache.spark.sql.functions._
     val docs = sources.Tables.documents(spark, dir)

@@ -57,6 +57,17 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(joined.count() == events.count())
   }
 
+  test("q65 bucketed fact join plans no exchange on the join keys") {
+    val df = Bucketed.bucketedOrderRevenue(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey")
+      && !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed fact join still shuffles a fact table:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+      s"expected a join in:\n$plan")
+  }
+
   test("fuzzy-join edit-distance candidates grow with the dictionary, not rows") {
     // the round-1 form was O(rows²/|brands|): 10× data → 100× kernel
     // work. Dictionary factoring bounds kernel work by |distinct
