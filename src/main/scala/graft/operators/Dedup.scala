@@ -36,7 +36,15 @@ object Dedup {
     * bottleneck, not the hash (collision odds over 2^64 are
     * negligible for any realistic corpus).
     */
-  def ngramJaccard(documents: DataFrame, n: Int = 3, tau: Double = 0.1): DataFrame = {
+  /** Default stop-shingle document-frequency cap for [[ngramJaccard]]:
+    * far above any DF in the testdata (output provably unchanged
+    * there), low enough that one viral boilerplate shingle shared by
+    * millions of documents cannot create a quadratic candidate blob.
+    */
+  val MaxShingleDf: Long = 100000L
+
+  def ngramJaccard(documents: DataFrame, n: Int = 3, tau: Double = 0.1,
+                   maxShingleDf: Long = MaxShingleDf): DataFrame = {
     val sets = documents
       .withColumn("w", TextAnalysis.tokens($"text"))
       .select(
@@ -44,10 +52,25 @@ object Dedup {
         array_distinct(transform(TextAnalysis.shinglesOf($"w", n), s => xxhash64(s)))
           .as("hs"))
       .withColumn("n_sh", size($"hs"))
+    val exploded = sets.select($"doc_id", $"n_sh", explode($"hs").as("h"))
+    // stop-shingle cap: the candidate join fans out quadratically in
+    // each shingle's document frequency, so one shingle shared by M
+    // docs yields M²/2 pairs — a single viral boilerplate line would
+    // dominate the whole shuffle at 100 TB. Shingles above the DF cap
+    // are dropped from CANDIDATE GENERATION only (set sizes n_sh keep
+    // the full set, so the Jaccard value of surviving pairs is exact);
+    // the trade is standard: a pair sharing nothing but ultra-common
+    // shingles is not a near-dup signal. The DF aggregate map-side
+    // combines to 8-byte keys; the hot set is tiny by construction, so
+    // the anti-join broadcasts.
+    val hot = exploded.groupBy($"h")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" > maxShingleDf)
+      .select($"h")
     // shuffle_hash: both sides of the self-join shuffle identically on
     // h, so ReusedExchange computes the shingle sets ONCE (a broadcast
     // plan would rebuild them for the build side; measured 3x)
-    val sh = sets.select($"doc_id", $"n_sh", explode($"hs").as("h"))
+    val sh = exploded.join(broadcast(hot), Seq("h"), "left_anti")
       .hint("shuffle_hash")
     sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -30,4 +30,46 @@ object Formats {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** JDBC extract — the reference's database ETL surface
+    * (database_etl.py:20-129: `pd.read_sql` from PostgreSQL/MySQL,
+    * single-connection, whole-table into driver memory). Spark-first
+    * form: a partitioned parallel read — `partitionColumn` +
+    * lower/upper bound + `numPartitions` split the table into range
+    * predicates executed as one task each, and Catalyst pushes
+    * projections and filters into the generated SELECT, so the
+    * database ships only the needed rows/columns and no single
+    * connection is the bottleneck.
+    *
+    * Production knobs go through `props` verbatim (`fetchsize` for
+    * row-streaming drivers, `sessionInitStatement`, `queryTimeout`,
+    * `driver` to pin the class). Tested against embedded Derby (the
+    * JDBC engine already on Spark's classpath); server databases are
+    * the same code path plus their driver jar.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               partitioning: Option[(String, Long, Long, Int)] = None,
+               props: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    val withPart = partitioning.fold(base) { case (column, lo, hi, n) =>
+      base.option("partitionColumn", column)
+        .option("lowerBound", lo)
+        .option("upperBound", hi)
+        .option("numPartitions", n)
+    }
+    props.foldLeft(withPart) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  /** JDBC load (append): batched inserts per partition. `props` as in
+    * [[readJdbc]] (`batchsize` is the write-side throughput knob).
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: Map[String, String] = Map.empty): Unit =
+    props.foldLeft(
+      df.write.mode(SaveMode.Append).format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)) { case (w, (k, v)) => w.option(k, v) }
+      .save()
 }

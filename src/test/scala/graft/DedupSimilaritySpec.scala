@@ -45,6 +45,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"LSH missed high-jaccard pairs: ${exact -- lsh}")
   }
 
+  test("jaccard stop-shingle cap drops hot-shingle-only candidates, keeps real dups") {
+    import spark.implicits._
+    // every doc shares one viral 3-gram ("terms of service"); docs 1-2
+    // additionally share real content. With the cap below the viral
+    // shingle's DF, only the real near-dup pair survives; with the cap
+    // above every DF, output equals the uncapped form.
+    val viral = "terms of service"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $viral", "en", "s", 40L),
+      (2L, s"alpha beta gamma delta epsilon eta $viral", "en", "s", 40L),
+      (3L, s"one two three four five six $viral", "en", "s", 40L),
+      (4L, s"seven eight nine ten eleven twelve $viral", "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val capped = Dedup.ngramJaccard(docs, tau = 0.01, maxShingleDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)), s"real near-dup dropped: $capped")
+    assert(!capped.exists(p => p._1 == 3L || p._2 == 3L),
+      s"hot-shingle-only pair survived the cap: $capped")
+    val uncapped = Dedup.ngramJaccard(docs, tau = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val highCap = Dedup.ngramJaccard(docs, tau = 0.01, maxShingleDf = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(highCap == uncapped, "cap above max DF must not change output")
+  }
+
   test("simhash: identical docs get identical hash, near dups are close") {
     val h = Dedup.simhash(docsWithPlantedDup)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -78,6 +78,67 @@ class StreamingFormatsSpec extends AnyFunSuite {
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("jdbc round trip via embedded Derby with a partitioned parallel read") {
+    val dbPath = java.nio.file.Files.createTempDirectory("graft_derby").toString
+    val url = s"jdbc:derby:$dbPath/graftdb;create=true"
+    val driver = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Formats.writeJdbc(events, url, "events_jdbc", driver)
+    val maxId = events.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val back = Formats.readJdbc(spark, url, "events_jdbc",
+      partitioning = Some(("event_id", 0L, maxId + 1, 4)), props = driver)
+    assert(back.rdd.getNumPartitions == 4, "partitioned read must split into 4 range tasks")
+    assert(back.count() == events.count())
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+    // Catalyst pushes filters into the database's SELECT
+    val plan = back.filter(col("event_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_id"),
+      s"no pushed filter in JDBC scan:\n$plan")
+  }
+
+  test("wire seam falls back to the file twin and keeps the wire schema") {
+    // no broker conf in the sandbox -> file twin; schema must equal the
+    // kafka branch's decoded shape so queries swap sources untouched
+    val stream = EventStream.readWireOrFallback(spark, dir)
+    assert(stream.isStreaming)
+    assert(stream.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq("ts" -> "timestamp", "event_type" -> "string",
+        "value" -> "double", "source" -> "string"))
+    // sink twin: wire JSON files that the q37 serde schema parses back
+    val out = java.nio.file.Files.createTempDirectory("graft_wire").toString
+    val batch = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"), lit("events").as("source"))
+    EventStream.writeWire(batch, spark, out)
+    val parsed = spark.read.schema(EventStream.wireSchema).json(out)
+    assert(parsed.count() == batch.count())
+    assert(parsed.filter(col("kind").isNull).count() == 0)
+  }
+
+  test("append-mode watermarked rollup matches batch window-by-window") {
+    import java.nio.file.Files
+    val sink = Files.createTempDirectory("graft_append_sink").toString
+    val ckpt = Files.createTempDirectory("graft_append_ckpt").toString
+    val emitted = EventStream.runAppendOnce(spark, dir, sink, ckpt)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // append publishes exactly the windows the final watermark closed:
+    // window_end <= max(ts) - 10min (the configured delay)
+    val events = Tables.events(spark, dir)
+    val maxTs = events.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val expected = EventStream.batchRollup(events)
+      .filter(unix_micros(col("window_start")) + 5L * 60 * 1000000 <=
+        maxTs - 10L * 60 * 1000000)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(emitted.keySet == expected.keySet,
+      s"missing=${(expected.keySet -- emitted.keySet).take(3)} " +
+        s"extra=${(emitted.keySet -- expected.keySet).take(3)}")
+    val bad = expected.filter { case (k, v) => emitted(k) != v }
+    assert(bad.isEmpty, s"window value mismatches: ${bad.take(3)}")
+  }
+
   test("checkpointed ingestion is exactly-once across restart") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Files.createTempDirectory("graft_stream_src").toString
