@@ -23,7 +23,9 @@ object Registry {
     ("graft_count_in", "graft.functions.CountInSet",
       exprs => CountInSet.fromExprs(exprs)),
     ("graft_lang_best", "graft.functions.LangBest",
-      exprs => LangBest.fromExprs(exprs)))
+      exprs => LangBest.fromExprs(exprs)),
+    ("graft_regexp_groups", "graft.functions.RegexpGroups",
+      exprs => RegexpGroups.fromExprs(exprs)))
 
   /** Idempotently register graft functions in the session's registry. */
   def ensure(spark: SparkSession): Unit =

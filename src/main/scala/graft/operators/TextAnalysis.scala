@@ -135,11 +135,11 @@ object TextAnalysis {
       lit("@example.com or 555-"), lpad(($"event_id" % 10000).cast("string"), 4, "0"),
       lit(" re "), $"event_type")
     events
-      .withColumn("contact", contact)
-      .withColumn("n_emails",
-        size(split($"contact", EmailRe, -1)).cast("long") - 1L)
-      .withColumn("n_phones",
-        size(split($"contact", PhoneRe, -1)).cast("long") - 1L)
+      // generator barrier: contact is referenced by four regex columns;
+      // without it CollapseProject re-renders the concat per reference
+      .select($"event_id", explode(array(contact)).as("contact"))
+      .withColumn("n_emails", regexp_count($"contact", lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count($"contact", lit(PhoneRe)).cast("long"))
       .withColumn("redacted",
         regexp_replace(regexp_replace($"contact", EmailRe, "<EMAIL>"),
           PhoneRe, "<PHONE>"))
