@@ -99,6 +99,23 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(rows(3)._3, "stages after a failure must still run")
   }
 
+  test("pipeline stage retries recover transient failures and bound permanent ones") {
+    val flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = Pipeline.run(spark, Seq(
+      Pipeline.stage("flaky_then_ok", maxAttempts = 3) { s =>
+        if (flaky.incrementAndGet() < 2) s.read.parquet("/nonexistent")
+        else Tables.region(s, dir)
+      },
+      Pipeline.stage("always_fails", maxAttempts = 2)(s =>
+        s.read.parquet("/nonexistent"))))
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getBoolean(3), r.getInt(4))).toSeq
+    assert(rows(0) == (("flaky_then_ok", true, 2)),
+      s"transient failure not recovered: ${rows(0)}")
+    assert(rows(1) == (("always_fails", false, 2)),
+      s"permanent failure not bounded at maxAttempts: ${rows(1)}")
+  }
+
   test("catalog metadata lists every table with schema and row counts") {
     val meta = CatalogMeta.describeTables(spark, dir)
     val tables = meta.select("table_name").distinct()

@@ -116,6 +116,17 @@ class StreamingFormatsSpec extends AnyFunSuite {
     assert(parsed.filter(col("kind").isNull).count() == 0)
   }
 
+  test("adapter seam reads through an explicit scheme URI and format name") {
+    // the s3a://-shaped code path on the local scheme: same reader,
+    // same options surface, only the scheme/jar differ in deployment.
+    // Tables.events first: it flips the session-wide nanosAsLong conf
+    // the events file needs (documented side effect).
+    val expected = Tables.events(spark, dir).count()
+    val uri = s"file://$dir/events.parquet"
+    val viaSeam = Formats.readSource(spark, "parquet", Map.empty, Some(uri))
+    assert(viaSeam.count() == expected)
+  }
+
   test("append-mode watermarked rollup matches batch window-by-window") {
     import java.nio.file.Files
     val sink = Files.createTempDirectory("graft_append_sink").toString
