@@ -150,6 +150,31 @@ class StreamingFormatsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"window value mismatches: ${bad.take(3)}")
   }
 
+  test("streaming dedup drops replayed events and matches batch dedup") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Files.createTempDirectory("graft_dedup_src").toString
+    // the same file twice = an at-least-once replay
+    val eventsFile = Paths.get(s"$dir/events.parquet")
+    Files.copy(eventsFile, Paths.get(s"$src/events.parquet_a"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(eventsFile, Paths.get(s"$src/events.parquet_b"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStream.dedupStream(
+        EventStream.readEventStream(spark, src), streaming = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_stream")
+    val batch = EventStream.dedupStream(Tables.events(spark, dir),
+      streaming = false)
+    assert(got.count() == batch.count(),
+      s"stream emitted ${got.count()} rows, batch dedup has ${batch.count()}")
+    assert(got.select("event_id").distinct().count() == got.count(),
+      "stream emitted a duplicate event_id")
+  }
+
   test("checkpointed ingestion is exactly-once across restart") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Files.createTempDirectory("graft_stream_src").toString
