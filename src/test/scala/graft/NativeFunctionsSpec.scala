@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{CountInSet, LangBest, Registry}
+
+/** Unit coverage for the native Catalyst expressions: edge cases and
+  * interpreted-vs-codegen agreement (queries exercise the codegen
+  * path; `eval` on a whole-stage-codegen-disabled plan exercises the
+  * interpreted one — both must agree).
+  */
+class NativeFunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.builder("local[4]", 4).getOrCreate()
+
+  private def run(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  private def bothPaths(build: => org.apache.spark.sql.DataFrame): Unit = {
+    Registry.ensure(spark)
+    val codegen = run(build)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run(build) == codegen, "interpreted path diverged from codegen")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("graft_count_in: counts members, ignores non-members and nulls") {
+    import spark.implicits._
+    bothPaths {
+      Seq(("the cat and the hat", 1), ("", 2), ("xyz", 3))
+        .toDF("text", "id")
+        .select($"id", call_function("graft_count_in",
+          split($"text", " "),
+          lit(Seq("the", "and").mkString(CountInSet.Delimiter))).as("n"))
+        .orderBy($"id")
+    }
+    Registry.ensure(spark)
+    import org.apache.spark.sql.Row
+    val got = Seq(("the cat and the hat", 1)).toDF("text", "id")
+      .select(call_function("graft_count_in", split($"text", " "),
+        lit(Seq("the", "and").mkString(CountInSet.Delimiter))))
+      .collect()
+    assert(got.toSeq == Seq(Row(3L)))
+  }
+
+  test("graft_lang_best: argmax with first-listed tie-break, unknown on zero") {
+    import spark.implicits._
+    val spec = LangBest.encode(Seq(
+      "en" -> Seq("the", "is"), "es" -> Seq("el", "es")))
+    bothPaths {
+      Seq(
+        (1, "the dog is here"),     // en 2, es 0 -> en
+        (2, "el perro es grande"),  // en 0, es 2 -> es
+        (3, "the el"),              // tie 1-1 -> first listed (en)
+        (4, "nothing matches"),     // all zero -> unknown
+        (5, ""))                    // empty -> unknown
+        .toDF("id", "text")
+        .select($"id", call_function("graft_lang_best",
+          split($"text", " "), lit(spec)).as("lang"))
+        .orderBy($"id")
+    }
+    Registry.ensure(spark)
+    val got = Seq((1, "the dog is here"), (3, "the el"), (4, "zzz"))
+      .toDF("id", "text")
+      .select(call_function("graft_lang_best", split($"text", " "), lit(spec)))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "en", "unknown"))
+  }
+
+  test("graft_regexp_groups: all groups from one match, empty on no match") {
+    import spark.implicits._
+    val pat = """(\w+)-(\d+)"""
+    bothPaths {
+      Seq((1, "abc-42 tail"), (2, "no digits"), (3, ""))
+        .toDF("id", "s")
+        .select($"id", explode(array(call_function("graft_regexp_groups",
+          $"s", lit(pat)))).as("g"))
+        .select($"id", $"g"(0).as("a"), $"g"(1).as("b"))
+        .orderBy($"id")
+    }
+    Registry.ensure(spark)
+    import org.apache.spark.sql.Row
+    val got = Seq((1, "abc-42 tail"), (2, "no digits"))
+      .toDF("id", "s")
+      .select($"id", call_function("graft_regexp_groups", $"s", lit(pat)).as("g"))
+      .orderBy($"id")
+      .collect().map(r => r.getSeq[String](1)).toSeq
+    assert(got == Seq(Seq("abc", "42"), Seq("", "")))
+  }
+
+  test("native expressions propagate null inputs as null") {
+    Registry.ensure(spark)
+    import spark.implicits._
+    val df = Seq(Tuple1(Option.empty[String])).toDF("s")
+    assert(df.select(call_function("graft_count_in",
+      split($"s", " "), lit("x"))).collect()(0).isNullAt(0))
+    assert(df.select(call_function("graft_regexp_groups",
+      $"s", lit("(x)"))).collect()(0).isNullAt(0))
+  }
+}
