@@ -62,7 +62,10 @@ object Dedup {
     // the trade is standard: a pair sharing nothing but ultra-common
     // shingles is not a near-dup signal. The DF aggregate map-side
     // combines to 8-byte keys; the hot set is tiny by construction, so
-    // the anti-join broadcasts.
+    // the anti-join broadcasts. (A count-over-h window formulation
+    // would reuse the join's exchange but pays an in-partition sort of
+    // every exploded shingle row — measured 1.5× slower than this
+    // aggregate + broadcast anti-join at sf0.1.)
     val hot = exploded.groupBy($"h")
       .agg(count(lit(1)).as("df"))
       .filter($"df" > maxShingleDf)
