@@ -57,9 +57,12 @@ object Dedup {
     // each shingle's document frequency, so one shingle shared by M
     // docs yields M²/2 pairs — a single viral boilerplate line would
     // dominate the whole shuffle at 100 TB. Shingles above the DF cap
-    // are dropped from CANDIDATE GENERATION only (set sizes n_sh keep
-    // the full set, so the Jaccard value of surviving pairs is exact);
-    // the trade is standard: a pair sharing nothing but ultra-common
+    // are dropped from CANDIDATE GENERATION only; set sizes n_sh keep
+    // the full set, so Jaccard is exact for pairs sharing no hot
+    // shingle, while a pair that DOES share one is scored on its
+    // non-hot overlap only (n_common shrinks, n_sh doesn't) — an
+    // underestimate that can drop such a pair below tau. That recall
+    // trade is standard: a pair held together mainly by ultra-common
     // shingles is not a near-dup signal. The DF aggregate map-side
     // combines to 8-byte keys; the hot set is tiny by construction, so
     // the anti-join broadcasts. (A count-over-h window formulation

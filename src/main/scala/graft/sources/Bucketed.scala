@@ -32,7 +32,15 @@ object Bucketed {
     */
   def reset(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // the conf may be a plain path, file:/x, or file:///x (possibly
+    // percent-encoded) — resolve through URI so the delete target is
+    // the real directory in every form, not a stripPrefix guess
+    val whConf = spark.conf.get("spark.sql.warehouse.dir")
+    val uri = new java.net.URI(whConf)
+    val wh =
+      if (uri.getScheme == "file" && uri.getPath != null) uri.getPath
+      else if (uri.getScheme == null) whConf
+      else sys.error(s"non-local warehouse dir not supported here: $whConf")
     val p = java.nio.file.Paths.get(wh, table)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -20,13 +20,14 @@ class NativeFunctionsSpec extends AnyFunSuite {
     Registry.ensure(spark)
     val codegen = run(build)
     val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
     try {
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
       spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       assert(run(build) == codegen, "interpreted path diverged from codegen")
     } finally {
       spark.conf.set("spark.sql.codegen.wholeStage", prev)
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
     }
   }
 
