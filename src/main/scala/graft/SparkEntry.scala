@@ -131,7 +131,29 @@ object SparkEntry {
     "q63_fuzzy_join" -> ((s, d) => Analytics.fuzzyPartNames(Tables.part(s, d))),
     "q64_approx_aggregates" -> ((s, d) => Analytics.approxGroupStats(Tables.events(s, d))),
     "q65_bucketed_join" -> ((s, d) => sources.Bucketed.bucketedOrderRevenue(s, d)),
+    // ---- I. round-3: curation, cohort & relevance operators ----
+    "q66_dup_clusters" -> ((s, d) => Dedup.dupClusters(Tables.documents(s, d))),
+    "q67_stratified_sample" -> ((s, d) => operators.Sampling.stratifiedSample(
+      Tables.documents(s, d), SampleFractions)),
+    "q68_grouping_sets" -> ((s, d) => Analytics.docGroupingSets(Tables.documents(s, d))),
+    "q69_spend_deciles" -> ((s, d) => Analytics.spendDeciles(Tables.orders(s, d))),
+    "q70_term_freq" -> ((s, d) => TextAnalysis.termFreqTopK(Tables.documents(s, d))),
+    "q71_funnel" -> ((s, d) => TimeSeries.funnel(Tables.events(s, d))),
+    "q72_retention_cohort" -> ((s, d) => TimeSeries.retentionCohorts(Tables.events(s, d))),
+    "q73_kmeans_step" -> ((s, d) => Similarity.kmeansStep(Tables.embeddings(s, d))),
+    "q74_bm25_rank" -> ((s, d) => TextAnalysis.bm25Rank(Tables.documents(s, d), Bm25Terms)),
+    "q75_merge_upsert" -> ((s, d) => Ingest.ordersUpsert(Tables.orders(s, d))),
   )
+
+  /** q67: per-language keep fractions (the "cap the over-represented
+    * languages" curation move; thresholds are sixteenths so the hex
+    * gate is exact).
+    */
+  private val SampleFractions = Map(
+    "en" -> 0.5, "es" -> 0.25, "zh" -> 0.25, "de" -> 0.125, "fr" -> 0.125)
+
+  /** q74: fixed query-term set (high-frequency corpus vocabulary). */
+  private val Bm25Terms = Seq("data", "query", "spark")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -695,5 +717,203 @@ object SparkEntry {
             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY 1 ORDER BY 1""",
+    "q66_dup_clusters" ->
+      // connected components as a recursive reachability CTE: lbl
+      // reaches node ⇒ propagate along undirected edges; component id
+      // = min reachable label (the same fixed point the Spark-side
+      // min-label propagation converges to)
+      """WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(w)-1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        near AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id) t
+          WHERE jaccard >= 0.1),
+        hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+        roots AS (SELECT h, MIN(doc_id) AS root FROM hashes GROUP BY 1),
+        exact_e AS (
+          SELECT r.root AS doc_a, d.doc_id AS doc_b
+          FROM hashes d JOIN roots r ON d.h = r.h
+          WHERE d.doc_id != r.root),
+        edges AS (
+          SELECT doc_a, doc_b FROM near
+          UNION SELECT doc_a, doc_b FROM exact_e),
+        und AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION SELECT doc_b, doc_a FROM edges),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN und e ON r.node = e.u),
+        cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+        cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+        SELECT c.doc_id, c.cluster_id, s.cluster_size,
+               c.doc_id = c.cluster_id AS is_keeper
+        FROM cc c JOIN cs s ON c.cluster_id = s.cluster_id
+        ORDER BY c.doc_id""",
+    "q67_stratified_sample" ->
+      """SELECT doc_id, lang, sample_key FROM (
+          SELECT doc_id, lang,
+            substring(md5('smpl' || CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key,
+            CASE lang WHEN 'en' THEN '8000' WHEN 'es' THEN '4000'
+                      WHEN 'zh' THEN '4000' WHEN 'de' THEN '2000'
+                      WHEN 'fr' THEN '2000' ELSE '0000' END AS threshold
+          FROM documents) t
+        WHERE sample_key < threshold ORDER BY doc_id""",
+    "q68_grouping_sets" ->
+      """SELECT CAST(CASE WHEN source IS NULL THEN 2 ELSE 0 END
+            + CASE WHEN lang IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+          source, lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((source), (lang), (source, lang))
+        ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""",
+    "q69_spend_deciles" ->
+      """WITH spend AS (
+          SELECT o_custkey,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+            COUNT(*) AS n_orders
+          FROM orders GROUP BY 1)
+        SELECT o_custkey, cents / 100.0 AS total_spend, n_orders,
+          CAST(ntile(10) OVER w AS INTEGER) AS decile,
+          percent_rank() OVER w AS pct_rank
+        FROM spend
+        WINDOW w AS (ORDER BY cents DESC, o_custkey)
+        ORDER BY o_custkey""",
+    "q70_term_freq" ->
+      """WITH t AS (
+          SELECT lang,
+            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM documents),
+        c AS (SELECT lang, term, COUNT(*) AS n FROM t GROUP BY 1, 2)
+        SELECT lang, term, n, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT lang, term, n,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+          FROM c) x
+        WHERE rank <= 10 ORDER BY lang, rank""",
+    "q71_funnel" ->
+      """WITH first_from AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS first_from_us FROM events
+          WHERE event_type = 'click' GROUP BY 1),
+        conv AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_to_us
+          FROM events e JOIN first_from f ON e.user_id = f.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(e.ts) >= f.first_from_us
+            AND epoch_us(e.ts) <= f.first_from_us + 3600000000
+          GROUP BY 1)
+        SELECT f.user_id, f.first_from_us, c.first_to_us,
+          c.first_to_us - f.first_from_us AS delta_us,
+          c.first_to_us IS NOT NULL AS converted
+        FROM first_from f LEFT JOIN conv c ON f.user_id = c.user_id
+        ORDER BY f.user_id""",
+    "q72_retention_cohort" ->
+      """WITH days AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        coh AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+        SELECT cohort_day,
+          CAST(date_diff('day', cohort_day, day) AS INTEGER) AS offset_days,
+          COUNT(*) AS n_users
+        FROM days d JOIN coh c ON d.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q73_kmeans_step" ->
+      """WITH q AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8),
+        scored AS (
+          SELECT q.vec_id, q.v, c.cid,
+            CAST(list_sum(list_transform(range(1, 65),
+              i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS d2
+          FROM q CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT vec_id, v, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM scored) t WHERE rn = 1),
+        expl AS (
+          SELECT cid, unnest(v) AS qv, generate_subscripts(v, 1) AS i
+          FROM assigned)
+        SELECT cid, CAST(i - 1 AS INTEGER) AS dim,
+          CAST(SUM(qv) AS BIGINT) AS sum_q, COUNT(*) AS n,
+          CAST(SUM(qv) AS BIGINT) * 1.0 / 1000.0 / COUNT(*) AS new_mean
+        FROM expl GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q74_bm25_rank" ->
+      // expression structure mirrors TextAnalysis.bm25Rank exactly
+      // (same association order) — float ops are order-sensitive and
+      // both engines must walk the identical tree; all constants are
+      // dyadic rationals (exact doubles)
+      """WITH toks AS (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+          FROM documents),
+        per_doc AS (
+          SELECT doc_id, COUNT(*) AS dl,
+            CAST(SUM(CASE WHEN t = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf_data,
+            CAST(SUM(CASE WHEN t = 'query' THEN 1 ELSE 0 END) AS BIGINT) AS tf_query,
+            CAST(SUM(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark
+          FROM toks GROUP BY 1),
+        stats AS (
+          SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+            CAST(SUM(CASE WHEN tf_data > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_data,
+            CAST(SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query,
+            CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark
+          FROM per_doc),
+        scored AS (
+          SELECT doc_id, dl,
+            (n_docs - df_data + 0.5) / (df_data + 0.5)
+              * (CAST(tf_data AS DOUBLE) * 2.25)
+              / (tf_data + 1.25 * (0.25 + 0.75 * dl / avgdl))
+            + (n_docs - df_query + 0.5) / (df_query + 0.5)
+              * (CAST(tf_query AS DOUBLE) * 2.25)
+              / (tf_query + 1.25 * (0.25 + 0.75 * dl / avgdl))
+            + (n_docs - df_spark + 0.5) / (df_spark + 0.5)
+              * (CAST(tf_spark AS DOUBLE) * 2.25)
+              / (tf_spark + 1.25 * (0.25 + 0.75 * dl / avgdl)) AS score
+          FROM (SELECT p.*, s.*, CAST(s.sum_dl AS DOUBLE) / s.n_docs AS avgdl
+                FROM per_doc p CROSS JOIN stats s) x)
+        SELECT doc_id, dl, score, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT doc_id, dl, score,
+            ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM scored) r
+        WHERE rank <= 20 ORDER BY rank""",
+    "q75_merge_upsert" ->
+      """WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+            'B' AS op
+          FROM orders),
+        corrections AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus,
+            price_cents + 500 AS price_cents, 'U' AS op
+          FROM base WHERE o_orderkey % 100 < 10),
+        arrivals AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+            price_cents, 'N' AS op
+          FROM base WHERE o_orderkey % 100 >= 95),
+        updates AS (
+          SELECT * FROM corrections UNION ALL SELECT * FROM arrivals)
+        SELECT o_orderkey, o_orderstatus, price_cents, op FROM updates
+        UNION ALL
+        SELECT b.o_orderkey, b.o_orderstatus, b.price_cents, b.op FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.o_orderkey = b.o_orderkey)
+        ORDER BY o_orderkey""",
   )
 }

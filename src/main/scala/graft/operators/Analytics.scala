@@ -419,6 +419,47 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy($"event_type")
 
+  /** GROUPING SETS with an explicit set list — the general form of
+    * which CUBE (q51) and ROLLUP (q62) are special cases: per-source,
+    * per-lang, and per-(source, lang) document stats in ONE pass
+    * (Catalyst expands the sets into a single Expand + aggregate, so
+    * the input is scanned once, not once per set). gid disambiguates
+    * the all-null stratum rows.
+    */
+  def docGroupingSets(documents: DataFrame): DataFrame =
+    documents
+      .groupingSets(
+        Seq(Seq($"source"), Seq($"lang"), Seq($"source", $"lang")),
+        $"source", $"lang")
+      // grouping_id is only resolvable INSIDE the grouping-sets
+      // aggregate (it reads the Expand's spark_grouping_id), not as a
+      // downstream projection
+      .agg(grouping_id($"source", $"lang").as("gid"),
+        count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .select($"gid", $"source", $"lang", $"n_docs", $"total_chars")
+      .orderBy($"gid", $"source".asc_nulls_first, $"lang".asc_nulls_first)
+
+  /** Customer spend deciles: exact integer-cents totals, then ntile +
+    * percent_rank over the aggregated customer list. The global window
+    * runs on post-aggregate rows (one per customer) — fine for this
+    * catalog's documented tiny-output exception; at billions of
+    * customers the scale path is decile BOUNDARIES via
+    * approx_percentile (q64's sketch family) joined back as a range
+    * lookup instead of a total order.
+    */
+  def spendDeciles(orders: DataFrame): DataFrame = {
+    val spend = orders.groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy($"cents".desc, $"o_custkey")
+    spend
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .select($"o_custkey", ($"cents" / 100.0).as("total_spend"),
+        $"n_orders", $"decile", $"pct_rank")
+      .orderBy($"o_custkey")
+  }
+
   /** Latest record per key (Druid LATEST rollup / upsert compaction).
     * This is the canonical "dedup to newest" pattern for CDC streams.
     */

@@ -191,6 +191,69 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Duplicate-cluster assignment: connected components over the union
+    * of exact-dup edges (same content digest) and near-dup edges
+    * ([[ngramJaccard]] pairs), so transitive chains A≈B≈C collapse to
+    * one cluster with one keeper — the step that turns pairwise dedup
+    * signals into an actual retention decision.
+    *
+    * Algorithm: iterative min-label propagation on DataFrames. Every
+    * node starts as its own label; each round takes the min label over
+    * itself and its neighbors (one equi-join + one min-aggregate, both
+    * shuffling on node id). Labels decrease monotonically, so the sum
+    * of all labels is a convergence certificate: unchanged sum ⇒ fixed
+    * point (no per-row diff join needed). Rounds needed = component
+    * diameter; dup clusters are shallow (stars/chains of a few docs),
+    * so this converges in 2-4 rounds. At 100 TB with adversarially
+    * long chains, swap the loop body for the large-star/small-star
+    * operators (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — same per-round join shape, O(log² n) rounds.
+    * `localCheckpoint` truncates the growing lineage each round (a
+    * cluster deployment would use reliable checkpointing instead).
+    */
+  def dupClusters(documents: DataFrame, n: Int = 3, tau: Double = 0.1,
+                  maxIters: Int = 20): DataFrame = {
+    val near = ngramJaccard(documents, n, tau).select($"doc_a", $"doc_b")
+    val hashes = documents.select($"doc_id", md5($"text").as("h"))
+    val keepers = hashes.groupBy($"h").agg(min($"doc_id").as("root"))
+    val exactEdges = hashes.join(keepers, Seq("h"))
+      .filter($"doc_id" =!= $"root")
+      .select($"root".as("doc_a"), $"doc_id".as("doc_b"))
+    val edges = near.union(exactEdges).distinct()
+    val und = edges.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .union(edges.select($"doc_b".as("u"), $"doc_a".as("v")))
+      .localCheckpoint(true)
+    var labels = documents.select($"doc_id".as("node"), $"doc_id".as("label"))
+      .localCheckpoint(true)
+    // the certificate sum runs in decimal(38,0): a long sum could
+    // overflow at 100 TB id ranges and a wrapped sum could fake a
+    // fixed point
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"label".cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = und.join(labels, $"u" === $"node")
+        .groupBy($"v")
+        .agg(min($"label").as("nbr_label"))
+      labels = labels.join(nbrMin, $"node" === $"v", "left")
+        .select($"node",
+          least($"label", coalesce($"nbr_label", $"label")).as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select($"node".as("doc_id"), $"label".as("cluster_id"),
+        $"cluster_size", ($"node" === $"label").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked on `label` (the
     * cluster/partition key — at 100 TB the blocking key comes from a
     * coarse quantizer, e.g. IVF cell or LSH bucket, so each block's

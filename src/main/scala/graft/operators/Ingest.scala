@@ -128,4 +128,36 @@ object Ingest {
       $"event_type".as("kind"),
       lit("events.parquet").as("source_file"))
       .orderBy($"event_id")
+
+  /** Key-level upsert (MERGE latest-wins): the incremental-load
+    * primitive — an updates batch replaces matching base rows and
+    * appends the rest. Expressed as updates ∪ (base ⟂ updates): one
+    * left-anti equi-join on the key plus a union, both
+    * partition-parallel. At 100 TB the anti-join's shuffle is the
+    * cost; with base and updates bucketed on the key (see
+    * [[graft.sources.Bucketed]]) it is shuffle-free. Schemas must
+    * align by name (unionByName enforces it).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(key), Seq(key), "left_anti"))
+
+  /** Declared upsert query (q75): a deterministic CDC batch against
+    * the orders snapshot — ~10% price corrections (op=U) and ~5% new
+    * orders under shifted keys (op=N) — merged latest-wins through
+    * [[upsert]]. Money rides as exact integer cents.
+    */
+  def ordersUpsert(orders: DataFrame): DataFrame = {
+    val base = orders.select($"o_orderkey", $"o_orderstatus",
+      round($"o_totalprice" * 100).cast("long").as("price_cents"),
+      lit("B").as("op"))
+    val corrections = base.filter($"o_orderkey" % 100 < 10)
+      .select($"o_orderkey", lit("U").as("o_orderstatus"),
+        ($"price_cents" + 500L).as("price_cents"), lit("U").as("op"))
+    val arrivals = base.filter($"o_orderkey" % 100 >= 95)
+      .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), $"price_cents", lit("N").as("op"))
+    upsert(base, corrections.unionByName(arrivals), "o_orderkey")
+      .orderBy($"o_orderkey")
+  }
 }

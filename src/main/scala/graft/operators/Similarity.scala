@@ -115,6 +115,46 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** One Lloyd iteration of distributed k-means over quantized
+    * embeddings — the training loop that produces real IVF centroids
+    * (run it to convergence by feeding each round's means back in as
+    * the next round's centroids). Assignment broadcasts the k
+    * centroids against the corpus (one scan, no corpus shuffle) and
+    * picks argmin squared-L2 via `min(struct(d2, cid))` — exact
+    * integer math on quantized vectors, deterministic tie-break on the
+    * lower centroid id. The update step shuffles (cid, dim, q) triples
+    * with map-side partial sums — k×dim rows out, independent of
+    * corpus size.
+    */
+  /** Nearest-centroid assignment over pre-quantized vectors (columns
+    * vec_id, v): argmin squared-L2 against the first `kCents` vectors,
+    * tie-broken on the lower centroid id. Exposed separately so the
+    * assignment invariant is testable on its own.
+    */
+  def kmeansAssign(q: DataFrame, kCents: Int): DataFrame = {
+    val cents = q.filter($"vec_id" < kCents)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val d2 = aggregate(zip_with($"v", $"cv", (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    q.crossJoin(broadcast(cents))
+      .select($"vec_id", $"v", struct(d2.as("d2"), $"cid").as("sc"))
+      .groupBy($"vec_id")
+      .agg(min($"sc").as("best"), first($"v").as("v"))
+      .select($"vec_id", $"best.cid".as("cid"), $"v")
+  }
+
+  def kmeansStep(embeddings: DataFrame, kCents: Int = 8): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    kmeansAssign(q, kCents)
+      .select($"cid", posexplode($"v").as(Seq("dim", "q")))
+      .groupBy($"cid", $"dim")
+      .agg(sum($"q").as("sum_q"), count(lit(1)).as("n"))
+      .withColumn("new_mean", $"sum_q" * 1.0 / 1000.0 / $"n")
+      .select($"cid", $"dim", $"sum_q", $"n", $"new_mean")
+      .orderBy($"cid", $"dim")
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH: candidates are
     * vectors sharing a (table, bucket) with the query; exact
     * quantized-cosine rescoring + window top-k on the candidates only.

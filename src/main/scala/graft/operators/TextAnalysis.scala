@@ -209,4 +209,80 @@ object TextAnalysis {
       .select($"doc_id", $"fp_norm", $"fp_min_shingle")
       .orderBy($"doc_id")
   }
+
+  /** Top-k terms per language by raw frequency (the corpus-vocabulary
+    * profile a curation pipeline builds before filtering). One explode
+    * + one (lang, term) count with map-side combine; the final per-lang
+    * top-k window runs on the already-aggregated vocabulary, which is
+    * orders of magnitude smaller than the corpus.
+    */
+  def termFreqTopK(documents: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select($"lang", explode(tokens(lower($"text"))).as("term"))
+      .groupBy($"lang", $"term")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"term")
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"lang", $"term", $"n", $"rank")
+      .orderBy($"lang", $"rank")
+  }
+
+  /** BM25-family relevance ranking for a fixed query-term set.
+    *
+    * Term frequencies land in one fixed column per query term (a
+    * conditional-sum pivot), so the cross-term score sum has a FIXED
+    * evaluation order — float addition is non-associative, and a
+    * groupBy-sum over per-term rows would make the score depend on
+    * aggregation order (breaking run-to-run determinism AND oracle
+    * parity). The idf factor is the rational Robertson form
+    * (N - df + 0.5)/(df + 0.5) *without* the log: log is monotone per
+    * term but its parity across engines is not guaranteed to the last
+    * ulp, while the rational form is a quotient of exact integers —
+    * deterministic everywhere. Corpus stats (N, df, avgdl) are one
+    * broadcast row; the scoring pass is a narrow projection. The k1/b
+    * defaults are dyadic rationals (1.25, 0.75) — exactly
+    * representable doubles, so constant arithmetic like k1+1 carries
+    * zero cross-engine literal-rounding risk.
+    */
+  def bm25Rank(documents: DataFrame, terms: Seq[String],
+               topN: Int = 20, k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.toSet.size == terms.size)
+    val toks = documents
+      .select($"doc_id", explode(tokens(lower($"text"))).as("t"))
+    val tfCols = terms.map(t =>
+      sum(when($"t" === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = toks.groupBy($"doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val statCols =
+      Seq(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl")) ++
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val idf = ($"n_docs" - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5))
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * $"dl" / $"avgdl"))
+    }.reduce(_ + _)
+    // top-N via orderBy+limit (TakeOrderedAndProject: per-partition
+    // heads merged on the driver — no global sort shuffle over the
+    // corpus, unlike a row_number window); rank is then a window over
+    // the N surviving rows only
+    val top = scored
+      .withColumn("score", score)
+      .select($"doc_id", $"dl", $"score")
+      .orderBy($"score".desc, $"doc_id")
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id")
+    top
+      .withColumn("rank", row_number().over(w))
+      .select($"doc_id", $"dl", $"score", $"rank")
+      .orderBy($"rank")
+  }
 }

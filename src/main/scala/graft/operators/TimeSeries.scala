@@ -226,4 +226,49 @@ object TimeSeries {
       .select($"n_sources", $"n_docs", $"total_chars", $"total_mb",
         $"avg_record_kb", $"daily_growth_mb", $"weekly_growth_mb",
         $"monthly_growth_mb")
+
+  /** Two-step funnel: per user, the first `fromType` event and the
+    * first `toType` event that follows it within `windowUs`. Both
+    * sides pre-aggregate to one row per user BEFORE the join (min
+    * per user is map-side combined), so the join is user-keyed
+    * one-to-few — never the raw event×event pair space. Microseconds
+    * (exact longs) throughout.
+    */
+  def funnel(events: DataFrame, fromType: String = "click",
+             toType: String = "purchase",
+             windowUs: Long = 3600000000L): DataFrame = {
+    val first = events.filter($"event_type" === fromType)
+      .groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("first_from_us"))
+    val followups = events.filter($"event_type" === toType)
+      .select($"user_id", unix_micros($"ts").as("to_us"))
+      .join(first, Seq("user_id"))
+      .filter($"to_us" >= $"first_from_us" &&
+        $"to_us" <= $"first_from_us" + windowUs)
+      .groupBy($"user_id")
+      .agg(min($"to_us").as("first_to_us"))
+    first.join(followups, Seq("user_id"), "left")
+      .select($"user_id", $"first_from_us", $"first_to_us",
+        ($"first_to_us" - $"first_from_us").as("delta_us"),
+        $"first_to_us".isNotNull.as("converted"))
+      .orderBy($"user_id")
+  }
+
+  /** Retention cohorts: users grouped by their first-activity day,
+    * counted on each subsequent active day offset. Activity collapses
+    * to distinct (user, day) FIRST — one shuffle on user_id — so the
+    * cohort join and final count run on ~users×days rows, not raw
+    * events.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val days = events
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .distinct()
+    val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    days.join(cohorts, Seq("user_id"))
+      .withColumn("offset_days", datediff($"day", $"cohort_day"))
+      .groupBy($"cohort_day", $"offset_days")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_day", $"offset_days")
+  }
 }

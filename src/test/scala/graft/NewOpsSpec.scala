@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Ingest, Sampling, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Invariant specs for the round-3 operators (q66-q75). Cross-engine
+  * value correctness is the DuckDB oracle gate's job; these assert the
+  * properties an oracle can't express: graph transitivity, sampling
+  * determinism, Lloyd-step optimality, merge key semantics.
+  */
+class NewOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  test("dup clusters: every dedup edge's endpoints share a cluster id") {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.dupClusters(docs)
+      .select(col("doc_id"), col("cluster_id"))
+    val pairs = Dedup.ngramJaccard(docs).select(col("doc_a"), col("doc_b"))
+    val broken = pairs
+      .join(clusters.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("cluster_id", "ca"), Seq("doc_a"))
+      .join(clusters.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("cluster_id", "cb"), Seq("doc_b"))
+      .filter(col("ca") =!= col("cb"))
+    assert(broken.count() == 0, "near-dup pair split across clusters")
+  }
+
+  test("dup clusters: cluster_id is the min member and sizes are consistent") {
+    val cl = Dedup.dupClusters(Tables.documents(spark, dir))
+    val bad = cl.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("min_doc"), count(lit(1)).as("n"))
+      .filter(col("cluster_id") =!= col("min_doc"))
+    assert(bad.count() == 0, "cluster label is not the min member id")
+    val sizeBad = cl.groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("cluster_size") =!= col("n"))
+    assert(sizeBad.count() == 0, "cluster_size disagrees with membership count")
+    // exactly one keeper per cluster, and it carries the cluster id
+    val keepers = cl.filter(col("is_keeper"))
+    assert(keepers.count() == cl.select("cluster_id").distinct().count())
+  }
+
+  test("dup clusters: a planted A~B~C chain collapses to one cluster") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = base.split(" ")
+    // B overlaps A and C heavily; A and C share almost nothing
+    val a = b.take(7).mkString(" ")                  // alpha..eta
+    val c = b.drop(3).mkString(" ")                  // delta..kappa
+    val docs = Seq(
+      (1L, a, "en", "s", a.length.toLong),
+      (2L, base, "en", "s", base.length.toLong),
+      (3L, c, "en", "s", c.length.toLong),
+      (4L, "unrelated totally different words here now", "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cl = Dedup.dupClusters(docs, tau = 0.2)
+    val byDoc = cl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc(1L) == 1L && byDoc(2L) == 1L && byDoc(3L) == 1L,
+      s"chain did not collapse: $byDoc")
+    assert(byDoc(4L) == 4L, "unrelated doc joined the cluster")
+  }
+
+  test("stratified sample: deterministic, respects per-stratum rate") {
+    val docs = Tables.documents(spark, dir)
+    val fr = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.25,
+      "de" -> 0.125, "fr" -> 0.125)
+    val s1 = Sampling.stratifiedSample(docs, fr).collect().map(_.getLong(0))
+    val s2 = Sampling.stratifiedSample(docs, fr).collect().map(_.getLong(0))
+    assert(s1.sameElements(s2), "sample is not deterministic")
+    // observed rate within a loose binomial band per stratum
+    val totals = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.stratifiedSample(docs, fr)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fr.foreach { case (lang, f) =>
+      val n = totals(lang).toDouble
+      val got = sampled.getOrElse(lang, 0L).toDouble
+      val sd = math.sqrt(n * f * (1 - f))
+      assert(math.abs(got - n * f) <= 4 * sd + 1,
+        s"$lang: got $got of $n at fraction $f")
+    }
+    // fraction 1.0 keeps everything, 0.0 keeps nothing
+    assert(Sampling.stratifiedSample(docs, Map("en" -> 1.0)).count()
+      == totals("en"))
+    assert(Sampling.stratifiedSample(docs, Map("en" -> 0.0)).count() == 0)
+  }
+
+  test("kmeans step: assignment is the true argmin and means partition the corpus") {
+    val emb = Tables.embeddings(spark, dir)
+    val step = Similarity.kmeansStep(emb, kCents = 8)
+    // every (cid, dim) group counts the same n; total n over dim 0
+    // equals the corpus size (every vector assigned exactly once)
+    val n0 = step.filter(col("dim") === 0)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(n0 == emb.count(), "assignment does not partition the corpus")
+    // Lloyd optimality on a spot-checked vector: its cluster's
+    // centroid must be the nearest of the 8 by quantized L2
+    import graft.functions.Vec
+    val q = emb.select(col("vec_id"), Vec.quantize(col("embedding")).as("v"))
+    val cents = q.filter(col("vec_id") < 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val probe = q.filter(col("vec_id") === 42).collect()(0).getSeq[Long](1).toArray
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = cents.minBy { case (cid, cv) => (d2(probe, cv), cid) }._1
+    // recover vec 42's cid through a 1-row variant of the operator path
+    val got = Similarity.kmeansAssign(q.filter(col("vec_id") === 42 || col("vec_id") < 8), 8)
+      .filter(col("vec_id") === 42).head().getLong(1)
+    assert(got == want, s"vec 42 assigned to $got, nearest is $want")
+  }
+
+  test("bm25: zero-hit docs score zero; ranks strictly ordered") {
+    val docs = Tables.documents(spark, dir)
+    val top = TextAnalysis.bm25Rank(docs, Seq("data", "query", "spark"))
+      .collect()
+    assert(top.length == 20)
+    val scores = top.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores not monotone over rank")
+    // a term set that appears nowhere scores 0 for every doc
+    val none = TextAnalysis.bm25Rank(docs, Seq("zzzznotaterm"))
+      .agg(sum(abs(col("score")))).head().getDouble(0)
+    assert(none == 0.0)
+  }
+
+  test("upsert: keys unique, updates win, non-matched base preserved") {
+    val orders = Tables.orders(spark, dir)
+    val merged = Ingest.ordersUpsert(orders)
+    val total = merged.count()
+    assert(merged.select("o_orderkey").distinct().count() == total,
+      "merged keys not unique")
+    val nBase = orders.count()
+    val nNew = merged.filter(col("op") === "N").count()
+    assert(total == nBase + nNew, "row count != base + arrivals")
+    // every correction key carries the corrected price (+500 cents)
+    val bad = merged.filter(col("op") === "U")
+      .join(orders.select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("orig")), Seq("o_orderkey"))
+      .filter(col("price_cents") =!= col("orig") + 500L)
+    assert(bad.count() == 0, "correction did not win the merge")
+  }
+}

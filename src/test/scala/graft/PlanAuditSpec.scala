@@ -14,8 +14,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // corpus with a non-equi condition (BroadcastNestedLoopJoin of a
   // 10-row side) — that's the designed brute-force baseline, not an
   // accidental cross join.
+  // q73/q74 broadcast bounded single-digit-row sides (8 centroids / a
+  // 1-row corpus-stats frame) — designed, like q28/q45.
   private val allowedNestedLoop =
-    Set("q28_cosine_topk", "q29_ann_lsh", "q45_ann_ivf")
+    Set("q28_cosine_topk", "q29_ann_lsh", "q45_ann_ivf",
+      "q73_kmeans_step", "q74_bm25_rank")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
