@@ -223,8 +223,9 @@ object Dedup {
     val und = edges.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(edges.select($"doc_b".as("u"), $"doc_a".as("v")))
       .localCheckpoint(true)
+    // no checkpoint on the seed labels — it's a bare projection of the
+    // input scan; the per-round checkpoints below bound lineage anyway
     var labels = documents.select($"doc_id".as("node"), $"doc_id".as("label"))
-      .localCheckpoint(true)
     // the certificate sum runs in decimal(38,0): a long sum could
     // overflow at 100 TB id ranges and a wrapped sum could fake a
     // fixed point
