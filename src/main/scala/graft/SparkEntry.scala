@@ -143,6 +143,13 @@ object SparkEntry {
     "q73_kmeans_step" -> ((s, d) => Similarity.kmeansStep(Tables.embeddings(s, d))),
     "q74_bm25_rank" -> ((s, d) => TextAnalysis.bm25Rank(Tables.documents(s, d), Bm25Terms)),
     "q75_merge_upsert" -> ((s, d) => Ingest.ordersUpsert(Tables.orders(s, d))),
+    "q76_min_cost_supplier" -> ((s, d) => Analytics.minCostSupplier(
+      Tables.part(s, d), Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q77_event_type_profile" -> ((s, d) => Analytics.eventTypeProfile(Tables.events(s, d))),
+    "q78_hopping_windows" -> ((s, d) => TimeSeries.hoppingWindows(Tables.events(s, d))),
+    "q79_value_spread" -> ((s, d) => TimeSeries.valueSpread(Tables.events(s, d))),
+    "q80_above_customer_avg" -> ((s, d) => Analytics.aboveCustomerAvg(Tables.orders(s, d))),
+    "q81_scd2_priority" -> ((s, d) => Analytics.scd2Priority(Tables.orders(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -915,5 +922,65 @@ object SparkEntry {
         WHERE NOT EXISTS (SELECT 1 FROM updates u
                           WHERE u.o_orderkey = b.o_orderkey)
         ORDER BY o_orderkey""",
+    "q76_min_cost_supplier" ->
+      """WITH mp AS (
+          SELECT l_partkey, MIN(l_extendedprice) AS min_price
+          FROM lineitem GROUP BY 1),
+        winner AS (
+          SELECT l.l_partkey, mp.min_price, MIN(l.l_suppkey) AS s_suppkey
+          FROM lineitem l
+          JOIN mp ON l.l_partkey = mp.l_partkey
+                 AND l.l_extendedprice = mp.min_price
+          GROUP BY 1, 2)
+        SELECT p_partkey, p_name, min_price, w.s_suppkey, s_name
+        FROM winner w
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier s ON w.s_suppkey = s.s_suppkey
+        ORDER BY p_partkey""",
+    "q77_event_type_profile" ->
+      """SELECT user_id,
+          string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+          COUNT(DISTINCT event_type) AS n_types,
+          COUNT(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY 1""",
+    "q78_hopping_windows" ->
+      s"""WITH w AS (
+          SELECT unnest([
+              make_timestamp((epoch_us(ts) // 300000000) * 300000000),
+              make_timestamp((epoch_us(ts) // 300000000) * 300000000
+                - 300000000)]) AS window_start,
+            event_type, value
+          FROM events)
+        SELECT window_start, event_type, COUNT(*) AS n,
+          ${X.dsum("value")} AS sum_value
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q79_value_spread" ->
+      """SELECT event_id, event_type, value,
+          LAG(value) OVER w AS prev_value,
+          LEAD(value) OVER w AS next_value,
+          cume_dist() OVER w AS cume
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        ORDER BY event_type, value, event_id""",
+    "q80_above_customer_avg" ->
+      """WITH per AS (
+          SELECT o_custkey AS ck,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+            COUNT(*) AS n_orders
+          FROM orders GROUP BY 1)
+        SELECT o_orderkey, o_custkey, o_totalprice,
+          sum_cents / 100.0 / n_orders AS cust_avg
+        FROM orders JOIN per ON o_custkey = ck
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) * n_orders > sum_cents
+        ORDER BY o_orderkey""",
+    "q81_scd2_priority" ->
+      """SELECT o_custkey, o_orderkey, o_orderpriority,
+          epoch_us(o_orderdate) AS valid_from_us,
+          LEAD(epoch_us(o_orderdate)) OVER w AS valid_to_us,
+          LEAD(epoch_us(o_orderdate)) OVER w IS NULL AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+          ORDER BY epoch_us(o_orderdate), o_orderkey)
+        ORDER BY o_custkey, valid_from_us, o_orderkey""",
   )
 }

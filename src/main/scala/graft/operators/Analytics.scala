@@ -460,6 +460,82 @@ object Analytics {
       .orderBy($"o_custkey")
   }
 
+  /** Min-per-group with the winning row joined back (TPC-H Q2's
+    * correlated-min shape, over lineitem offers since the schema has
+    * no partsupp): cheapest offer per part, supplier resolved by an
+    * equi-join on (part, min price) with a min-suppkey tie-break.
+    * Two aggregates + two equi-joins — the decorrelated plan a
+    * correlated subquery should (and here provably does) become;
+    * never a per-row subquery execution.
+    */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame,
+                      lineitem: DataFrame): DataFrame = {
+    val minPrice = lineitem.groupBy($"l_partkey".as("mp_partkey"))
+      .agg(min($"l_extendedprice").as("min_price"))
+    // equality on an UNMODIFIED stored double is exact — min() picks
+    // an existing value, no arithmetic happens before the compare
+    val winner = lineitem
+      .join(minPrice,
+        $"l_partkey" === $"mp_partkey" && $"l_extendedprice" === $"min_price")
+      .groupBy($"l_partkey", $"min_price")
+      .agg(min($"l_suppkey").as("s_suppkey"))
+    winner
+      .join(part, $"l_partkey" === $"p_partkey")
+      .join(broadcast(supplier), Seq("s_suppkey"))
+      .select($"p_partkey", $"p_name", $"min_price", $"s_suppkey", $"s_name")
+      .orderBy($"p_partkey")
+  }
+
+  /** Per-user behavioral profile as an order-stable array aggregate:
+    * sorted distinct event types (exposed as CSV so the value is
+    * engine-portable), distinct count, total events. collect_set +
+    * sort_array — never bare collect_list, whose order depends on
+    * partitioning and would break run-to-run determinism.
+    */
+  def eventTypeProfile(events: DataFrame): DataFrame =
+    events.groupBy($"user_id")
+      .agg(
+        concat_ws(",", sort_array(collect_set($"event_type"))).as("types_csv"),
+        countDistinct($"event_type").as("n_types"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+
+  /** Orders above their customer's average order value — the scalar
+    * correlated subquery shape, decorrelated into one aggregate + one
+    * equi-join. The above-average predicate compares integer cents
+    * cross-multiplied (cents·n > sum_cents), so the filter is exact —
+    * a double `price > avg` would wobble on the last ulp for orders
+    * AT the average.
+    */
+  def aboveCustomerAvg(orders: DataFrame): DataFrame = {
+    val cents = round($"o_totalprice" * 100).cast("long")
+    val per = orders.groupBy($"o_custkey".as("ck"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("sum_cents"),
+        count(lit(1)).as("n_orders"))
+    orders.join(per, $"o_custkey" === $"ck")
+      .filter(cents * $"n_orders" > $"sum_cents")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        ($"sum_cents" / 100.0 / $"n_orders").as("cust_avg"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Slowly-changing-dimension type 2: each customer's order-priority
+    * history as versioned rows with [valid_from, valid_to) intervals
+    * (valid_to = next version's start, NULL while current). One lead()
+    * window per customer — the standard warehouse versioning build.
+    */
+  def scd2Priority(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"valid_from_us", $"o_orderkey")
+    orders
+      // o_orderdate scans as TIMESTAMP_NTZ; the session runs UTC, so
+      // the cast is a no-op reinterpretation matching DuckDB epoch_us
+      .select($"o_custkey", $"o_orderkey", $"o_orderpriority",
+        unix_micros($"o_orderdate".cast("timestamp")).as("valid_from_us"))
+      .withColumn("valid_to_us", lead($"valid_from_us", 1).over(w))
+      .withColumn("is_current", $"valid_to_us".isNull)
+      .orderBy($"o_custkey", $"valid_from_us", $"o_orderkey")
+  }
+
   /** Latest record per key (Druid LATEST rollup / upsert compaction).
     * This is the canonical "dedup to newest" pattern for CDC streams.
     */

@@ -254,6 +254,36 @@ object TimeSeries {
       .orderBy($"user_id")
   }
 
+  /** Hopping (sliding) windows: 10-minute windows advancing every 5 —
+    * each event lands in exactly duration/slide windows via Spark's
+    * native `window()` Expand (no self-join). The overlap factor is
+    * the deliberate trade for smoother trend curves; state and output
+    * scale by duration/slide, not data volume.
+    */
+  def hoppingWindows(events: DataFrame): DataFrame =
+    events
+      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"window.start".as("window_start"), $"event_type",
+        $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+
+  /** Window-function variety over the event stream: previous/next
+    * value and cumulative distribution per event type. The order-by
+    * carries the unique event_id tie-break, so every frame — and
+    * therefore every lag/lead/cume_dist value — is total-order
+    * deterministic.
+    */
+  def valueSpread(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    events
+      .select($"event_id", $"event_type", $"value")
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .withColumn("next_value", lead($"value", 1).over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy($"event_type", $"value", $"event_id")
+  }
+
   /** Retention cohorts: users grouped by their first-activity day,
     * counted on each subsequent active day offset. Activity collapses
     * to distinct (user, day) FIRST — one shuffle on user_id — so the
