@@ -150,6 +150,11 @@ object SparkEntry {
     "q79_value_spread" -> ((s, d) => TimeSeries.valueSpread(Tables.events(s, d))),
     "q80_above_customer_avg" -> ((s, d) => Analytics.aboveCustomerAvg(Tables.orders(s, d))),
     "q81_scd2_priority" -> ((s, d) => Analytics.scd2Priority(Tables.orders(s, d))),
+    "q82_training_mix" -> ((s, d) => operators.Sampling.trainingMix(
+      Tables.documents(s, d), SampleFractions)),
+    "q83_prefix_shards" -> ((s, d) => operators.Sampling.prefixShards(Tables.documents(s, d))),
+    "q84_normalize_embeddings" -> ((s, d) =>
+      Similarity.normalizeEmbeddings(Tables.embeddings(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -982,5 +987,61 @@ object SparkEntry {
         WINDOW w AS (PARTITION BY o_custkey
           ORDER BY epoch_us(o_orderdate), o_orderkey)
         ORDER BY o_custkey, valid_from_us, o_orderkey""",
+    "q82_training_mix" ->
+      // composed gate: quality formula from q31, keeper from q23,
+      // stratum hash gate from q67 — same proven parity pieces
+      """WITH q AS (
+          SELECT doc_id,
+            (stop_count * 1.0 / n_tokens) * 0.5
+              + (1.0 - punct_count * 1.0 / n_chars_actual) * 0.3
+              + CASE WHEN n_chars_actual * 1.0 / n_tokens BETWEEN 3.0 AND 8.0
+                     THEN 0.2 ELSE 0.0 END AS quality
+          FROM (
+            SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars_actual,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+              CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_count,
+              CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS stop_count
+            FROM documents) t),
+        k AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+              FROM documents GROUP BY 1),
+        d AS (SELECT doc_id, lang, md5(text) AS h FROM documents)
+        SELECT d.doc_id, d.lang, q.quality
+        FROM d JOIN k ON d.h = k.h JOIN q ON d.doc_id = q.doc_id
+        WHERE d.doc_id = k.keeper AND d.lang != 'zh' AND q.quality >= 0.3
+          AND substring(md5('smpl' || CAST(d.doc_id AS VARCHAR)), 1, 4) <
+              CASE d.lang WHEN 'en' THEN '8000' WHEN 'es' THEN '4000'
+                          WHEN 'zh' THEN '4000' WHEN 'de' THEN '2000'
+                          WHEN 'fr' THEN '2000' ELSE '0000' END
+        ORDER BY d.doc_id""",
+    "q83_prefix_shards" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+            COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+              0) AS cum_before
+          FROM toks)
+        SELECT doc_id, n_tokens, cum_before, cum_before // 50000 AS shard
+        FROM c ORDER BY doc_id""",
+    "q84_normalize_embeddings" ->
+      """WITH q AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, v,
+            sqrt(CAST(list_sum(list_transform(range(1, 65), i -> v[i]*v[i])) AS DOUBLE)) AS nrm
+          FROM q)
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+          CAST(qv AS DOUBLE) / nrm AS unit
+        FROM (SELECT vec_id, nrm, unnest(v) AS qv,
+                generate_subscripts(v, 1) AS i FROM n) t
+        ORDER BY vec_id, dim""",
   )
 }

@@ -25,9 +25,11 @@ object Sampling {
     * English web text) is exactly this operator with per-language
     * fractions.
     */
-  def stratifiedSample(documents: DataFrame,
-                       fractions: Map[String, Double],
-                       salt: String = "smpl"): DataFrame = {
+  /** The per-stratum hex gate as a broadcastable (lang, threshold)
+    * lookup — shared by [[stratifiedSample]] and [[trainingMix]].
+    */
+  private def thresholdLookup(documents: DataFrame,
+                              fractions: Map[String, Double]): DataFrame = {
     val thresholds = fractions.toSeq.sortBy(_._1)
       .map { case (lang, f) =>
         require(f >= 0.0 && f <= 1.0, s"fraction out of range for $lang: $f")
@@ -36,15 +38,90 @@ object Sampling {
         val t = math.round(f * 0x10000)
         (lang, if (t >= 0x10000) "g" else f"$t%04x")
       }
-    val lookup = broadcast(
+    broadcast(
       documents.sparkSession.createDataFrame(thresholds)
         .toDF("lang", "threshold"))
+  }
+
+  /** The deterministic gate key: first 4 hex chars of md5(salt ‖ id). */
+  private def sampleKey(salt: String) =
+    substring(md5(concat(lit(salt), $"doc_id".cast("string"))), 1, 4)
+
+  def stratifiedSample(documents: DataFrame,
+                       fractions: Map[String, Double],
+                       salt: String = "smpl"): DataFrame =
     documents
-      .withColumn("sample_key",
-        substring(md5(concat(lit(salt), $"doc_id".cast("string"))), 1, 4))
-      .join(lookup, Seq("lang"))
+      .withColumn("sample_key", sampleKey(salt))
+      .join(thresholdLookup(documents, fractions), Seq("lang"))
       .filter($"sample_key" < $"threshold")
       .select($"doc_id", $"lang", $"sample_key")
+      .orderBy($"doc_id")
+
+  /** End-to-end training-mix selection — the composition the whole
+    * curation block exists for, in ONE declarative plan: keep a doc iff
+    * it (a) is its exact-dup group's keeper, (b) clears the quality
+    * floor, (c) is in a target language, and (d) passes its stratum's
+    * hash gate. Every stage is an operator already proven on its own
+    * (q23/q31/q67); Catalyst fuses the scalar gates into the scan and
+    * the only shuffles are the digest groupBy and the doc_id join.
+    */
+  def trainingMix(documents: DataFrame,
+                  fractions: Map[String, Double],
+                  minQuality: Double = 0.3,
+                  dropLangs: Set[String] = Set("zh"),
+                  salt: String = "smpl"): DataFrame = {
+    val quality = TextAnalysis.qualityScore(documents)
+      .select($"doc_id", $"quality")
+    val hashes = documents.select($"doc_id", $"lang", md5($"text").as("h"))
+    val keepers = hashes.groupBy($"h").agg(min($"doc_id").as("keeper"))
+    hashes.join(keepers, Seq("h"))
+      .filter($"doc_id" === $"keeper")
+      .filter(!$"lang".isInCollection(dropLangs))
+      .join(quality, Seq("doc_id"))
+      .filter($"quality" >= minQuality)
+      .withColumn("sample_key", sampleKey(salt))
+      .join(thresholdLookup(documents, fractions), Seq("lang"))
+      .filter($"sample_key" < $"threshold")
+      .select($"doc_id", $"lang", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  /** Token-budget shard assignment via a DISTRIBUTED prefix sum — the
+    * packing step that splits a corpus into ≈budget-token training
+    * shards in doc_id order. A naive global running-sum window would
+    * funnel the whole corpus through ONE partition; instead:
+    * range-partition on the order key, per-partition token totals
+    * (tiny: one row per partition) prefix-summed on the driver, then
+    * a per-partition window adds the broadcast offset — every stage
+    * partition-parallel, the classic two-phase scan. The checkpoint
+    * pins the sampled range boundaries so the offsets and the window
+    * see the SAME partitioning.
+    *
+    * Shard ids are identical for ANY partition count: the cumulative
+    * sum is partitioning-invariant integer math.
+    */
+  def prefixShards(documents: DataFrame, budget: Long = 50000L,
+                   parts: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    val toks = documents.select($"doc_id",
+      size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
+    val ranged = toks.repartitionByRange(parts, $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val perPart = ranged.groupBy($"pid").agg(sum($"n_tokens").as("ptotal"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = perPart.map(_._1)
+      .zip(perPart.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = broadcast(spark.createDataFrame(offsets.toSeq)
+      .toDF("pid", "offset"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ranged.join(offDf, Seq("pid"))
+      .withColumn("cum_before",
+        coalesce(sum($"n_tokens").over(w), lit(0L)) + $"offset")
+      .withColumn("shard", expr(s"cum_before div $budget"))
+      .select($"doc_id", $"n_tokens", $"cum_before", $"shard")
       .orderBy($"doc_id")
   }
 }

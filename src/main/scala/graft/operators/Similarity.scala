@@ -143,6 +143,21 @@ object Similarity {
       .select($"vec_id", $"best.cid".as("cid"), $"v")
   }
 
+  /** L2-normalization to unit vectors (the standard pre-ANN transform:
+    * after it, cosine = dot). Long form (vec_id, dim, unit) so values
+    * stay scalar-comparable; one narrow scan, no shuffle. unit_i =
+    * q_i / ‖q‖ over the quantized ints — the 1000 scale cancels, and
+    * the identical expression tree keeps the doubles engine-exact.
+    */
+  def normalizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+      .withColumn("nrm", Vec.normQ($"v"))
+    q.select($"vec_id", $"nrm", posexplode($"v").as(Seq("dim", "qv")))
+      .select($"vec_id", $"dim", ($"qv".cast("double") / $"nrm").as("unit"))
+      .orderBy($"vec_id", $"dim")
+  }
+
   def kmeansStep(embeddings: DataFrame, kCents: Int = 8): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
     val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))

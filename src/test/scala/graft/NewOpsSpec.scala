@@ -128,6 +128,43 @@ class NewOpsSpec extends AnyFunSuite {
     assert(none == 0.0)
   }
 
+  test("prefix shards: identical for any partition count, budget-dense") {
+    val docs = Tables.documents(spark, dir)
+    val p1 = Sampling.prefixShards(docs, budget = 5000L, parts = 1).collect()
+    val p8 = Sampling.prefixShards(docs, budget = 5000L, parts = 8).collect()
+    val p3 = Sampling.prefixShards(docs, budget = 5000L, parts = 3).collect()
+    assert(p1.map(_.toSeq).sameElements(p8.map(_.toSeq)),
+      "shard assignment depends on partition count (1 vs 8)")
+    assert(p1.map(_.toSeq).sameElements(p3.map(_.toSeq)),
+      "shard assignment depends on partition count (1 vs 3)")
+    // every shard except the last must have crossed the budget line:
+    // its last doc's cum_before + n_tokens >= shard*budget + budget
+    val byShard = p8.groupBy(_.getLong(3)).toSeq.sortBy(_._1)
+    byShard.dropRight(1).foreach { case (s, rows) =>
+      val last = rows.maxBy(_.getLong(0))
+      assert(last.getLong(2) + last.getLong(1) >= (s + 1) * 5000L,
+        s"shard $s closed before reaching its token budget")
+    }
+  }
+
+  test("training mix composes its gates: subset of keepers, sample, quality floor") {
+    val docs = Tables.documents(spark, dir)
+    val fr = Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.25,
+      "de" -> 0.125, "fr" -> 0.125)
+    val mix = Sampling.trainingMix(docs, fr).collect()
+    assert(mix.nonEmpty, "training mix selected nothing")
+    assert(mix.forall(_.getDouble(2) >= 0.3), "quality floor violated")
+    assert(mix.forall(_.getString(1) != "zh"), "dropped language present")
+    val sampleIds = Sampling.stratifiedSample(docs, fr)
+      .collect().map(_.getLong(0)).toSet
+    assert(mix.forall(r => sampleIds.contains(r.getLong(0))),
+      "mix includes a doc outside its stratum sample")
+    val keepers = Dedup.exact(docs).select(col("keeper_doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(mix.forall(r => keepers.contains(r.getLong(0))),
+      "mix includes a non-keeper duplicate")
+  }
+
   test("upsert: keys unique, updates win, non-matched base preserved") {
     val orders = Tables.orders(spark, dir)
     val merged = Ingest.ordersUpsert(orders)
