@@ -155,6 +155,8 @@ object SparkEntry {
     "q83_prefix_shards" -> ((s, d) => operators.Sampling.prefixShards(Tables.documents(s, d))),
     "q84_normalize_embeddings" -> ((s, d) =>
       Similarity.normalizeEmbeddings(Tables.embeddings(s, d))),
+    "q85_frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
+    "q86_resize_pool" -> ((s, d) => Multimodal.resizePool(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1043,5 +1045,27 @@ object SparkEntry {
         FROM (SELECT vec_id, nrm, unnest(v) AS qv,
                 generate_subscripts(v, 1) AS i FROM n) t
         ORDER BY vec_id, dim""",
+    "q85_frame_sample" ->
+      """WITH f AS (
+          SELECT doc_id, text,
+            unnest(range(0, ((length(text) - 1) // 64) + 1, 4)) AS frame_idx
+          FROM documents WHERE length(text) > 0)
+        SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+          CAST(length(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS INTEGER) AS frame_len,
+          md5(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_md5
+        FROM f ORDER BY doc_id, frame_idx""",
+    "q86_resize_pool" ->
+      """WITH ch AS (
+          SELECT doc_id, length(text) AS len,
+            unnest(range(0, length(text))) AS pos, text
+          FROM documents WHERE length(text) > 0),
+        v AS (
+          SELECT doc_id, (pos * 16) // len AS bucket,
+            ord(substring(text, CAST(pos + 1 AS INTEGER), 1)) AS b
+          FROM ch)
+        SELECT doc_id, bucket,
+          CAST(SUM(b) AS BIGINT) AS sum_b, COUNT(*) AS n,
+          CAST(SUM(b) AS BIGINT) * 1.0 / COUNT(*) AS mean_b
+        FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

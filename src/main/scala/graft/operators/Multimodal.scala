@@ -86,4 +86,46 @@ object Multimodal {
         element_at($"features", 2).as("f_distinct_bytes"),
         element_at($"features", 3).as("f_mean_byte"))
       .orderBy($"doc_id")
+
+  /** Frame sampling: split each payload into fixed-width frames and
+    * keep every `stride`-th one — the video keyframe-sampling access
+    * pattern (decode only the frames you keep). The frame generator is
+    * a per-row explode over an index sequence, so payloads never
+    * concatenate or shuffle whole; each sampled frame is fingerprinted.
+    * Payloads here are the UTF-8 text stand-in (ASCII ⇒ char == byte),
+    * so frame extraction is an exact substring either engine computes.
+    */
+  def frameSample(documents: DataFrame, frameChars: Int = 64,
+                  stride: Int = 4): DataFrame =
+    documents
+      .filter(length($"text") > 0)
+      .withColumn("n_frames",
+        expr(s"CAST(((length(text) - 1) div $frameChars) + 1 AS INT)"))
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), $"n_frames" - 1, lit(stride))).as("frame_idx"))
+      .withColumn("frame",
+        expr(s"substring(text, frame_idx * $frameChars + 1, $frameChars)"))
+      .select($"doc_id", $"frame_idx",
+        length($"frame").as("frame_len"), md5($"frame").as("frame_md5"))
+      .orderBy($"doc_id", $"frame_idx")
+
+  /** Resize-to-fixed-resolution: 1-D average pooling of the payload's
+    * byte signal into `buckets` cells (the image-resize analog on the
+    * byte stand-in). Bucket assignment is pure integer math
+    * ((pos·buckets) div len), sums are exact longs — results identical
+    * on any partitioning, any engine. Output is long-form
+    * (doc_id, bucket, mean) like the centroid tables.
+    */
+  def resizePool(documents: DataFrame, buckets: Int = 16): DataFrame =
+    documents
+      .filter(length($"text") > 0)
+      .withColumn("len", length($"text"))
+      .select($"doc_id", $"len", posexplode(split($"text", "")).as(Seq("pos", "c")))
+      .filter($"c" =!= "")  // guard against a regex-split trailing empty
+      .withColumn("bucket", expr(s"(pos * $buckets) div len"))
+      .groupBy($"doc_id", $"bucket")
+      .agg(sum(ascii($"c").cast("long")).as("sum_b"), count(lit(1)).as("n"))
+      .withColumn("mean_b", $"sum_b" * 1.0 / $"n")
+      .select($"doc_id", $"bucket", $"sum_b", $"n", $"mean_b")
+      .orderBy($"doc_id", $"bucket")
 }
