@@ -157,6 +157,7 @@ object SparkEntry {
       Similarity.normalizeEmbeddings(Tables.embeddings(s, d))),
     "q85_frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
     "q86_resize_pool" -> ((s, d) => Multimodal.resizePool(Tables.documents(s, d))),
+    "q87_incremental_rollup" -> ((s, d) => Analytics.incrementalRollup(Tables.events(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1067,5 +1068,11 @@ object SparkEntry {
           CAST(SUM(b) AS BIGINT) AS sum_b, COUNT(*) AS n,
           CAST(SUM(b) AS BIGINT) * 1.0 / COUNT(*) AS mean_b
         FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q87_incremental_rollup" ->
+      // the single-pass form: merging per-batch partials must equal it
+      // bit-for-bit (exact-integer algebraic aggregates)
+      """SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -536,6 +536,37 @@ object Analytics {
       .orderBy($"o_custkey", $"valid_from_us", $"o_orderkey")
   }
 
+  /** Merge per-batch partial aggregates into the combined rollup —
+    * the algebraic-aggregate property (count/sum merge by addition)
+    * that incremental materialized views and streaming state stores
+    * run on. Each partial is (key, n, cents); the merge is one
+    * groupBy-sum over the concatenated partials, and because the
+    * partials are exact integers the merged result is bit-identical
+    * to a single-pass aggregation — asserted by the q87 oracle, which
+    * IS the single-pass form.
+    */
+  def mergePartialRollups(partials: Seq[DataFrame]): DataFrame =
+    partials.reduce(_ unionByName _)
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n"), sum($"cents").as("cents"))
+      .withColumn("sum_value", $"cents" / 100.0)
+      .select($"event_type", $"n", $"sum_value")
+      .orderBy($"event_type")
+
+  /** Declared incremental-rollup query (q87): the stream split into
+    * two arrival batches, each partially aggregated, then merged.
+    * Equals the direct single-pass rollup exactly.
+    */
+  def incrementalRollup(events: DataFrame): DataFrame = {
+    def partial(batch: DataFrame): DataFrame =
+      batch.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("cents"))
+    mergePartialRollups(Seq(
+      partial(events.filter($"event_id" % 2 === 0)),
+      partial(events.filter($"event_id" % 2 === 1))))
+  }
+
   /** Latest record per key (Druid LATEST rollup / upsert compaction).
     * This is the canonical "dedup to newest" pattern for CDC streams.
     */

@@ -41,6 +41,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  // Global (unpartitioned) window functions funnel ALL rows through
+  // one task — fatal at 100 TB unless the window input is provably
+  // tiny. Every declared query that plans one must be on this list,
+  // with the reason its input is bounded.
+  private val allowedGlobalWindow = Set(
+    "q60_moving_average",   // daily pre-aggregate: ~30 rows/month
+    "q69_spend_deciles",    // per-customer pre-aggregate; deciles need a total order
+    "q74_bm25_rank")        // window runs AFTER limit(20)
+  test("no query plans a global window over unbounded input") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val globalWindow = plan.linesIterator.exists(_.contains("Window ")) &&
+        plan.contains("Exchange SinglePartition")
+      if (globalWindow) {
+        assert(allowedGlobalWindow.contains(name),
+          s"$name plans a Window over Exchange SinglePartition:\n$plan")
+      }
+    }
+  }
+
   test("narrow projections prune the parquet scan schema") {
     // q02 reads 4 of 11 lineitem columns; the scan must not read more
     val plan = SparkEntry.queries("q02_filter_pushdown")(spark, dir)
