@@ -260,6 +260,56 @@ object EventStream {
     else
       events.dropDuplicates("event_id")
 
+  /** Stream-stream inner join with watermark-bounded state: each click
+    * joined to the same user's purchases within the following hour —
+    * the streaming twin of the q71 funnel step. Both sides carry
+    * watermarks AND the join condition time-bounds purchase_ts against
+    * click_ts, which is what lets Spark expire click state one
+    * hour+delay past event time and purchase state delay past — state
+    * is bounded by rate × horizon, not by history (the requirement for
+    * an always-on join at 100 TB/day; an unbounded-state stream join
+    * is a slow OOM). Works identically on bounded frames for the
+    * stream≡batch spec.
+    */
+  def clickPurchaseJoin(clicks0: DataFrame, purchases0: DataFrame,
+                        streaming: Boolean): DataFrame = {
+    val clicks = {
+      val c = clicks0.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      if (streaming) c.withWatermark("click_ts", "10 minutes") else c
+    }
+    val purchases = {
+      val p = purchases0.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      if (streaming) p.withWatermark("purchase_ts", "10 minutes") else p
+    }
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Drive the stream-stream join over everything in `dir` and return
+    * the joined pairs (memory sink, append mode — inner stream-stream
+    * joins emit exactly-once as the watermark closes match windows).
+    */
+  def runClickPurchaseJoinOnce(spark: SparkSession, dir: String,
+                               name: String = "sjoin"): DataFrame = {
+    val q = clickPurchaseJoin(
+        readEventStream(spark, dir), readEventStream(spark, dir),
+        streaming = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** The production sink path: watermarked rollup in APPEND mode to a
     * durable file sink. Append emits a window exactly once, when the
     * watermark passes its end — the finalize-then-publish semantics a

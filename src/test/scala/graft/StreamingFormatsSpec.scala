@@ -127,6 +127,20 @@ class StreamingFormatsSpec extends AnyFunSuite {
     assert(viaSeam.count() == expected)
   }
 
+  test("stream-stream click-purchase join matches the batch join") {
+    val events = Tables.events(spark, dir)
+    val batch = EventStream.clickPurchaseJoin(events, events, streaming = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = EventStream.runClickPurchaseJoinOnce(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // an inner stream-stream join emits a pair once both sides have
+    // arrived; with the whole directory processed, the final result
+    // must equal the bounded join exactly
+    assert(streamed == batch,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    assert(batch.nonEmpty, "no click-purchase pairs in testdata")
+  }
+
   test("append-mode watermarked rollup matches batch window-by-window") {
     import java.nio.file.Files
     val sink = Files.createTempDirectory("graft_append_sink").toString
