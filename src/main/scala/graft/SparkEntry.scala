@@ -158,6 +158,16 @@ object SparkEntry {
     "q85_frame_sample" -> ((s, d) => Multimodal.frameSample(Tables.documents(s, d))),
     "q86_resize_pool" -> ((s, d) => Multimodal.resizePool(Tables.documents(s, d))),
     "q87_incremental_rollup" -> ((s, d) => Analytics.incrementalRollup(Tables.events(s, d))),
+    "q88_salted_join" -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      operators.Skew.saltedJoin(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")),
+          Tables.customer(s, d)
+            .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+          key = "user_id", idCol = "event_id")
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+        .orderBy(col("event_id"))
+    },
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1074,5 +1084,11 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
         FROM events GROUP BY 1 ORDER BY 1""",
+    "q88_salted_join" ->
+      // the direct join — the salted physical plan must produce the
+      // identical result set
+      """SELECT event_id, user_id, c_mktsegment, value
+        FROM events JOIN customer ON user_id = c_custkey
+        ORDER BY event_id""",
   )
 }

@@ -36,4 +36,24 @@ object Skew {
       .agg(sum($"_n").as("n"), sum($"_s").cast("double").as("sum_value"))
       .orderBy(col(key))
   }
+
+  /** Salted fact⋈dim equi-join for a skewed fact key: the fact side
+    * salts on a stable row-content hash (retry-stable, like
+    * [[saltedAgg]]) and the dim side replicates each row `salts` ways,
+    * so one hot key's rows spread over `salts` reducers instead of
+    * serializing into one. Result set is identical to the direct join —
+    * only the shuffle shape differs (dim grows ×salts, which is the
+    * deliberate trade: dims are small). AQE's skew splitting covers
+    * the same ground adaptively; this is the explicit, planner-
+    * independent form for when the skew is known up front.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 idCol: String, salts: Int = 16): DataFrame = {
+    val saltedFact = fact
+      .withColumn("_salt", pmod(xxhash64(col(idCol)), lit(salts)))
+    val replicatedDim = dim
+      .withColumn("_salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedFact.join(replicatedDim, Seq(key, "_salt"))
+      .drop("_salt")
+  }
 }
