@@ -168,6 +168,7 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
         .orderBy(col("event_id"))
     },
+    "q89_bpeish_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.events(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1090,5 +1091,22 @@ object SparkEntry {
       """SELECT event_id, user_id, c_mktsegment, value
         FROM events JOIN customer ON user_id = c_custkey
         ORDER BY event_id""",
+    "q89_bpeish_tokens" ->
+      // RE2 (DuckDB's regex engine) has no lookahead, so the BPE-ish
+      // split is expressed by its counting identity instead:
+      // n_bpe = whitespace tokens + punctuation marks (each mark
+      // starts a new piece under the lookahead split)
+      """WITH c AS (
+          SELECT event_id,
+            'reach user' || user_id || ' at u' || user_id ||
+            '@example.com or 555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+            ' re ' || event_type AS contact
+          FROM events)
+        SELECT event_id,
+          CAST(len(regexp_split_to_array(trim(contact), '\s+')) AS INTEGER) AS n_ws,
+          CAST(len(regexp_split_to_array(trim(contact), '\s+'))
+            + length(contact)
+            - length(regexp_replace(contact, '[.,;:!?]', '', 'g')) AS INTEGER) AS n_bpe
+        FROM c ORDER BY event_id""",
   )
 }

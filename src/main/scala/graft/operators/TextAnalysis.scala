@@ -129,11 +129,16 @@ object TextAnalysis {
     * raw scraped field); detection counts and the redacted form are
     * pure per-row Column expressions — one scan, no shuffle.
     */
+  /** The synthetic punctuation-bearing contact string derived from an
+    * event row (shared by q41 piiScrub and q89 tokenCounts).
+    */
+  private def contactOf: Column = concat(
+    lit("reach user"), $"user_id", lit(" at u"), $"user_id",
+    lit("@example.com or 555-"), lpad(($"event_id" % 10000).cast("string"), 4, "0"),
+    lit(" re "), $"event_type")
+
   def piiScrub(events: DataFrame): DataFrame = {
-    val contact = concat(
-      lit("reach user"), $"user_id", lit(" at u"), $"user_id",
-      lit("@example.com or 555-"), lpad(($"event_id" % 10000).cast("string"), 4, "0"),
-      lit(" re "), $"event_type")
+    val contact = contactOf
     events
       // generator barrier: contact is referenced by four regex columns;
       // without it CollapseProject re-renders the concat per reference
@@ -209,6 +214,21 @@ object TextAnalysis {
       .select($"doc_id", $"fp_norm", $"fp_min_shingle")
       .orderBy($"doc_id")
   }
+
+  /** Whitespace vs BPE-ish token counts side by side (q89) — the two
+    * token-budget estimates a curation pipeline carries (word-level
+    * and subword-approximation), over the punctuation-bearing contact
+    * strings. The BPE-ish split treats each punctuation mark as its
+    * own token start, so n_bpe = n_ws + punctuation count.
+    */
+  def tokenCounts(events: DataFrame): DataFrame =
+    events
+      // generator barrier, as in piiScrub: contact feeds two counters
+      .select($"event_id", explode(array(contactOf)).as("contact"))
+      .select($"event_id",
+        size(tokens($"contact")).as("n_ws"),
+        bpeishTokenCount($"contact").as("n_bpe"))
+      .orderBy($"event_id")
 
   /** Top-k terms per language by raw frequency (the corpus-vocabulary
     * profile a curation pipeline builds before filtering). One explode
