@@ -181,6 +181,37 @@ object SparkEntry {
   /** q74: fixed query-term set (high-frequency corpus vocabulary). */
   private val Bm25Terms = Seq("data", "query", "spark")
 
+  /** Shared oracle CTE block: word-shingle near-dup pair scoring with
+    * the same stop-shingle DF cap [[operators.Dedup.MaxShingleDf]] the
+    * Spark operator applies (hot shingles leave CANDIDATE GENERATION
+    * only; set sizes keep the full set). Used by q24 (pairs) and q66
+    * (cluster edges) so the two oracles cannot drift apart.
+    */
+  private val nearDupCtes: String =
+    s"""toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(w)-1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM toks WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        hot AS (SELECT s FROM sh GROUP BY s
+                HAVING COUNT(*) > ${operators.Dedup.MaxShingleDf}),
+        shc AS (SELECT doc_id, s FROM sh
+                WHERE s NOT IN (SELECT s FROM hot)),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        scored_pairs AS (
+          SELECT doc_a, doc_b, n_common,
+                 n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+          FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id)"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     * Aggregates of double columns round-trip through DECIMAL(18,2) in
@@ -351,25 +382,8 @@ object SparkEntry {
           MIN(doc_id) AS keeper_doc_id
         FROM documents GROUP BY 1 ORDER BY 1""",
     "q24_dedup_ngram_jaccard" ->
-      """WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-          FROM documents),
-        sh AS (
-          SELECT DISTINCT doc_id,
-            unnest(list_transform(range(1, len(w)-1),
-              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-          FROM toks WHERE len(w) >= 3),
-        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT doc_a, doc_b, n_common, jaccard FROM (
-          SELECT doc_a, doc_b, n_common,
-                 n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-          FROM inter
-          JOIN sizes sa ON doc_a = sa.doc_id
-          JOIN sizes sb ON doc_b = sb.doc_id) t
+      s"""WITH $nearDupCtes
+        SELECT doc_a, doc_b, n_common, jaccard FROM scored_pairs
         WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b""",
     "q27_dedup_embedding" ->
       """WITH q AS (
@@ -593,8 +607,9 @@ object SparkEntry {
          AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN -300000000 AND 300000000
         ORDER BY user_id, event_a, event_b""",
     "q51_cube" ->
-      s"""SELECT CAST(CASE WHEN day IS NULL THEN 2 ELSE 0 END
-            + CASE WHEN event_type IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+      // GROUPING() (not IS NULL) so a data NULL in a grouping column
+      // can never masquerade as a subtotal row
+      s"""SELECT CAST(GROUPING(day) * 2 + GROUPING(event_type) AS BIGINT) AS gid,
           day, event_type, COUNT(*) AS n, ${X.dsum("value")} AS sum_value
         FROM (SELECT date_trunc('day', ts) AS day, event_type, value FROM events) t
         GROUP BY CUBE (day, event_type)
@@ -686,8 +701,7 @@ object SparkEntry {
           COUNT(*) AS n, MIN(value) AS bin_min, MAX(value) AS bin_max
         FROM events GROUP BY 1 ORDER BY 1""",
     "q62_rollup" ->
-      s"""SELECT CAST(CASE WHEN r_name IS NULL THEN 2 ELSE 0 END
-            + CASE WHEN n_name IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+      s"""SELECT CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
           r_name, n_name, COUNT(*) AS n_orders,
           ${X.dsum("o_totalprice")} AS revenue
         FROM orders
@@ -748,27 +762,9 @@ object SparkEntry {
       // reaches node ⇒ propagate along undirected edges; component id
       // = min reachable label (the same fixed point the Spark-side
       // min-label propagation converges to)
-      """WITH RECURSIVE toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-          FROM documents),
-        sh AS (
-          SELECT DISTINCT doc_id,
-            unnest(list_transform(range(1, len(w)-1),
-              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-          FROM toks WHERE len(w) >= 3),
-        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-        inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
+      s"""WITH RECURSIVE $nearDupCtes,
         near AS (
-          SELECT doc_a, doc_b FROM (
-            SELECT doc_a, doc_b,
-                   n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-            FROM inter
-            JOIN sizes sa ON doc_a = sa.doc_id
-            JOIN sizes sb ON doc_b = sb.doc_id) t
-          WHERE jaccard >= 0.1),
+          SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.1),
         hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
         roots AS (SELECT h, MIN(doc_id) AS root FROM hashes GROUP BY 1),
         exact_e AS (
@@ -801,8 +797,7 @@ object SparkEntry {
           FROM documents) t
         WHERE sample_key < threshold ORDER BY doc_id""",
     "q68_grouping_sets" ->
-      """SELECT CAST(CASE WHEN source IS NULL THEN 2 ELSE 0 END
-            + CASE WHEN lang IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+      """SELECT CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
           source, lang, COUNT(*) AS n_docs,
           CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
@@ -930,8 +925,8 @@ object SparkEntry {
             price_cents + 500 AS price_cents, 'U' AS op
           FROM base WHERE o_orderkey % 100 < 10),
         arrivals AS (
-          SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
-            price_cents, 'N' AS op
+          SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM base) + 1 AS o_orderkey,
+            'N' AS o_orderstatus, price_cents, 'N' AS op
           FROM base WHERE o_orderkey % 100 >= 95),
         updates AS (
           SELECT * FROM corrections UNION ALL SELECT * FROM arrivals)

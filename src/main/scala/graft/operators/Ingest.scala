@@ -154,8 +154,14 @@ object Ingest {
     val corrections = base.filter($"o_orderkey" % 100 < 10)
       .select($"o_orderkey", lit("U").as("o_orderstatus"),
         ($"price_cents" + 500L).as("price_cents"), lit("U").as("op"))
+    // arrival keys shift past the OBSERVED max key (1-row broadcast
+    // frame), so they can never collide with a real order at any scale
+    // factor — a constant offset would silently overwrite real rows
+    // once o_orderkey outgrew it
+    val maxKey = base.agg(max($"o_orderkey").as("max_key"))
     val arrivals = base.filter($"o_orderkey" % 100 >= 95)
-      .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+      .crossJoin(broadcast(maxKey))
+      .select(($"o_orderkey" + $"max_key" + 1L).as("o_orderkey"),
         lit("N").as("o_orderstatus"), $"price_cents", lit("N").as("op"))
     upsert(base, corrections.unionByName(arrivals), "o_orderkey")
       .orderBy($"o_orderkey")

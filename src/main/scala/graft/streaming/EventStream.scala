@@ -85,8 +85,7 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
   }
 
   /** A per-user running profile maintained with explicit state —
@@ -172,8 +171,10 @@ object EventStream {
       .writeStream.outputMode("complete")
       .format("memory").queryName(name)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // finally-stop: a query left running after a failure would keep
+    // the shared session's memory sink + queryName occupied and turn
+    // one failure into cascading ones
+    try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
 
@@ -305,8 +306,7 @@ object EventStream {
       .writeStream.outputMode("append")
       .format("memory").queryName(name)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
 
@@ -328,8 +328,7 @@ object EventStream {
       .option("path", sinkDir)
       .option("checkpointLocation", checkpointDir)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     spark.read.parquet(sinkDir)
   }
 }

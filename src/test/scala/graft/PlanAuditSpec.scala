@@ -15,26 +15,40 @@ class PlanAuditSpec extends AnyFunSuite {
   // 10-row side) — that's the designed brute-force baseline, not an
   // accidental cross join.
   // q73/q74 broadcast bounded single-digit-row sides (8 centroids / a
-  // 1-row corpus-stats frame) — designed, like q28/q45.
+  // 1-row corpus-stats frame) — designed, like q28/q45. q15/q75
+  // broadcast 1-row bounds/max-key frames.
   private val allowedNestedLoop =
-    Set("q28_cosine_topk", "q29_ann_lsh", "q45_ann_ivf",
-      "q73_kmeans_step", "q74_bm25_rank")
+    Set("q15_freshness", "q28_cosine_topk", "q29_ann_lsh", "q45_ann_ivf",
+      "q73_kmeans_step", "q74_bm25_rank", "q75_merge_upsert")
+
+  /** Every query's plan, built ONCE and shared by all audit tests —
+    * operators with eager construction steps (q66's propagation
+    * rounds, q83's offset collect) would otherwise re-execute per
+    * test. Value = (executed-plan string, # of logical Windows with an
+    * EMPTY partitionSpec — the semantic definition of a global window,
+    * immune to string-match false positives from unrelated
+    * single-partition exchanges elsewhere in the plan).
+    */
+  private lazy val audited: Map[String, (String, Int)] =
+    SparkEntry.queries.map { case (name, fn) =>
+      val qe = fn(spark, dir).queryExecution
+      val globalWindows = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.size
+      name -> ((qe.executedPlan.toString, globalWindows))
+    }
 
   test("no query plans a CartesianProduct") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+    audited.foreach { case (name, (plan, _)) =>
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")
     }
   }
 
   test("nested-loop joins appear only where a broadcast baseline is intended") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      val hasNlj = plan.contains("BroadcastNestedLoopJoin")
-      if (hasNlj && name == "q15_freshness") {
-        // 1-row bounds frame broadcast — fine by construction
-      } else if (hasNlj) {
+    audited.foreach { case (name, (plan, _)) =>
+      if (plan.contains("BroadcastNestedLoopJoin")) {
         assert(allowedNestedLoop.contains(name),
           s"$name has an unexpected BroadcastNestedLoopJoin:\n$plan")
       }
@@ -50,13 +64,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q69_spend_deciles",    // per-customer pre-aggregate; deciles need a total order
     "q74_bm25_rank")        // window runs AFTER limit(20)
   test("no query plans a global window over unbounded input") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, dir).queryExecution.executedPlan.toString
-      val globalWindow = plan.linesIterator.exists(_.contains("Window ")) &&
-        plan.contains("Exchange SinglePartition")
-      if (globalWindow) {
+    audited.foreach { case (name, (_, globalWindows)) =>
+      if (globalWindows > 0) {
         assert(allowedGlobalWindow.contains(name),
-          s"$name plans a Window over Exchange SinglePartition:\n$plan")
+          s"$name plans $globalWindows logical Window(s) with no partitionSpec")
       }
     }
   }
