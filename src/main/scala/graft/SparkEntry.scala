@@ -169,6 +169,7 @@ object SparkEntry {
         .orderBy(col("event_id"))
     },
     "q89_bpeish_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.events(s, d))),
+    "q90_gap_fill" -> ((s, d) => TimeSeries.gapFill(Tables.events(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1103,5 +1104,24 @@ object SparkEntry {
             + length(contact)
             - length(regexp_replace(contact, '[.,;:!?]', '', 'g')) AS INTEGER) AS n_bpe
         FROM c ORDER BY event_id""",
+    "q90_gap_fill" ->
+      """WITH per_min AS (
+          SELECT event_type, date_trunc('minute', ts) AS minute,
+            COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT event_type, MIN(minute) AS mn, MAX(minute) AS mx
+          FROM per_min GROUP BY 1),
+        spine AS (
+          SELECT event_type,
+            unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute
+          FROM bounds)
+        SELECT s.event_type, s.minute, p.n,
+          last_value(p.n IGNORE NULLS) OVER (
+            PARTITION BY s.event_type ORDER BY s.minute
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled,
+          p.n IS NOT NULL AS observed
+        FROM spine s LEFT JOIN per_min p USING (event_type, minute)
+        ORDER BY s.event_type, s.minute""",
   )
 }

@@ -284,6 +284,32 @@ object TimeSeries {
       .orderBy($"event_type", $"value", $"event_id")
   }
 
+  /** Gap filling: densify each event type's minute series over its
+    * observed [min, max] span and carry the last observation forward
+    * into missing minutes (LOCF) — the interpolation step a
+    * time-series store applies before charting sparse series. The
+    * spine explode is bounded by groups × horizon (not event volume),
+    * the LOCF window partitions by the series key so filling stays
+    * partition-parallel at any key cardinality, and the fill itself
+    * moves exact integers.
+    */
+  def gapFill(events: DataFrame): DataFrame = {
+    val perMin = events
+      .groupBy($"event_type", date_trunc("minute", $"ts").as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val spine = perMin.groupBy($"event_type")
+      .agg(min($"minute").as("mn"), max($"minute").as("mx"))
+      .select($"event_type",
+        explode(sequence($"mn", $"mx", expr("INTERVAL 1 MINUTE"))).as("minute"))
+    val w = Window.partitionBy($"event_type").orderBy($"minute")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(perMin, Seq("event_type", "minute"), "left")
+      .withColumn("observed", $"n".isNotNull)
+      .withColumn("n_filled", last($"n", ignoreNulls = true).over(w))
+      .select($"event_type", $"minute", $"n", $"n_filled", $"observed")
+      .orderBy($"event_type", $"minute")
+  }
+
   /** Retention cohorts: users grouped by their first-activity day,
     * counted on each subsequent active day offset. Activity collapses
     * to distinct (user, day) FIRST — one shuffle on user_id — so the
