@@ -31,6 +31,26 @@ object Formats {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
+  /** ORC round trip — the second columnar lake format (Hive-ecosystem
+    * interchange). Same pushdown/pruning properties as parquet; the
+    * spec asserts filters reach the ORC scan.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw-file ingestion for multimodal corpora: each matched file
+    * becomes one row (path, modificationTime, length, content) with
+    * the payload as an opaque `binary` column — the entry point that
+    * feeds [[graft.operators.Multimodal]]'s decode/feature pipeline
+    * from real image/audio files. Column pruning applies: a query on
+    * metadata only never reads file contents.
+    */
+  def readBinaryFiles(spark: SparkSession, globPath: String): DataFrame =
+    spark.read.format("binaryFile").load(globPath)
+
   /** JDBC extract — the reference's database ETL surface
     * (database_etl.py:20-129: `pd.read_sql` from PostgreSQL/MySQL,
     * single-connection, whole-table into driver memory). Spark-first

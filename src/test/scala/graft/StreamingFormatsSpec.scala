@@ -116,6 +116,39 @@ class StreamingFormatsSpec extends AnyFunSuite {
     assert(parsed.filter(col("kind").isNull).count() == 0)
   }
 
+  test("orc round trip preserves the events table and pushes filters to the scan") {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val path = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Formats.writeOrc(events, path)
+    val back = Formats.readOrc(spark, path)
+    assert(back.count() == events.count())
+    assert(back.exceptAll(events).isEmpty && events.exceptAll(back).isEmpty)
+    val plan = back.filter(col("event_type") === "click")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
+      s"no pushed filter in ORC scan:\n$plan")
+  }
+
+  test("binaryFile source feeds the multimodal decode pipeline") {
+    import graft.operators.Multimodal
+    val bin = Formats.readBinaryFiles(spark, s"$dir/events.parquet")
+    val row = bin.select(col("path"), col("length"), col("content")).collect()(0)
+    val onDisk = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    assert(row.getLong(1) == onDisk, "binaryFile length != file size")
+    assert(row.getAs[Array[Byte]](2).length == onDisk.toInt,
+      "payload not fully materialized")
+    // the opaque payload drops straight into the batched decoder
+    val feats = Multimodal.MediaDecoder.decodeBatch(
+      Iterator((1L, "binary", row.getAs[Array[Byte]](2)))).toSeq
+    assert(feats.head.n_bytes == onDisk)
+    // metadata-only projection must not read file contents
+    val metaPlan = bin.select("path", "length")
+      .queryExecution.executedPlan.toString
+    assert(!metaPlan.contains("content"), s"content not pruned:\n$metaPlan")
+  }
+
   test("adapter seam reads through an explicit scheme URI and format name") {
     // the s3a://-shaped code path on the local scheme: same reader,
     // same options surface, only the scheme/jar differ in deployment.
