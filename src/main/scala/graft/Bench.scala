@@ -3,18 +3,56 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints ONE small JSON line with the totals.
   *
   * Each query is fully materialized through the `noop` sink — a
   * `count()` would let Catalyst prune/skip most of the work for
   * projection-only queries (parquet row-group counts), understating
   * real cost. A small warmup query first absorbs one-time JVM/codegen/
   * Hadoop-client init so per-query numbers reflect steady state.
+  *
+  * Output contract: the harness that grades the bench captures only a
+  * bounded tail (~2.9 KB) of stdout and parses the LAST JSON line. At
+  * 90 queries a full per-query map is ~3.3 KB, so the map head falls
+  * outside the window and the line is unparseable (this happened in
+  * two consecutive rounds). The fix: the full per-query map goes to a
+  * sidecar file (bench_detail.json) and the printed line carries only
+  * the total, the count, and the 5 slowest queries. BenchLineSpec
+  * asserts the rendered line stays under 2.0 KB at the current catalog
+  * size — the previous "%.3f" shrink had no such guard and silently
+  * stopped being enough as the catalog grew.
   */
 object Bench {
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Render the small driver-facing summary line. `queries` carries
+    * only the `worstK` slowest entries so the line's size is bounded
+    * by K, not by the catalog size.
+    */
+  def renderLine(results: Seq[(String, Double)], sfDir: String,
+                 detailFile: String, worstK: Int = 5): String = {
+    val total = results.map(_._2).sum
+    val worst = results.sortBy(-_._2).take(worstK)
+    val qs = worst.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"detail":"$detailFile","sf":"$sfDir"}"""
+  }
+
+  /** Full per-query map, written to the sidecar file. */
+  def renderDetail(results: Seq[(String, Double)], sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val detailFile =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val spark = Engine.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -40,16 +78,14 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // millisecond precision keeps the whole line under ~2 KB for 75+
-    // queries — the driver captures a bounded stdout tail and a line
-    // whose start falls outside it is unparseable (full-precision
-    // doubles overflowed the window in round 2)
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(detailFile),
+      renderDetail(results, sfDir).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
     spark.stop()
+    // printed after spark.stop() so the summary is the LAST stdout
+    // line no matter what the session logs during shutdown
+    println(renderLine(results, sfDir, detailFile))
   }
 }

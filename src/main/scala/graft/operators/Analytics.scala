@@ -439,24 +439,57 @@ object Analytics {
       .select($"gid", $"source", $"lang", $"n_docs", $"total_chars")
       .orderBy($"gid", $"source".asc_nulls_first, $"lang".asc_nulls_first)
 
-  /** Customer spend deciles: exact integer-cents totals, then ntile +
-    * percent_rank over the aggregated customer list. The global window
-    * runs on post-aggregate rows (one per customer) — fine for this
-    * catalog's documented tiny-output exception; at billions of
-    * customers the scale path is decile BOUNDARIES via
-    * approx_percentile (q64's sketch family) joined back as a range
-    * lookup instead of a total order.
+  /** Customer spend deciles: exact integer-cents totals, then exact
+    * ntile(10) + percent_rank derived from a DISTRIBUTED total-order
+    * rank — no global single-partition window. Customer count grows
+    * with the data, so `Window.orderBy(cents)` would funnel every
+    * customer through one task at scale; instead the rank is computed
+    * with the same two-phase scan as [[Sampling.prefixShards]]:
+    * range-partition on the sort key, per-partition row_number, and a
+    * bounded one-row-per-partition count gather whose running sum
+    * becomes each partition's rank offset. ntile's bucket function of
+    * (rank, n) is then pure per-row arithmetic — SQL ntile fills the
+    * first (n mod 10) buckets with ceil(n/10) rows and the rest with
+    * floor(n/10) — and percent_rank is (rank-1)/(n-1) exactly because
+    * the sort key (cents desc, custkey) is unique (no peer groups).
+    * Every stage is partition-parallel; the plan survives a 100×
+    * customer scale-up by raising `parts`.
     */
-  def spendDeciles(orders: DataFrame): DataFrame = {
+  def spendDeciles(orders: DataFrame, parts: Int = 32): DataFrame = {
+    val spark = orders.sparkSession
     val spend = orders.groupBy($"o_custkey")
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"),
         count(lit(1)).as("n_orders"))
-    val w = Window.orderBy($"cents".desc, $"o_custkey")
-    spend
-      .withColumn("decile", ntile(10).over(w))
-      .withColumn("pct_rank", percent_rank().over(w))
+    // checkpoint pins the sampled range boundaries so the offset
+    // gather and the final pass see the SAME partitioning
+    val ranged = spend.repartitionByRange(parts, $"cents".desc, $"o_custkey")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val perPart = ranged.groupBy($"pid").agg(count(lit(1)).as("pcnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = perPart.map(_._2).sum
+    val offsets = perPart.map(_._1).zip(perPart.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = broadcast(spark.createDataFrame(offsets.toSeq)
+      .toDF("pid", "offset"))
+    val wLocal = Window.partitionBy($"pid")
+      .orderBy($"cents".desc, $"o_custkey")
+    // ntile(10) closed form at rank r (1-based): q = n div 10 rows in
+    // the tail buckets, the first rmd = n mod 10 buckets take q+1
+    val q = n / 10L
+    val rmd = n % 10L
+    val headRows = (q + 1L) * rmd
+    val rank = $"offset" + row_number().over(wLocal)
+    val decile =
+      when(lit(q) === 0L, rank) // n < 10: one row per bucket
+        .when(rank <= headRows, (rank - 1L) / (q + 1L) + 1L)
+        .otherwise(lit(rmd) + (rank - 1L - headRows) / q + 1L)
+    val pctRank =
+      if (n <= 1L) lit(0.0)
+      else (rank - 1L).cast("double") / lit((n - 1L).toDouble)
+    ranged.join(offDf, Seq("pid"))
       .select($"o_custkey", ($"cents" / 100.0).as("total_spend"),
-        $"n_orders", $"decile", $"pct_rank")
+        $"n_orders", decile.cast("int").as("decile"),
+        pctRank.as("pct_rank"))
       .orderBy($"o_custkey")
   }
 

@@ -61,7 +61,6 @@ class PlanAuditSpec extends AnyFunSuite {
   // with the reason its input is bounded.
   private val allowedGlobalWindow = Set(
     "q60_moving_average",   // daily pre-aggregate: ~30 rows/month
-    "q69_spend_deciles",    // per-customer pre-aggregate; deciles need a total order
     "q74_bm25_rank")        // window runs AFTER limit(20)
   test("no query plans a global window over unbounded input") {
     audited.foreach { case (name, (_, globalWindows)) =>
