@@ -229,8 +229,13 @@ object Dedup {
     // the certificate sum runs in decimal(38,0): a long sum could
     // overflow at 100 TB id ranges and a wrapped sum could fake a
     // fixed point
+    // coalesce: on an empty input sum() is NULL and getDecimal would
+    // return null, NPE-ing the convergence compare — an empty corpus
+    // must yield an empty result, not a crash
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"label".cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum($"label".cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -137,10 +137,30 @@ object Ingest {
     * cost; with base and updates bucketed on the key (see
     * [[graft.sources.Bucketed]]) it is shuffle-free. Schemas must
     * align by name (unionByName enforces it).
+    *
+    * CDC batches routinely carry SEVERAL rows per key; latest must win
+    * within the batch too, or the merged output has duplicate keys.
+    * Pass `versionCol` (a total order within each key — ties broken
+    * arbitrarily would be nondeterministic, so it must be unique per
+    * key) and the batch is first reduced to one winning row per key
+    * via a key-partitioned window — the same shuffle key as the
+    * anti-join, so AQE/bucketing reuse applies. With `versionCol`
+    * empty the CALLER asserts the batch is already key-unique (q75's
+    * corrections/arrivals are disjoint by construction).
     */
-  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
-    updates.unionByName(
-      base.join(updates.select(key), Seq(key), "left_anti"))
+  def upsert(base: DataFrame, updates: DataFrame, key: String,
+             versionCol: String = ""): DataFrame = {
+    val latest =
+      if (versionCol.isEmpty) updates
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(col(versionCol).desc)
+        updates.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    latest.unionByName(
+      base.join(latest.select(key), Seq(key), "left_anti"))
+  }
 
   /** Declared upsert query (q75): a deterministic CDC batch against
     * the orders snapshot — ~10% price corrections (op=U) and ~5% new

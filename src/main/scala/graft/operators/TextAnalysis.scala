@@ -131,6 +131,14 @@ object TextAnalysis {
     */
   /** The synthetic punctuation-bearing contact string derived from an
     * event row (shared by q41 piiScrub and q89 tokenCounts).
+    *
+    * FORMAT PRECONDITION for q89's oracle: the counting identity
+    * n_bpe = n_ws + punct_count holds only while no [.,;:!?] mark sits
+    * at a token START (i.e. adjacent to whitespace or another mark) —
+    * here every mark is embedded inside a token ("@example.com",
+    * "555-NNNN"). Changing this format can silently invalidate the
+    * identity rather than the operator; the hash gate would catch the
+    * mismatch, this note makes the failure diagnosable.
     */
   private def contactOf: Column = concat(
     lit("reach user"), $"user_id", lit(" at u"), $"user_id",

@@ -36,11 +36,17 @@ object Bucketed {
     // percent-encoded) — resolve through URI so the delete target is
     // the real directory in every form, not a stripPrefix guess
     val whConf = spark.conf.get("spark.sql.warehouse.dir")
-    val uri = new java.net.URI(whConf)
     val wh =
-      if (uri.getScheme == "file" && uri.getPath != null) uri.getPath
-      else if (uri.getScheme == null) whConf
-      else sys.error(s"non-local warehouse dir not supported here: $whConf")
+      try {
+        val uri = new java.net.URI(whConf)
+        if (uri.getScheme == "file" && uri.getPath != null) uri.getPath
+        else if (uri.getScheme == null) whConf
+        else sys.error(s"non-local warehouse dir not supported here: $whConf")
+      } catch {
+        // a plain local path with spaces or other URI-illegal chars
+        // isn't a URI at all — use it verbatim
+        case _: java.net.URISyntaxException => whConf
+      }
     val p = java.nio.file.Paths.get(wh, table)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
 object CatalogMeta {
 
   /** One row per (table, column): name, type, plus table row counts.
-    * Row counts come from parquet metadata (no full scan).
+    * Row counts run through the regular parquet reader as zero-column
+    * count aggregates (metadata-only answers would need DSv2 aggregate
+    * pushdown, `spark.sql.parquet.aggregatePushdown`, off by default);
+    * the win here is job shape, not scan avoidance:
     *
     * Schema enumeration is driver-side metadata (footer reads — cheap
     * and unavoidable), but the row counts run as ONE unioned Spark job

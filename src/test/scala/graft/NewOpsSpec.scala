@@ -181,4 +181,25 @@ class NewOpsSpec extends AnyFunSuite {
       .filter(col("price_cents") =!= col("orig") + 500L)
     assert(bad.count() == 0, "correction did not win the merge")
   }
+
+  test("upsert: versionCol reduces a multi-row-per-key CDC batch to latest") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L))
+      .toDF("k", "payload", "ver")
+    // key 1 appears three times in one batch — latest (ver=3) must win
+    val updates = Seq((1L, "u1", 1L), (1L, "u2", 2L), (1L, "u3", 3L),
+      (3L, "n1", 1L)).toDF("k", "payload", "ver")
+    val merged = Ingest.upsert(base, updates, "k", versionCol = "ver")
+      .orderBy("k").collect()
+    assert(merged.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(merged.find(_.getLong(0) == 1L).get.getString(1) == "u3",
+      "latest version did not win within the batch")
+    assert(merged.find(_.getLong(0) == 2L).get.getString(1) == "b",
+      "unmatched base row lost")
+  }
+
+  test("dup clusters: empty input yields empty output, not a crash") {
+    val docs = Tables.documents(spark, dir).filter(lit(false))
+    assert(Dedup.dupClusters(docs).count() == 0)
+  }
 }
