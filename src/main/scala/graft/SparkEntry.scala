@@ -90,8 +90,11 @@ object SparkEntry {
     "q45_ann_ivf" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "q46_label_centroids" -> ((s, d) => Similarity.labelCentroids(Tables.embeddings(s, d))),
     "q47_new_high_alerts" -> ((s, d) =>
-      EventStream.newHighAlerts(Tables.events(s, d)).toDF()
-        .orderBy("user_id", "ts_us", "value")),
+      // batch twin: the stateful flatMapGroupsWithState form would
+      // buffer full per-user history in batch mode; the window plan is
+      // the scalable batch expression of the same semantics
+      // (equivalence spec'd in StreamingFormatsSpec)
+      EventStream.newHighAlertsBatch(Tables.events(s, d))),
     "q48_asof_join" -> { (s, d) =>
       import org.apache.spark.sql.functions.{col, max}
       val o = Tables.orders(s, d)

@@ -134,8 +134,35 @@ object EventStream {
     * State per user is one double. Events are ordered by event time
     * inside the group before folding, so results are deterministic
     * regardless of arrival order.
+    *
+    * The in-operator sort buffers one group's rows FOR THE CURRENT
+    * MICRO-BATCH only — bounded by trigger size, which is the memory
+    * contract this operator is designed for. Running it over full
+    * batch history would buffer a user's entire history in one
+    * iterator; the batch-mode declared query (q47) therefore uses
+    * [[newHighAlertsBatch]], and batch execution of this stateful
+    * form exists only in the spec harness's equivalence check.
     */
   final case class Alert(user_id: Long, ts_us: Long, value: Double, prev_max: Double)
+
+  /** Batch twin of [[newHighAlerts]]: record highs via a per-user
+    * running-max window — fully declarative, no state operator, no
+    * group buffering. The window partitions on user_id (never global),
+    * so the plan scales with users; within a user the running max is
+    * a streaming frame (O(1) per row). This is THE batch plan at
+    * 100 TB and the declared q47 query.
+    */
+  def newHighAlertsBatch(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events
+      .withColumn("prev_max_raw", max(col("value")).over(w))
+      .filter(col("prev_max_raw").isNull || col("value") > col("prev_max_raw"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"),
+        coalesce(col("prev_max_raw"), lit(Double.NegativeInfinity)).as("prev_max"))
+      .orderBy(col("user_id"), col("ts_us"), col("value"))
+  }
 
   def newHighAlerts(events: DataFrame): org.apache.spark.sql.Dataset[Alert] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -273,7 +300,8 @@ object EventStream {
     * stream≡batch spec.
     */
   def clickPurchaseJoin(clicks0: DataFrame, purchases0: DataFrame,
-                        streaming: Boolean): DataFrame = {
+                        streaming: Boolean,
+                        joinType: String = "inner"): DataFrame = {
     val clicks = {
       val c = clicks0.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"),
@@ -289,20 +317,40 @@ object EventStream {
     clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
   }
+
+  /** Left-outer stream-stream join: every click, with its purchase
+    * within the hour or NULL purchase columns if none arrived — the
+    * abandonment detector. Same watermark + time-bound state contract
+    * as the inner form; the extra semantics is WHEN a null row can be
+    * emitted: only once the GLOBAL watermark — the MIN across both
+    * inputs under the default multipleWatermarkPolicy, each side
+    * tracking only its own events — has passed the click's entire
+    * match window (click_ts + 1 h + delay), because until then a
+    * matching purchase could still arrive. Consequence: clicks whose
+    * window is still open when the stream pauses have emitted nothing
+    * yet — exactly-once abandonment, never a premature null. The
+    * stream≡batch spec checks matched rows exactly and null rows on
+    * the watermark-expired prefix.
+    */
+  def clickAbandonment(clicks0: DataFrame, purchases0: DataFrame,
+                       streaming: Boolean): DataFrame =
+    clickPurchaseJoin(clicks0, purchases0, streaming, "left_outer")
 
   /** Drive the stream-stream join over everything in `dir` and return
     * the joined pairs (memory sink, append mode — inner stream-stream
     * joins emit exactly-once as the watermark closes match windows).
     */
   def runClickPurchaseJoinOnce(spark: SparkSession, dir: String,
-                               name: String = "sjoin"): DataFrame = {
+                               name: String = "sjoin",
+                               joinType: String = "inner"): DataFrame = {
     val q = clickPurchaseJoin(
         readEventStream(spark, dir), readEventStream(spark, dir),
-        streaming = true)
+        streaming = true, joinType)
       .writeStream.outputMode("append")
       .format("memory").queryName(name)
       .start()

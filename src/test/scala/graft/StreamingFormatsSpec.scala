@@ -61,19 +61,17 @@ class StreamingFormatsSpec extends AnyFunSuite {
       Tables.events(spark, dir).filter(col("event_type") === "click").count())
   }
 
-  test("flatMapGroupsWithState new-high alerts equal window-based computation") {
-    import org.apache.spark.sql.expressions.Window
+  test("flatMapGroupsWithState new-high alerts equal the batch window twin") {
+    // the stateful operator's batch execution exists only for this
+    // equivalence check (its in-operator sort is micro-batch-bounded
+    // in streaming); the declared q47 runs newHighAlertsBatch
     val events = Tables.events(spark, dir)
     val got = EventStream.newHighAlerts(events)
-      .collect().map(a => (a.user_id, a.ts_us, a.value)).toSet
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("value"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val expected = events
-      .withColumn("prev_max", max(col("value")).over(w))
-      .filter(col("prev_max").isNull || col("value") > col("prev_max"))
-      .select(col("user_id"), unix_micros(col("ts")), col("value"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(a => (a.user_id, a.ts_us, a.value, a.prev_max)).toSet
+    val expected = EventStream.newHighAlertsBatch(events)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
     assert(got == expected,
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
@@ -172,6 +170,43 @@ class StreamingFormatsSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
     assert(batch.nonEmpty, "no click-purchase pairs in testdata")
+  }
+
+  test("left-outer stream-stream join: exact matches, nulls only past the watermark") {
+    val events = Tables.events(spark, dir)
+    val streamed = EventStream
+      .runClickPurchaseJoinOnce(spark, dir, "sjoin_lo", "left_outer").collect()
+    val batch = EventStream.clickAbandonment(events, events, streaming = false)
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    val sMatched = streamed.filter(!_.isNullAt(2)).map(key).toSet
+    val bMatched = batch.filter(!_.isNullAt(2)).map(key).toSet
+    // matched rows are watermark-independent: must equal batch exactly
+    assert(sMatched == bMatched,
+      s"missing=${(bMatched -- sMatched).take(3)} extra=${(sMatched -- bMatched).take(3)}")
+    // a null row may only be emitted once the GLOBAL watermark passed
+    // the click's whole match window. The global watermark is the MIN
+    // across both inputs (multipleWatermarkPolicy=min), and each
+    // side's watermark tracks only ITS events: min(max click_ts,
+    // max purchase_ts) - 10min delay. Every no-purchase click whose
+    // window (click_ts + 1h) sits a 10min slack below that MUST have
+    // its null row, and no null row may name a click that batch says
+    // had a purchase
+    val sNull = streamed.filter(_.isNullAt(2)).map(r => r.getLong(1)).toSet
+    val bNullAll = batch.filter(_.isNullAt(2)).map(r => r.getLong(1)).toSet
+    assert(sNull.subsetOf(bNullAll),
+      s"premature/spurious null rows: ${(sNull -- bNullAll).take(3)}")
+    val sideMax = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type")).agg(max(unix_micros(col("ts"))).as("m"))
+      .collect().map(_.getLong(1)).min
+    val safeUs = sideMax - (60L + 20L) * 60L * 1000000L
+    val bNullSafe = batch.filter(r => r.isNullAt(2) &&
+      r.getTimestamp(3).getTime * 1000L < safeUs).map(r => r.getLong(1)).toSet
+    assert(bNullSafe.subsetOf(sNull),
+      s"expired clicks missing their null row: ${(bNullSafe -- sNull).take(3)}")
+    assert(bNullSafe.nonEmpty, "spec vacuous: no safely-expired abandoned clicks")
   }
 
   test("append-mode watermarked rollup matches batch window-by-window") {
