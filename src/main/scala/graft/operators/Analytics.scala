@@ -322,11 +322,102 @@ object Analytics {
       .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"), $"dist")
   }
 
-  def fuzzyPartNames(part: DataFrame, maxDist: Int = 2): DataFrame = {
+  /** PassJoin-style dictionary-pair stage: the scale fallback for
+    * [[fuzzyNamePairs]] when the distinct-name dictionary outgrows
+    * broadcast/length-bucket range. Pigeonhole: with ≤ d edits and a
+    * name partitioned into d+1 even segments, at least one segment is
+    * untouched and therefore occurs VERBATIM in the other name,
+    * shifted by at most d positions. Candidate generation is then an
+    * EQUI-join — (segment index, claimed length, substring text) —
+    * between each name's segments and each name's position-bounded
+    * substrings, never an all-pairs kernel; per name the generated
+    * substring set is a small constant ((d+1) segments × (2d+1)
+    * lengths × (2d+1) positions). Candidates are verified with the
+    * same thresholded levenshtein.
+    *
+    * The pigeonhole argument needs every segment nonempty, i.e.
+    * names of length ≥ d+1 on the segment side; pairs whose longer
+    * member is shorter than that (both names ≤ 2d chars) go through
+    * the length-bucket path restricted to that tiny subset. Output
+    * contract matches [[fuzzyNamePairs]] exactly: ordered pairs, both
+    * directions, identical-name diagonal at dist 0.
+    */
+  def fuzzyNamePairsPassJoin(part: DataFrame, maxDist: Int = 2): DataFrame = {
+    val k = maxDist + 1
+    val names = part.select($"p_name").distinct()
+
+    // segment side: names long enough that all k segments are nonempty
+    val ys = names
+      .withColumn("ly", length($"p_name"))
+      .filter($"ly" >= k)
+      .withColumn("i", explode(sequence(lit(0), lit(maxDist))))
+      .withColumn("seg_len",
+        when($"i" < $"ly" % k, expr(s"ly div $k") + 1)
+          .otherwise(expr(s"ly div $k")))
+      .withColumn("seg_start",
+        $"i" * expr(s"ly div $k") + least($"i", $"ly" % k) + 1)
+      .select($"p_name".as("name_b"), $"ly", $"i",
+        $"p_name".substr($"seg_start", $"seg_len").as("seg"), $"seg_start")
+
+    // substring side: for each name, every substring that could equal
+    // segment i of a partner of claimed length L (L within ±d, start
+    // within ±d of the segment's home position)
+    val xs = names
+      .withColumn("lx", length($"p_name"))
+      .withColumn("i", explode(sequence(lit(0), lit(maxDist))))
+      .withColumn("L",
+        explode(sequence(greatest($"lx" - maxDist, lit(k)), $"lx" + maxDist)))
+      .withColumn("seg_len",
+        when($"i" < $"L" % k, expr(s"L div $k") + 1)
+          .otherwise(expr(s"L div $k")))
+      .withColumn("home",
+        $"i" * expr(s"L div $k") + least($"i", $"L" % k) + 1)
+      .withColumn("p_lo", greatest($"home" - maxDist, lit(1)))
+      .withColumn("p_hi", least($"home" + maxDist, $"lx" - $"seg_len" + 1))
+      // explode(NULL) emits no rows — the empty-window guard
+      .withColumn("p",
+        explode(when($"p_lo" <= $"p_hi", sequence($"p_lo", $"p_hi"))))
+      .select($"p_name".as("name_a"), $"i", $"L",
+        $"p_name".substr($"p", $"seg_len").as("sub"))
+
+    val longCands = xs.join(ys,
+        xs("i") === ys("i") && xs("L") === ys("ly") && xs("sub") === ys("seg"))
+      .select($"name_a", $"name_b")
+
+    // both-short pairs (longer member ≤ 2d chars): the pigeonhole can
+    // land on an empty segment there, so run the tiny subset through
+    // the length-bucket equi-join instead
+    val shorts = names.filter(length($"p_name") <= 2 * maxDist)
+    val lbShort = floor(length($"p_name") / k)
+    val sx = shorts.withColumn("lb", lbShort)
+    val sy = shorts.withColumn("lb",
+      explode(array((-1 to 1).map(d => lbShort + d): _*)))
+    val shortCands = sx.as("x").join(sy.as("y"), col("x.lb") === col("y.lb"))
+      .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"))
+
+    longCands.union(shortCands)
+      .dropDuplicates("name_a", "name_b")
+      .filter(abs(length($"name_a") - length($"name_b")) <= maxDist)
+      .withColumn("dist", levenshtein($"name_a", $"name_b", maxDist))
+      .filter($"dist" >= 0)
+      .select($"name_a", $"name_b", $"dist")
+  }
+
+  /** `largeDict = true` swaps the dictionary-pair stage to the
+    * PassJoin segment equi-join and drops the broadcast hint on the
+    * pair table (AQE picks the join strategy from the measured size) —
+    * the plan for a vocabulary that outgrows the driver. Row-side
+    * expansion joins are identical either way, as is the output.
+    */
+  def fuzzyPartNames(part: DataFrame, maxDist: Int = 2,
+                     largeDict: Boolean = false): DataFrame = {
     val p = part.select($"p_partkey", $"p_brand", $"p_name")
-    val namePairs = fuzzyNamePairs(p, maxDist)
+    val namePairs0 =
+      if (largeDict) fuzzyNamePairsPassJoin(p, maxDist)
+      else fuzzyNamePairs(p, maxDist)
+    val namePairs = if (largeDict) namePairs0 else broadcast(namePairs0)
     p.as("a")
-      .join(broadcast(namePairs), col("a.p_name") === $"name_a")
+      .join(namePairs, col("a.p_name") === $"name_a")
       .join(p.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
         $"name_b" === col("b.p_name") &&

@@ -90,13 +90,20 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Number of MinHash functions and LSH banding (16 bands × 2 rows:
-    * catches J≈0.1+ candidates on the synthetic corpus; production
-    * would use 128 hashes, bands tuned to the target threshold).
+  /** Number of MinHash functions and LSH banding. The declared q25
+    * runs 32 hashes in 16 bands × 2 rows (catches J≈0.1+ candidates on
+    * the synthetic corpus and keeps its output contract stable); the
+    * production configuration is 128 hashes in 64 bands × 2 rows —
+    * same τ operating point ((1/b)^(1/r) = (1/64)^(1/2) ≈ 0.125) with
+    * 4× lower estimator variance, so est_jaccard is tight enough to
+    * threshold on. Both are spec-verified against exact Jaccard
+    * (DedupSimilaritySpec); signature cost scales linearly in k and
+    * the banded join stays an equi-join at any k.
     */
   val MinHashK = 32
   val Bands = 16
-  private val RowsPerBand = MinHashK / Bands
+  val ProdMinHashK = 128
+  val ProdBands = 64
 
   /** MinHash signatures: k independent hash functions (the shingle
     * hash rehashed with the function index as seed, min per document)
@@ -109,30 +116,34 @@ object Dedup {
     * shuffle is map-side combined (partial min), so only k longs per
     * doc cross the wire — fine at any scale.
     */
-  def minhashSignatures(documents: DataFrame, n: Int = 3): DataFrame = {
+  def minhashSignatures(documents: DataFrame, n: Int = 3,
+                        k: Int = MinHashK): DataFrame = {
     val sh = documents
       .withColumn("w", TextAnalysis.tokens($"text"))
       .select($"doc_id",
         explode(array_distinct(
           transform(TextAnalysis.shinglesOf($"w", n), s => xxhash64(s)))).as("h"))
-    val sigCols = (0 until MinHashK).map { i =>
+    val sigCols = (0 until k).map { i =>
       min(xxhash64(lit(i), $"h")).as(s"m$i")
     }
     sh.groupBy($"doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
-      .select($"doc_id", array((0 until MinHashK).map(i => col(s"m$i")): _*).as("sig"))
+      .select($"doc_id", array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH candidate pairs with estimated Jaccard (fraction of
     * matching signature components). Join is blocked on (band,
     * band-hash) — candidate generation never compares all pairs.
     */
-  def minhashLsh(documents: DataFrame, n: Int = 3, tauEst: Double = 0.1): DataFrame = {
-    val sigs = minhashSignatures(documents, n)
+  def minhashLsh(documents: DataFrame, n: Int = 3, tauEst: Double = 0.1,
+                 k: Int = MinHashK, bands: Int = Bands): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rowsPerBand = k / bands
+    val sigs = minhashSignatures(documents, n, k)
     val banded = sigs.select($"doc_id", $"sig",
-        explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key",
-        xxhash64($"band", slice($"sig", $"band" * RowsPerBand + 1, lit(RowsPerBand))))
+        xxhash64($"band", slice($"sig", $"band" * rowsPerBand + 1, lit(rowsPerBand))))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
@@ -143,7 +154,7 @@ object Dedup {
     cands
       .withColumn("est_jaccard",
         size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y), b => b))
-          * 1.0 / MinHashK)
+          * 1.0 / k)
       .filter($"est_jaccard" >= tauEst)
       .select($"doc_a", $"doc_b", $"est_jaccard")
       .orderBy($"doc_a", $"doc_b")

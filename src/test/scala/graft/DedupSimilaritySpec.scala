@@ -35,14 +35,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"unrelated doc paired: $pairs")
   }
 
-  test("minhash LSH recall vs exact jaccard on documents table") {
+  test("minhash LSH recall vs exact jaccard on documents table (declared K and production K)") {
     val docs = Tables.documents(spark, dir)
     val exact = Dedup.ngramJaccard(docs, tau = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // declared q25 config: K=32, 16 bands
     val lsh = Dedup.minhashLsh(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.subsetOf(lsh),
       s"LSH missed high-jaccard pairs: ${exact -- lsh}")
+    // production config: K=128, 64 bands — same τ operating point,
+    // 4× lower estimator variance; must not lose any true pair either
+    val prod = Dedup.minhashLsh(docs,
+        k = Dedup.ProdMinHashK, bands = Dedup.ProdBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(prod),
+      s"production-K LSH missed high-jaccard pairs: ${exact -- prod}")
+  }
+
+  test("production-K est_jaccard is tighter than declared-K on planted near-dup") {
+    // doc 1 vs 3 differ by one trailing word: true jaccard is high but
+    // not 1.0; the K=128 estimate must land within 0.25 of the exact
+    // value (binomial sd at K=128 ≈ 0.04, so 0.25 is a loose bound
+    // that still catches a broken banding/slice)
+    val docs = docsWithPlantedDup
+    val exactJ = Dedup.ngramJaccard(docs, tau = 0.01)
+      .filter("doc_a = 1 AND doc_b = 3")
+      .collect()(0).getDouble(3)
+    val estJ = Dedup.minhashLsh(docs,
+        k = Dedup.ProdMinHashK, bands = Dedup.ProdBands)
+      .filter("doc_a = 1 AND doc_b = 3")
+      .collect()(0).getDouble(2)
+    assert(math.abs(estJ - exactJ) <= 0.25,
+      s"est=$estJ exact=$exactJ drift too large for K=128")
   }
 
   test("jaccard stop-shingle cap drops hot-shingle-only candidates, keeps real dups") {

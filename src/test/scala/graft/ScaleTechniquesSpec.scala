@@ -83,6 +83,41 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"candidate pairs grew ${growthCand}× on ${growthData}× data — blocking regressed")
   }
 
+  test("PassJoin dictionary pairs equal the length-bucket path, incl. short names") {
+    import spark.implicits._
+    // synthetic dictionary stressing every regime: long names with
+    // 1-2 edit mutations (substitution, deletion, insertion), very
+    // short names (the empty-segment pigeonhole edge the short path
+    // exists for), and unrelated fillers
+    val base = (0 until 60).map(i => f"antique chartreuse gadget $i%03d")
+    val mutated = base.flatMap { s =>
+      Seq(s,
+        s.updated(3, 'x'),                       // 1 substitution
+        s.patch(5, "", 1),                       // 1 deletion
+        s.patch(8, "zz", 0),                     // 2 insertions
+        s.reverse)                               // far (filtered out)
+    }
+    val shorts = Seq("a", "ab", "abc", "abd", "xy", "x", "", "zzzz")
+    val names = (mutated ++ shorts).distinct.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("p_partkey", "p_name")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val bucket = pairSet(operators.Analytics.fuzzyNamePairs(names))
+    val pass = pairSet(operators.Analytics.fuzzyNamePairsPassJoin(names))
+    assert(pass == bucket,
+      s"missing=${(bucket -- pass).take(5)} extra=${(pass -- bucket).take(5)}")
+    assert(bucket.exists(p => p._3 > 0), "spec vacuous: no nonzero-dist pairs")
+  }
+
+  test("largeDict fuzzy join output equals the broadcast path on the part table") {
+    val part = Tables.part(spark, dir)
+    def rows(largeDict: Boolean) =
+      operators.Analytics.fuzzyPartNames(part, largeDict = largeDict)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        .toSet
+    assert(rows(largeDict = true) == rows(largeDict = false))
+  }
+
   test("pipeline runner executes stages in order with failure isolation") {
     val out = Pipeline.run(spark, Seq(
       Pipeline.stage("load_events")(s => Tables.events(s, dir)),
