@@ -1,0 +1,158 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.NetCdf
+
+/** Classic-NetCDF reader spec. The fixtures are hand-written byte
+  * streams following the public classic format spec (magic, numrecs,
+  * dim/gatt/var lists, fixed data, interleaved record data) — the
+  * encoder below doubles as executable documentation of the layout
+  * the parser consumes. The real reference GOES sample is NetCDF-4
+  * (HDF5 container) and exercises the classification seam.
+  */
+class NetCdfSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.builder("local[4]", 4).getOrCreate()
+
+  private def be(f: DataOutputStream => Unit): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos) // big-endian, like the format
+    f(out); out.flush(); bos.toByteArray
+  }
+  private def name(out: DataOutputStream, s: String): Unit = {
+    out.writeInt(s.length); out.writeBytes(s)
+    (0 until (4 - s.length % 4) % 4).foreach(_ => out.writeByte(0))
+  }
+
+  /** Two record vars (time double[time], flux float[time,ch]) + one
+    * fixed var (lat int[ch]) + global and variable attributes.
+    * Record slabs are each 8 bytes, so records interleave as
+    * [time_r, flux_r] with recSize 16.
+    */
+  private def twoRecVarFixture: Array[Byte] = be { out =>
+    out.writeBytes("CDF"); out.writeByte(1) // CDF-1
+    out.writeInt(3)                         // numrecs
+    out.writeInt(10); out.writeInt(2)       // NC_DIMENSION, 2 dims
+    name(out, "time"); out.writeInt(0)      // dim 0: record
+    name(out, "ch"); out.writeInt(2)        // dim 1
+    out.writeInt(12); out.writeInt(1)       // global NC_ATTRIBUTE, 1
+    name(out, "title"); out.writeInt(2)     // NC_CHAR
+    out.writeInt(10); out.writeBytes("graft test"); out.writeShort(0) // pad to 12
+    out.writeInt(11); out.writeInt(3)       // NC_VARIABLE, 3 vars
+    name(out, "lat"); out.writeInt(1); out.writeInt(1)  // int[ch]
+    out.writeInt(0); out.writeInt(0)        // no var atts
+    out.writeInt(4); out.writeInt(8); out.writeInt(228) // type, vsize, begin
+    name(out, "time"); out.writeInt(1); out.writeInt(0) // double[time]
+    out.writeInt(0); out.writeInt(0)
+    out.writeInt(6); out.writeInt(8); out.writeInt(236)
+    name(out, "flux"); out.writeInt(2)      // float[time,ch]
+    out.writeInt(0); out.writeInt(1)
+    out.writeInt(12); out.writeInt(1)       // 1 var att
+    name(out, "_FillValue"); out.writeInt(5); out.writeInt(1)
+    out.writeFloat(-999f)
+    out.writeInt(5); out.writeInt(8); out.writeInt(244)
+    // data — fixed vars first
+    out.writeInt(10); out.writeInt(20)                  // lat @228
+    // record data: [time_r (8B), flux_r (8B)] per record
+    out.writeDouble(100.0); out.writeFloat(1.5f); out.writeFloat(2.5f)
+    out.writeDouble(101.0); out.writeFloat(3.5f); out.writeFloat(-999f)
+    out.writeDouble(102.0); out.writeFloat(5.5f); out.writeFloat(6.5f)
+  }
+
+  /** SINGLE record variable with a 6-byte slab (short[time,s], s=3):
+    * the classic format's special case — the lone record var's slabs
+    * are NOT padded to 4, so recSize is 6, not 8.
+    */
+  private def singleRecVarFixture: Array[Byte] = be { out =>
+    out.writeBytes("CDF"); out.writeByte(1)
+    out.writeInt(2)                         // numrecs
+    out.writeInt(10); out.writeInt(2)
+    name(out, "time"); out.writeInt(0)
+    name(out, "s"); out.writeInt(3)
+    out.writeInt(0); out.writeInt(0)        // no global atts (ABSENT)
+    out.writeInt(11); out.writeInt(1)
+    name(out, "temp"); out.writeInt(2)
+    out.writeInt(0); out.writeInt(1)
+    out.writeInt(0); out.writeInt(0)
+    out.writeInt(3); out.writeInt(8); out.writeInt(96) // short, vsize pad4(6)=8
+    Seq(1, 2, 3, 4, 5, 6).foreach(out.writeShort)      // 2 records × 6 bytes
+  }
+
+  private val goesSample =
+    "/root/reference/obdi-opensourcedatapipeline-main/test_downloads/" +
+      "OR_EXIS-L1b-SFXR_G18_s20231160000599_e20231160001294_c20231160001297.nc"
+
+  test("fixture layout matches the hand-computed offsets") {
+    assert(twoRecVarFixture.length == 284, s"got ${twoRecVarFixture.length}")
+    assert(singleRecVarFixture.length == 108, s"got ${singleRecVarFixture.length}")
+  }
+
+  test("header parse: dims, attributes, variables, types") {
+    val nc = NetCdf.parseHeader(twoRecVarFixture)
+    assert(nc.version == 1 && nc.numRecs == 3)
+    assert(nc.dims == Seq(NetCdf.NcDim("time", 0), NetCdf.NcDim("ch", 2)))
+    assert(nc.gatts.head.name == "title" && nc.gatts.head.str == "graft test")
+    assert(nc.vars.map(_.name) == Seq("lat", "time", "flux"))
+    val flux = nc.vars.find(_.name == "flux").get
+    assert(flux.ncType == 5 && flux.dimIds == Seq(0, 1))
+    assert(flux.atts.head.name == "_FillValue" &&
+      flux.atts.head.num == Seq(-999.0))
+  }
+
+  test("variable data: fixed, interleaved records, single-record-var padding") {
+    val nc = NetCdf.parseHeader(twoRecVarFixture)
+    assert(NetCdf.readVarDoubles(twoRecVarFixture, nc, "lat").toSeq ==
+      Seq(10.0, 20.0))
+    assert(NetCdf.readVarDoubles(twoRecVarFixture, nc, "time").toSeq ==
+      Seq(100.0, 101.0, 102.0))
+    assert(NetCdf.readVarDoubles(twoRecVarFixture, nc, "flux").toSeq ==
+      Seq(1.5, 2.5, 3.5, -999.0, 5.5, 6.5))
+    val nc1 = NetCdf.parseHeader(singleRecVarFixture)
+    assert(NetCdf.readVarDoubles(singleRecVarFixture, nc1, "temp").toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("classify: classic fixtures vs the real HDF5-based GOES sample") {
+    assert(NetCdf.classify(twoRecVarFixture) == NetCdf.FormatClassic)
+    assume(Files.exists(Paths.get(goesSample)), "reference sample absent")
+    assert(NetCdf.classify(Files.readAllBytes(Paths.get(goesSample))) ==
+      NetCdf.FormatHdf5)
+  }
+
+  test("binaryFile plumbing: describe surfaces classic vars and the HDF5 seam") {
+    val dir = Files.createTempDirectory("graft_nc")
+    Files.write(dir.resolve("a.nc"), twoRecVarFixture)
+    Files.write(dir.resolve("b.nc"), singleRecVarFixture)
+    assume(Files.exists(Paths.get(goesSample)), "reference sample absent")
+    Files.copy(Paths.get(goesSample), dir.resolve("goes.nc"))
+    val rows = NetCdf.describe(spark, s"$dir/*.nc").collect()
+    val classicVars = rows.filter(_.getString(1) == NetCdf.FormatClassic)
+      .map(_.getString(2)).toSet
+    assert(classicVars == Set("lat", "time", "flux", "temp"))
+    val seam = rows.filter(_.getString(1) == NetCdf.FormatHdf5)
+    assert(seam.length == 1 && seam(0).isNullAt(2),
+      "HDF5 file must surface as a single metadata seam row")
+  }
+
+  test("binaryFile plumbing: long-form variable extraction feeds (var, time, value)") {
+    val dir = Files.createTempDirectory("graft_nc_var")
+    Files.write(dir.resolve("a.nc"), twoRecVarFixture)
+    val flux = NetCdf.readVariable(spark, s"$dir/*.nc", "flux")
+    val vals = flux.orderBy("idx").collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(vals == Seq(0L -> 1.5, 1L -> 2.5, 2L -> 3.5, 3L -> -999.0,
+      4L -> 5.5, 5L -> 6.5))
+    // the q22-normalize feed shape: join the record's time coordinate
+    // (idx div ch) to each flux sample → (var, time, value)
+    import org.apache.spark.sql.functions._
+    val time = NetCdf.readVariable(spark, s"$dir/*.nc", "time")
+      .select(col("idx").as("rec"), col("value").as("t"))
+    val joined = flux.withColumn("rec", expr("idx div 2"))
+      .join(time, "rec")
+      .select(col("var_name"), col("t"), col("value"))
+      .orderBy("t", "value").collect()
+    assert(joined.length == 6 && joined.head.getDouble(1) == 100.0)
+  }
+}
