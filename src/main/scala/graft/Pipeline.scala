@@ -57,4 +57,48 @@ object Pipeline {
     }
     results.toDF()
   }
+
+  /** Fixed-interval schedule with data-interval semantics (the model
+    * behind the reference DAGs' `schedule_interval` + `catchup`,
+    * database_etl.py:259-284): the run with logical date T covers the
+    * interval [T, T+every) and becomes due once that interval has
+    * fully elapsed. Times are epoch micros, matching the engine's
+    * event-time unit.
+    */
+  final case class Schedule(startUs: Long, everyUs: Long) {
+    require(everyUs > 0, "schedule interval must be positive")
+  }
+
+  /** Logical dates due at `nowUs`. With `catchup` every complete
+    * interval since `lastRunUs` (exclusive; schedule start if none)
+    * is returned oldest-first — the backfill a re-enabled pipeline
+    * owes. Without `catchup` only the LATEST complete interval runs
+    * and the backlog is skipped. Pure function: callers persist
+    * `lastRunUs` however they persist offsets.
+    */
+  def dueRuns(s: Schedule, nowUs: Long, lastRunUs: Option[Long] = None,
+              catchup: Boolean = true): Seq[Long] = {
+    val from = lastRunUs.map(_ + s.everyUs).getOrElse(s.startUs)
+    val due = Iterator.iterate(from)(_ + s.everyUs)
+      .takeWhile(t => t + s.everyUs <= nowUs).toSeq
+    if (catchup || due.isEmpty) due else Seq(due.last)
+  }
+
+  /** Execute every due logical date through [[run]], tagging each
+    * stage result with its logical date — `stagesFor` builds the
+    * interval-parameterized stages (the execution-date templating of
+    * a DAG run). Failure isolation and retries are per stage per run,
+    * and a failing interval does not block later intervals (the
+    * max-active-runs=∞ catch-up shape).
+    */
+  def runScheduled(spark: SparkSession, s: Schedule, nowUs: Long,
+                   lastRunUs: Option[Long] = None, catchup: Boolean = true)
+                  (stagesFor: Long => Seq[Stage]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val frames = dueRuns(s, nowUs, lastRunUs, catchup).map { t =>
+      run(spark, stagesFor(t)).withColumn("logical_us", lit(t))
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse(
+      run(spark, Seq.empty).withColumn("logical_us", lit(0L)).filter(lit(false)))
+  }
 }

@@ -118,6 +118,40 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(rows(largeDict = true) == rows(largeDict = false))
   }
 
+  test("schedule: catch-up backfills every complete interval, resume honors lastRun") {
+    val s = Pipeline.Schedule(startUs = 1000L, everyUs = 100L)
+    // now=1350: intervals [1000,1100) [1100,1200) [1200,1300) complete;
+    // [1300,1400) still open
+    assert(Pipeline.dueRuns(s, 1350L) == Seq(1000L, 1100L, 1200L))
+    // catchup=false: only the latest complete interval
+    assert(Pipeline.dueRuns(s, 1350L, catchup = false) == Seq(1200L))
+    // resume after logical date 1100 ran
+    assert(Pipeline.dueRuns(s, 1350L, lastRunUs = Some(1100L)) == Seq(1200L))
+    // nothing due before the first interval closes; exact boundary closes it
+    assert(Pipeline.dueRuns(s, 1099L).isEmpty)
+    assert(Pipeline.dueRuns(s, 1100L) == Seq(1000L))
+    assert(Pipeline.dueRuns(s, 1350L, lastRunUs = Some(1200L)).isEmpty)
+  }
+
+  test("scheduled runs tag results with their logical date and isolate failures") {
+    import org.apache.spark.sql.functions.col
+    val s = Pipeline.Schedule(startUs = 0L, everyUs = 100L)
+    val out = Pipeline.runScheduled(spark, s, nowUs = 300L) { t =>
+      Seq(Pipeline.stage(s"load_$t") { sp =>
+        if (t == 100L) sp.read.parquet("/nonexistent") // one interval fails
+        else Tables.nation(sp, dir).limit(3)
+      })
+    }.collect()
+    assert(out.map(_.getAs[Long]("logical_us")).toSeq == Seq(0L, 100L, 200L))
+    assert(out.count(_.getAs[Boolean]("ok")) == 2,
+      "failed interval must not block later intervals")
+    // no-catchup: single latest run
+    val latest = Pipeline.runScheduled(spark, s, 300L, catchup = false) { t =>
+      Seq(Pipeline.stage(s"load_$t")(sp => Tables.nation(sp, dir).limit(1)))
+    }.collect()
+    assert(latest.map(_.getAs[Long]("logical_us")).toSeq == Seq(200L))
+  }
+
   test("pipeline runner executes stages in order with failure isolation") {
     val out = Pipeline.run(spark, Seq(
       Pipeline.stage("load_events")(s => Tables.events(s, dir)),

@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Dev tool: synthesize a 10x scale point (/tmp/sf1) from sf0.1 for
+growth-curve verification — NOT part of the library.
+
+Scaling rules (chosen so correctness and growth curves stay honest):
+- region/nation: fixed dimensions, copied once.
+- relational + events tables: 10 copies with every key column shifted
+  by i*(max+1) — ids are 0-based, so a plain i*max stride collides at
+  block boundaries (that bug produced 5 false engine-mismatch FAILs on
+  the first attempt). FK columns shift with the same stride as their
+  referenced key, so join structure is preserved per copy.
+- documents: per-copy word suffix ("w" -> "w"+i) keeps shingle sets
+  disjoint across copies, so near-dup pair counts scale LINEARLY
+  (constant dup density); raw text copies would grow pairs
+  quadratically and explode q24/q25/q66.
+- embeddings: per-copy cyclic rotation — orthogonal, so intra-copy
+  geometry and label clusters are preserved while cross-copy
+  similarities decorrelate.
+- events.ts stays timestamp[ns] (parquet version 2.6, no coercion);
+  the engine's nanosAsLong read path depends on it.
+
+Usage: python3 tools/gen_sf1.py [SRC] [DST] [COPIES]
+Then:  sbt "runMain graft.Verify /tmp/sf1 /tmp/verify_sf1"
+       python3 tools/check.py /tmp/sf1 /tmp/verify_sf1
+"""
+import sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+
+def write(name, table):
+    pq.write_table(table, f"{DST}/{name}.parquet", version="2.6",
+                   coerce_timestamps=None)
+    print(name, table.num_rows)
+
+
+def shifted(name, keycols):
+    tbl = pq.read_table(f"{SRC}/{name}.parquet")
+    stride = {c: pc.max(tbl[c]).as_py() + 1 for c in keycols}
+    parts = []
+    for i in range(COPIES):
+        cols = {}
+        for c in tbl.schema.names:
+            col = tbl[c]
+            if c in keycols and i > 0:
+                col = pc.add(col, i * stride[c])
+            cols[c] = col
+        parts.append(pa.table(cols, schema=pa.schema(
+            [tbl.schema.field(n) for n in tbl.schema.names])))
+    write(name, pa.concat_tables(parts))
+
+
+def main():
+    import os
+    os.makedirs(DST, exist_ok=True)
+    for t in ["region", "nation"]:
+        write(t, pq.read_table(f"{SRC}/{t}.parquet"))
+    shifted("customer", ["c_custkey"])
+    shifted("supplier", ["s_suppkey"])
+    shifted("part", ["p_partkey"])
+    shifted("orders", ["o_orderkey", "o_custkey"])
+    shifted("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+    shifted("events", ["event_id", "user_id"])
+
+    doc = pq.read_table(f"{SRC}/documents.parquet")
+    dstride = pc.max(doc["doc_id"]).as_py() + 1
+    parts = []
+    for i in range(COPIES):
+        if i == 0:
+            parts.append(doc)
+            continue
+        texts = [" ".join(w + str(i) for w in t.split())
+                 for t in doc["text"].to_pylist()]
+        parts.append(pa.table({
+            "doc_id": pc.add(doc["doc_id"], i * dstride),
+            "text": pa.array(texts, pa.string()),
+            "lang": doc["lang"], "source": doc["source"],
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }, schema=doc.schema))
+    write("documents", pa.concat_tables(parts))
+
+    emb = pq.read_table(f"{SRC}/embeddings.parquet")
+    estride = pc.max(emb["vec_id"]).as_py() + 1
+    vecs = emb["embedding"].to_pylist()
+    parts = []
+    for i in range(COPIES):
+        if i == 0:
+            parts.append(emb)
+            continue
+        rot = [v[i:] + v[:i] for v in vecs]
+        parts.append(pa.table({
+            "vec_id": pc.add(emb["vec_id"], i * estride),
+            "embedding": pa.array(rot, pa.list_(pa.float32())),
+            "label": emb["label"],
+        }, schema=emb.schema))
+    write("embeddings", pa.concat_tables(parts))
+
+    import duckdb
+    for t, c in [("documents", "doc_id"), ("events", "event_id"),
+                 ("orders", "o_orderkey"), ("embeddings", "vec_id"),
+                 ("part", "p_partkey")]:
+        n, d = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT {c}) FROM '{DST}/{t}.parquet'"
+        ).fetchone()
+        assert n == d, (t, n, d)
+    print("all keys unique")
+
+
+if __name__ == "__main__":
+    main()
