@@ -25,7 +25,9 @@ object Registry {
     ("graft_lang_best", "graft.functions.LangBest",
       exprs => LangBest.fromExprs(exprs)),
     ("graft_regexp_groups", "graft.functions.RegexpGroups",
-      exprs => RegexpGroups.fromExprs(exprs)))
+      exprs => RegexpGroups.fromExprs(exprs)),
+    ("graft_pii_scan", "graft.functions.PiiScan",
+      exprs => PiiScan.fromExprs(exprs)))
 
   /** Idempotently register graft functions in the session's registry. */
   def ensure(spark: SparkSession): Unit =

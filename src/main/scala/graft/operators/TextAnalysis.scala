@@ -146,17 +146,19 @@ object TextAnalysis {
     lit(" re "), $"event_type")
 
   def piiScrub(events: DataFrame): DataFrame = {
-    val contact = contactOf
+    graft.functions.Registry.ensure(events.sparkSession)
     events
-      // generator barrier: contact is referenced by four regex columns;
-      // without it CollapseProject re-renders the concat per reference
-      .select($"event_id", explode(array(contact)).as("contact"))
-      .withColumn("n_emails", regexp_count($"contact", lit(EmailRe)).cast("long"))
-      .withColumn("n_phones", regexp_count($"contact", lit(PhoneRe)).cast("long"))
-      .withColumn("redacted",
-        regexp_replace(regexp_replace($"contact", EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"))
-      .select($"event_id", $"n_emails", $"n_phones", $"redacted")
+      // graft_pii_scan fuses the former four regex expressions
+      // (2× count + nested 2× replace) into one native struct-valued
+      // scan — one input evaluation, three matcher passes, same
+      // sequential-replace semantics. The explode generator barrier
+      // stops CollapseProject from merging the field extraction into
+      // this project, which would re-render the scan once per field.
+      .select($"event_id",
+        explode(array(call_function("graft_pii_scan", contactOf,
+          lit(EmailRe), lit(PhoneRe)))).as("pii"))
+      .select($"event_id", $"pii.n_emails".as("n_emails"),
+        $"pii.n_phones".as("n_phones"), $"pii.redacted".as("redacted"))
       .orderBy($"event_id")
   }
 
