@@ -80,6 +80,25 @@ class NetCdfSpec extends AnyFunSuite {
     Seq(1, 2, 3, 4, 5, 6).foreach(out.writeShort)      // 2 records × 6 bytes
   }
 
+  /** CDF-2 twin of the single-record fixture: magic `CDF\x02` and
+    * 64-bit begin offsets — everything else identical. Header grows by
+    * 4 bytes (one var, one widened begin), so data starts at 100.
+    */
+  private def cdf2Fixture: Array[Byte] = be { out =>
+    out.writeBytes("CDF"); out.writeByte(2)
+    out.writeInt(2)
+    out.writeInt(10); out.writeInt(2)
+    name(out, "time"); out.writeInt(0)
+    name(out, "s"); out.writeInt(3)
+    out.writeInt(0); out.writeInt(0)
+    out.writeInt(11); out.writeInt(1)
+    name(out, "temp"); out.writeInt(2)
+    out.writeInt(0); out.writeInt(1)
+    out.writeInt(0); out.writeInt(0)
+    out.writeInt(3); out.writeInt(8); out.writeLong(100L) // 64-bit begin
+    Seq(1, 2, 3, 4, 5, 6).foreach(out.writeShort)
+  }
+
   private val goesSample =
     "/root/reference/obdi-opensourcedatapipeline-main/test_downloads/" +
       "OR_EXIS-L1b-SFXR_G18_s20231160000599_e20231160001294_c20231160001297.nc"
@@ -111,6 +130,15 @@ class NetCdfSpec extends AnyFunSuite {
       Seq(1.5, 2.5, 3.5, -999.0, 5.5, 6.5))
     val nc1 = NetCdf.parseHeader(singleRecVarFixture)
     assert(NetCdf.readVarDoubles(singleRecVarFixture, nc1, "temp").toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("CDF-2 (64-bit offsets) parses identically") {
+    assert(cdf2Fixture.length == 112, s"got ${cdf2Fixture.length}")
+    assert(NetCdf.classify(cdf2Fixture) == NetCdf.FormatClassic64)
+    val nc = NetCdf.parseHeader(cdf2Fixture)
+    assert(nc.version == 2 && nc.vars.head.begin == 100L)
+    assert(NetCdf.readVarDoubles(cdf2Fixture, nc, "temp").toSeq ==
       Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
   }
 
