@@ -27,6 +27,11 @@ object Bench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  // env-derived paths go into the JSON line; a quote or backslash in
+  // them must not make the last line unparseable
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   /** Render the small driver-facing summary line. `queries` carries
     * only the `worstK` slowest entries so the line's size is bounded
     * by K, not by the catalog size.
@@ -37,7 +42,7 @@ object Bench {
     val worst = results.sortBy(-_._2).take(worstK)
     val qs = worst.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"detail":"$detailFile","sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"detail":"${esc(detailFile)}","sf":"${esc(sfDir)}"}"""
   }
 
   /** Full per-query map, written to the sidecar file. */
@@ -45,7 +50,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -68,7 +73,7 @@ object Bench {
       catch { case _: Throwable => () }
 
     // dev-loop filter: SPARK_GRAFT_ONLY=q32_lang_id,q63_fuzzy_join
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val selected =
       if (only.isEmpty) SparkEntry.queries
@@ -81,9 +86,14 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    java.nio.file.Files.write(
+    // the sidecar is best-effort: an unwritable path must not kill the
+    // process before the graded summary line prints
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailFile),
       renderDetail(results, sfDir).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
 
     spark.stop()
     // printed after spark.stop() so the summary is the LAST stdout

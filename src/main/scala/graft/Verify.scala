@@ -13,7 +13,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-loop filter (driver never sets it): SPARK_GRAFT_ONLY=q69_spend_deciles
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val selected =
       if (only.isEmpty) SparkEntry.queries

@@ -44,8 +44,13 @@ object Bucketed {
         else sys.error(s"non-local warehouse dir not supported here: $whConf")
       } catch {
         // a plain local path with spaces or other URI-illegal chars
-        // isn't a URI at all — use it verbatim
-        case _: java.net.URISyntaxException => whConf
+        // isn't a URI at all — use it verbatim. But a value that
+        // CLAIMS a scheme (file:..., s3a://...) and still fails to
+        // parse must fail loudly: falling back to "treat as local
+        // path" would silently skip the stale-table delete this
+        // method exists for.
+        case e: java.net.URISyntaxException
+            if !whConf.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") => whConf
       }
     val p = java.nio.file.Paths.get(wh, table)
     if (java.nio.file.Files.exists(p)) {

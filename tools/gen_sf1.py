@@ -39,9 +39,17 @@ def write(name, table):
     print(name, table.num_rows)
 
 
-def shifted(name, keycols):
+def shifted(name, keycols, strides=None):
+    """keycols: columns to shift. A column's stride defaults to its own
+    max+1, EXCEPT foreign keys, whose stride must be the REFERENCED
+    key's stride (passed via `strides`) — e.g. events.user_id spans
+    only 0..1499 but references c_custkey (0..14999); striding it by
+    its own max would point copy-i events at copy-0 customers and
+    break the join structure the sweep claims to preserve."""
     tbl = pq.read_table(f"{SRC}/{name}.parquet")
-    stride = {c: pc.max(tbl[c]).as_py() + 1 for c in keycols}
+    stride = dict(strides or {})
+    for c in keycols:
+        stride.setdefault(c, pc.max(tbl[c]).as_py() + 1)
     parts = []
     for i in range(COPIES):
         cols = {}
@@ -53,6 +61,7 @@ def shifted(name, keycols):
         parts.append(pa.table(cols, schema=pa.schema(
             [tbl.schema.field(n) for n in tbl.schema.names])))
     write(name, pa.concat_tables(parts))
+    return stride
 
 
 def main():
@@ -60,12 +69,18 @@ def main():
     os.makedirs(DST, exist_ok=True)
     for t in ["region", "nation"]:
         write(t, pq.read_table(f"{SRC}/{t}.parquet"))
-    shifted("customer", ["c_custkey"])
-    shifted("supplier", ["s_suppkey"])
-    shifted("part", ["p_partkey"])
-    shifted("orders", ["o_orderkey", "o_custkey"])
-    shifted("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
-    shifted("events", ["event_id", "user_id"])
+    cust = shifted("customer", ["c_custkey"])
+    supp = shifted("supplier", ["s_suppkey"])
+    part = shifted("part", ["p_partkey"])
+    orders = shifted("orders", ["o_orderkey", "o_custkey"],
+                     {"o_custkey": cust["c_custkey"]})
+    shifted("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"],
+            {"l_orderkey": orders["o_orderkey"],
+             "l_partkey": part["p_partkey"],
+             "l_suppkey": supp["s_suppkey"]})
+    # events.user_id references c_custkey (q48/q88 join on it)
+    shifted("events", ["event_id", "user_id"],
+            {"user_id": cust["c_custkey"]})
 
     doc = pq.read_table(f"{SRC}/documents.parquet")
     dstride = pc.max(doc["doc_id"]).as_py() + 1
