@@ -173,6 +173,9 @@ object SparkEntry {
     },
     "q89_bpeish_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.events(s, d))),
     "q90_gap_fill" -> ((s, d) => TimeSeries.gapFill(Tables.events(s, d))),
+    "q91_bpe_pair_freq" -> ((s, d) => TextAnalysis.bpePairFreq(Tables.documents(s, d))),
+    "q92_contamination" -> ((s, d) =>
+      operators.Sampling.contaminationScreen(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1126,5 +1129,43 @@ object SparkEntry {
           p.n IS NOT NULL AS observed
         FROM spine s LEFT JOIN per_min p USING (event_type, minute)
         ORDER BY s.event_type, s.minute""",
+    "q91_bpe_pair_freq" ->
+      """WITH t AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+          FROM documents),
+        p AS (
+          SELECT unnest(list_transform(range(1, length(t)),
+            i -> substr(t, i, 2))) AS pair
+          FROM t WHERE length(t) >= 2)
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p
+        GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
+    "q92_contamination" ->
+      """WITH toks AS (
+          SELECT doc_id, source,
+            regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        esh AS (
+          SELECT DISTINCT unnest(list_transform(range(1, len(w)-6),
+            i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+              ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) AS s
+          FROM toks WHERE doc_id % 97 = 0 AND len(w) >= 8),
+        tsh AS (
+          SELECT DISTINCT doc_id, source,
+            unnest(list_transform(range(1, len(w)-6),
+            i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+              ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) AS s
+          FROM toks WHERE doc_id % 97 != 0 AND len(w) >= 8),
+        cont AS (
+          SELECT DISTINCT doc_id, source FROM tsh
+          WHERE s IN (SELECT s FROM esh)),
+        base AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents WHERE doc_id % 97 != 0 GROUP BY 1)
+        SELECT b.source AS source, b.n_docs,
+          CAST(COALESCE(c.n, 0) AS BIGINT) AS n_contaminated
+        FROM base b LEFT JOIN
+          (SELECT source, COUNT(*) AS n FROM cont GROUP BY 1) c
+          USING (source)
+        ORDER BY source""",
   )
 }

@@ -124,4 +124,39 @@ object Sampling {
       .select($"doc_id", $"n_tokens", $"cum_before", $"shard")
       .orderBy($"doc_id")
   }
+
+  /** Benchmark-contamination screen (q92): per source, how many
+    * training documents share at least one word 8-gram with the held
+    * eval set — the decontamination check every corpus runs before a
+    * benchmark-bearing model train. Eval membership is the
+    * deterministic doc_id gate (mod), matching this file's no-RNG
+    * rule. The distinct eval 8-gram set is a tiny fraction of the
+    * corpus and BROADCASTS into a left-semi join against the training
+    * shingles — candidate screening never shuffles the training side
+    * on content; at 100 TB the eval set stays benchmark-sized
+    * (thousands of docs) while the broadcast stays megabytes, and a
+    * too-large eval set degrades gracefully to a shuffled semi-join
+    * on the shingle (production note: 8-byte xxhash64 shingle keys
+    * halve that shuffle; kept as raw strings here because the DuckDB
+    * oracle must compute identical join keys).
+    */
+  def contaminationScreen(documents: DataFrame, n: Int = 8,
+                          mod: Int = 97): DataFrame = {
+    val toks = documents.withColumn("w", TextAnalysis.tokens($"text"))
+    val evalSh = toks.filter($"doc_id" % mod === 0)
+      .select(explode(TextAnalysis.shinglesOf($"w", n)).as("s"))
+      .distinct()
+    val train = toks.filter($"doc_id" % mod =!= 0)
+    val contaminated = train
+      .select($"doc_id", $"source",
+        explode(TextAnalysis.shinglesOf($"w", n)).as("s"))
+      .join(broadcast(evalSh), Seq("s"), "left_semi")
+      .select($"doc_id", $"source").distinct()
+    train.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(contaminated.groupBy($"source")
+        .agg(count(lit(1)).as("nc")), Seq("source"), "left")
+      .select($"source", $"n_docs",
+        coalesce($"nc", lit(0L)).as("n_contaminated"))
+      .orderBy($"source")
+  }
 }

@@ -240,6 +240,27 @@ object TextAnalysis {
         bpeishTokenCount($"contact").as("n_bpe"))
       .orderBy($"event_id")
 
+  /** One BPE-style pair-frequency step (q91): the statistic a
+    * tokenizer-training loop computes each merge round — counts of
+    * adjacent character pairs across the lowercased corpus
+    * vocabulary, occurrence-weighted, top-k with a deterministic
+    * tie-break. Pure integer counts (oracle-exact); the pair keyspace
+    * is bounded by charset², so the count aggregation map-side
+    * combines to almost nothing and the top-k is a
+    * TakeOrderedAndProject, never a global sort of the corpus. A full
+    * BPE trainer is this query in a driver loop with the winning pair
+    * merged into the token stream each round.
+    */
+  def bpePairFreq(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(tokens(lower($"text"))).as("t"))
+      .filter(length($"t") >= 2)
+      .select(explode(transform(sequence(lit(1), length($"t") - 1),
+        i => $"t".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(k)
+
   /** Top-k terms per language by raw frequency (the corpus-vocabulary
     * profile a curation pipeline builds before filtering). One explode
     * + one (lang, term) count with map-side combine; the final per-lang

@@ -202,4 +202,29 @@ class NewOpsSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, dir).filter(lit(false))
     assert(Dedup.dupClusters(docs).count() == 0)
   }
+
+  test("bpe pair freq: counts are exact on a known vocabulary") {
+    import spark.implicits._
+    // "abab" -> ab, ba, ab ; "ab" -> ab ; "ba ba" -> ba, ba
+    // totals: ab 3, ba 3 — tie broken by pair ascending
+    val docs = Seq((1L, "abab ab", "en", "s", 7L), (2L, "ba ba", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.bpePairFreq(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq("ab" -> 3L, "ba" -> 3L), s"got $got")
+  }
+
+  test("contamination screen flags a planted eval 8-gram and nothing else") {
+    import spark.implicits._
+    val evalText = "one two three four five six seven eight nine"
+    val docs = Seq(
+      (0L, evalText, "en", "eval_src", 45L),          // eval doc (0 % 97 == 0)
+      (1L, s"prefix $evalText suffix", "en", "web", 60L), // contains the 8-gram
+      (2L, "totally different words with no overlap at all ok", "en", "web", 50L),
+      (3L, "eight nine one two three four unrelated tail words", "en", "books", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.Sampling.contaminationScreen(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("books", 1L, 0L), ("web", 2L, 1L)), s"got $got")
+  }
 }
