@@ -176,6 +176,14 @@ object SparkEntry {
     "q91_bpe_pair_freq" -> ((s, d) => TextAnalysis.bpePairFreq(Tables.documents(s, d))),
     "q92_contamination" -> ((s, d) =>
       operators.Sampling.contaminationScreen(Tables.documents(s, d))),
+    "q93_quality_rules" -> ((s, d) =>
+      TextAnalysis.qualityRules(Tables.documents(s, d))),
+    "q94_source_mixture" -> ((s, d) =>
+      operators.Sampling.sourceMixture(Tables.documents(s, d))),
+    "q95_context_pack" -> ((s, d) =>
+      operators.Sampling.contextPack(Tables.documents(s, d))),
+    "q96_inverted_index" -> ((s, d) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1167,5 +1175,108 @@ object SparkEntry {
           (SELECT source, COUNT(*) AS n FROM cont GROUP BY 1) c
           USING (source)
         ORDER BY source""",
+    "q93_quality_rules" ->
+      """WITH tok AS (
+          SELECT doc_id, lang, source,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents),
+        tf AS (
+          SELECT doc_id, lang, source, t, COUNT(*) AS tf
+          FROM tok GROUP BY 1, 2, 3, 4),
+        per_doc AS (
+          SELECT doc_id, lang, source,
+            CAST(SUM(tf) AS BIGINT) AS n_tokens,
+            CAST(COUNT(*) AS BIGINT) AS n_distinct,
+            CAST(MAX(tf) AS BIGINT) AS max_tf,
+            CAST(SUM(tf * length(t)) AS BIGINT) AS n_letters,
+            CAST(SUM(CASE WHEN t IN ('the','a','and','of','to','in','is')
+              THEN tf ELSE 0 END) AS BIGINT) AS n_stop
+          FROM tf GROUP BY 1, 2, 3),
+        flags AS (
+          SELECT lang, source,
+            (n_tokens NOT BETWEEN 20 AND 1000) AS fail_len,
+            (n_letters < n_tokens * 3 OR n_letters > n_tokens * 10)
+              AS fail_mwl,
+            (n_stop < 2) AS fail_stop,
+            (max_tf * 4 > n_tokens) AS fail_rep,
+            (n_distinct * 8 < n_tokens) AS fail_div
+          FROM per_doc)
+        SELECT lang, source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN fail_len THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_fail_len,
+          CAST(SUM(CASE WHEN fail_mwl THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_fail_mwl,
+          CAST(SUM(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_fail_stop,
+          CAST(SUM(CASE WHEN fail_rep THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_fail_rep,
+          CAST(SUM(CASE WHEN fail_div THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_fail_div,
+          CAST(SUM(CASE WHEN NOT (fail_len OR fail_mwl OR fail_stop
+            OR fail_rep OR fail_div) THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pass
+        FROM flags GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q94_source_mixture" ->
+      """WITH base AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        wt AS (
+          SELECT source, n_docs, n_tokens,
+            CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+              AS weight
+          FROM base)
+        SELECT source, n_docs, n_tokens, weight,
+          CAST((weight * 1000000)
+            // CAST((SELECT SUM(weight) FROM wt) AS BIGINT) AS BIGINT)
+            AS p_ppm
+        FROM wt ORDER BY source""",
+    "q95_context_pack" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+              AS n_tokens
+          FROM documents),
+        cum AS (
+          SELECT doc_id, n_tokens,
+            CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+          FROM toks),
+        spans AS (
+          SELECT doc_id, n_tokens, cum_before,
+            unnest(generate_series(cum_before // 512,
+              (cum_before + n_tokens - 1) // 512)) AS window_id
+          FROM cum WHERE n_tokens > 0)
+        SELECT doc_id, window_id,
+          GREATEST(0, window_id * 512 - cum_before) AS tok_start,
+          LEAST(n_tokens, (window_id + 1) * 512 - cum_before)
+            - GREATEST(0, window_id * 512 - cum_before) AS tok_len
+        FROM spans ORDER BY window_id, doc_id""",
+    "q96_inverted_index" ->
+      """WITH tok AS (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          FROM documents),
+        tf AS (
+          SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        stats AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+            CAST(SUM(tf) AS BIGINT) AS tf_total
+          FROM tf GROUP BY 1),
+        capped AS (
+          SELECT term, doc_id FROM (
+            SELECT term, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+            FROM tf) t WHERE rn <= 16),
+        post AS (
+          SELECT term,
+            array_to_string(list_sort(list(doc_id)), ',') AS postings
+          FROM capped GROUP BY 1)
+        SELECT s.term AS term, s.df, s.tf_total, p.postings
+        FROM stats s JOIN post p USING (term)
+        ORDER BY term""",
   )
 }

@@ -101,7 +101,24 @@ object Sampling {
     * sum is partitioning-invariant integer math.
     */
   def prefixShards(documents: DataFrame, budget: Long = 50000L,
-                   parts: Int = 8): DataFrame = {
+                   parts: Int = 8): DataFrame =
+    tokenCumBefore(documents, parts)
+      .withColumn("shard", expr(s"cum_before div $budget"))
+      .select($"doc_id", $"n_tokens", $"cum_before", $"shard")
+      .orderBy($"doc_id")
+
+  /** The two-phase distributed prefix sum over per-doc token counts in
+    * doc_id order — shared engine of [[prefixShards]] (q83) and
+    * [[contextPack]] (q95). Range-partition on the order key,
+    * per-partition totals (ONE row per partition) prefix-summed on the
+    * driver, broadcast back as offsets added under a per-partition
+    * window: every stage partition-parallel; the only collect is
+    * `parts` rows. The checkpoint pins the sampled range boundaries so
+    * the offsets and the window see the SAME partitioning. Output is
+    * partition-count-invariant integer math (q83's invariance spec).
+    */
+  private[graft] def tokenCumBefore(documents: DataFrame,
+                                    parts: Int): DataFrame = {
     val spark = documents.sparkSession
     val toks = documents.select($"doc_id",
       size(TextAnalysis.tokens($"text")).cast("long").as("n_tokens"))
@@ -120,9 +137,64 @@ object Sampling {
     ranged.join(offDf, Seq("pid"))
       .withColumn("cum_before",
         coalesce(sum($"n_tokens").over(w), lit(0L)) + $"offset")
-      .withColumn("shard", expr(s"cum_before div $budget"))
-      .select($"doc_id", $"n_tokens", $"cum_before", $"shard")
-      .orderBy($"doc_id")
+  }
+
+  /** Context-window packing (q95): concatenate the corpus token stream
+    * in doc_id order and chunk it into fixed-`contextLen` training
+    * windows — the "pack and chunk" step that turns curated documents
+    * into model-ready sequences. A document spanning a window boundary
+    * is SPLIT: one output row per (doc, window) span, with the token
+    * range of the doc that lands in that window — exactly the spans a
+    * packed-dataset loader needs to build attention-reset boundaries.
+    *
+    * Rides [[tokenCumBefore]], so the global stream offset costs one
+    * bounded driver gather, never a global window; the span explode is
+    * per-row arithmetic (a doc yields ⌈n/C⌉ spans). Pure integer
+    * (floor-div of non-negatives) — oracle-exact.
+    */
+  def contextPack(documents: DataFrame, contextLen: Long = 512L,
+                  parts: Int = 8): DataFrame =
+    tokenCumBefore(documents, parts)
+      .filter($"n_tokens" > 0)
+      .withColumn("first_w", expr(s"cum_before div $contextLen"))
+      .withColumn("last_w",
+        expr(s"(cum_before + n_tokens - 1) div $contextLen"))
+      .select($"doc_id", $"n_tokens", $"cum_before",
+        explode(sequence($"first_w", $"last_w")).as("window_id"))
+      .withColumn("tok_start",
+        greatest(lit(0L), $"window_id" * contextLen - $"cum_before"))
+      .withColumn("tok_len",
+        least($"n_tokens", ($"window_id" + 1) * contextLen - $"cum_before")
+          - $"tok_start")
+      .select($"doc_id", $"window_id", $"tok_start", $"tok_len")
+      .orderBy($"window_id", $"doc_id")
+
+  /** Temperature-weighted source-mixture plan (q94): per-source token
+    * mass n_i reweighted by n_i^α (α = ½ — the "temperature" that
+    * up-samples small sources), published as exact parts-per-million
+    * sampling weights. The α=½ power is ⌊√n⌋ in INTEGER space and the
+    * normalization is integer floor-division — no float ratio ever
+    * crosses the oracle hash. (IEEE sqrt is correctly rounded, so
+    * both engines compute the identical double before the floor;
+    * cross-engine drift is impossible.)
+    *
+    * Scale: one (source)-keyed count/sum aggregate (map-side combined)
+    * over the corpus; the normalizer is a ONE-ROW broadcast cross
+    * join, the same bounded shape as q74's corpus stats.
+    */
+  def sourceMixture(documents: DataFrame): DataFrame = {
+    val base = documents
+      .select($"source", size(TextAnalysis.tokens($"text"))
+        .cast("long").as("n"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt($"n_tokens".cast("double"))).cast("long"))
+    val total = base.agg(sum($"weight").as("total_w"))
+    base.crossJoin(broadcast(total))
+      .withColumn("p_ppm", expr("(weight * 1000000) div total_w"))
+      .select($"source", $"n_docs", $"n_tokens", $"weight", $"p_ppm")
+      .orderBy($"source")
   }
 
   /** Benchmark-contamination screen (q92): per source, how many

@@ -336,4 +336,97 @@ object TextAnalysis {
       .select($"doc_id", $"dl", $"score", $"rank")
       .orderBy($"rank")
   }
+
+  /** Gopher/C4-style composite quality-rule screen (q93): per-document
+    * named boolean rules, aggregated to per-(lang, source) failure
+    * counts — the audit table a curation run publishes before dropping
+    * documents. Unlike q31's scalar score, each rule is a separate
+    * flag so the report says WHICH rule rejected how much of each
+    * slice.
+    *
+    * Every threshold is integer-exact (cross-multiplied, never a float
+    * ratio), so the oracle hash cannot drift:
+    *   - len:  20 ≤ n_tokens ≤ 1000          (too short / too long)
+    *   - mwl:  3·n ≤ Σ|token| ≤ 10·n         (mean word length 3..10)
+    *   - stop: ≥ 2 stopword occurrences       (natural-language signal)
+    *   - rep:  4·max_tf ≤ n_tokens            (no word >25% of the doc)
+    *   - div:  8·n_distinct ≥ n_tokens        (type-token ratio ≥ ⅛)
+    *
+    * Scale: one explode to (doc_id, token) with map-side combine on
+    * the (doc, token) count, a per-doc reduce, then a tiny
+    * (lang, source) rollup — no windows, no joins, no collect. The
+    * widest shuffle key is (doc_id, token), the same class q70/q91
+    * already carry.
+    */
+  def qualityRules(documents: DataFrame): DataFrame = {
+    val perTok = documents
+      .select($"doc_id", $"lang", $"source",
+        explode(tokens($"text")).as("t"))
+      .groupBy($"doc_id", $"lang", $"source", $"t")
+      .agg(count(lit(1)).as("tf"))
+    val perDoc = perTok
+      .groupBy($"doc_id", $"lang", $"source")
+      .agg(
+        sum($"tf").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max($"tf").as("max_tf"),
+        sum($"tf" * length($"t")).as("n_letters"),
+        sum(when($"t".isInCollection(stopwords), $"tf")
+          .otherwise(0L)).as("n_stop"))
+      .withColumn("fail_len",
+        !$"n_tokens".between(20L, 1000L))
+      .withColumn("fail_mwl",
+        $"n_letters" < $"n_tokens" * 3 || $"n_letters" > $"n_tokens" * 10)
+      .withColumn("fail_stop", $"n_stop" < 2)
+      .withColumn("fail_rep", $"max_tf" * 4 > $"n_tokens")
+      .withColumn("fail_div", $"n_distinct" * 8 < $"n_tokens")
+    perDoc
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"fail_len".cast("long")).as("n_fail_len"),
+        sum($"fail_mwl".cast("long")).as("n_fail_mwl"),
+        sum($"fail_stop".cast("long")).as("n_fail_stop"),
+        sum($"fail_rep".cast("long")).as("n_fail_rep"),
+        sum($"fail_div".cast("long")).as("n_fail_div"),
+        sum((!($"fail_len" || $"fail_mwl" || $"fail_stop" ||
+          $"fail_rep" || $"fail_div")).cast("long")).as("n_pass"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** Inverted-index build (q96): term → document-frequency, total
+    * occurrences, and a CAPPED posting list (first `maxPostings`
+    * doc_ids, ascending) — the retrieval structure a corpus search /
+    * contamination tool materializes.
+    *
+    * The cap is the scale contract: postings for a hot term are
+    * unbounded (the "the" problem), so the per-term list is cut to the
+    * first K doc_ids via a row_number window PARTITIONED BY TERM
+    * (never global) *before* any collect_list — the aggregation only
+    * ever buffers ≤ K ids per term. df/tf_total still come from full
+    * (unbuffered) counting aggregates. At 100 TB the same plan holds:
+    * the window key is the term (high cardinality, skew handled by
+    * AQE), and the materialized index is O(|vocab| · K).
+    */
+  def invertedIndex(documents: DataFrame, maxPostings: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perTok = documents
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"term", $"doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val stats = perTok
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("tf_total"))
+    val w = Window.partitionBy($"term").orderBy($"doc_id")
+    val postings = perTok
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= maxPostings)
+      .groupBy($"term")
+      .agg(array_join(
+        sort_array(collect_list($"doc_id")).cast("array<string>"), ",")
+        .as("postings"))
+    stats.join(postings, Seq("term"))
+      .select($"term", $"df", $"tf_total", $"postings")
+      .orderBy($"term")
+  }
 }
