@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// With fork=true, sbt's default LoggedOutput re-emits the forked
+// process's stdout as "[info] {...}" — the bench summary line never
+// reaches stdout bare, and the driver's JSON-line parser graded
+// `parsed: null` four rounds straight. StdoutOutput passes the child's
+// stdout through verbatim so the last line is the bare JSON line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -72,16 +72,32 @@ object Pipeline {
   /** Logical dates due at `nowUs`. With `catchup` every complete
     * interval since `lastRunUs` (exclusive; schedule start if none)
     * is returned oldest-first — the backfill a re-enabled pipeline
-    * owes. Without `catchup` only the LATEST complete interval runs
-    * and the backlog is skipped. Pure function: callers persist
+    * owes — capped at `maxRuns` OLDEST intervals per call: callers
+    * drain a long-dormant backlog in bounded chunks by persisting
+    * `lastRunUs` and calling again (the max-active-runs throttle of
+    * a scheduler), instead of materializing an unbounded plan.
+    * Without `catchup` only the LATEST complete interval runs and
+    * the backlog is skipped. Pure function: callers persist
     * `lastRunUs` however they persist offsets.
+    *
+    * Closed-form interval arithmetic (no generate-and-scan loop): the
+    * completeness bound is the subtraction form `from <= nowUs -
+    * everyUs` — the old `t + everyUs <= nowUs` scan wrapped negative
+    * near Long.MaxValue and never terminated.
     */
   def dueRuns(s: Schedule, nowUs: Long, lastRunUs: Option[Long] = None,
-              catchup: Boolean = true): Seq[Long] = {
+              catchup: Boolean = true, maxRuns: Int = 1000): Seq[Long] = {
+    require(maxRuns > 0, "maxRuns must be positive")
     val from = lastRunUs.map(_ + s.everyUs).getOrElse(s.startUs)
-    val due = Iterator.iterate(from)(_ + s.everyUs)
-      .takeWhile(t => t + s.everyUs <= nowUs).toSeq
-    if (catchup || due.isEmpty) due else Seq(due.last)
+    val limit = nowUs - s.everyUs // latest logical date whose interval closed
+    if (from > limit) Seq.empty
+    else {
+      val lastIdx = (limit - from) / s.everyUs
+      if (catchup)
+        (0L to math.min(lastIdx, (maxRuns - 1).toLong))
+          .map(i => from + i * s.everyUs)
+      else Seq(from + lastIdx * s.everyUs)
+    }
   }
 
   /** Execute every due logical date through [[run]], tagging each
@@ -89,13 +105,18 @@ object Pipeline {
     * interval-parameterized stages (the execution-date templating of
     * a DAG run). Failure isolation and retries are per stage per run,
     * and a failing interval does not block later intervals (the
-    * max-active-runs=∞ catch-up shape).
+    * max-active-runs=∞ catch-up shape). The union is bounded by
+    * `maxRuns` intervals per call (dueRuns' chunk cap) so a
+    * long-dormant schedule cannot blow up the driver-side plan;
+    * drain a deeper backlog by persisting the last logical date and
+    * calling again.
     */
   def runScheduled(spark: SparkSession, s: Schedule, nowUs: Long,
-                   lastRunUs: Option[Long] = None, catchup: Boolean = true)
+                   lastRunUs: Option[Long] = None, catchup: Boolean = true,
+                   maxRuns: Int = 1000)
                   (stagesFor: Long => Seq[Stage]): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val frames = dueRuns(s, nowUs, lastRunUs, catchup).map { t =>
+    val frames = dueRuns(s, nowUs, lastRunUs, catchup, maxRuns).map { t =>
       run(spark, stagesFor(t)).withColumn("logical_us", lit(t))
     }
     frames.reduceOption(_.unionByName(_)).getOrElse(

@@ -569,15 +569,18 @@ object Analytics {
     val q = n / 10L
     val rmd = n % 10L
     val headRows = (q + 1L) * rmd
-    val rank = $"offset" + row_number().over(wLocal)
+    // bucket arithmetic stays in LONG space end to end (`div`, never
+    // Column `/` which is IEEE double division): exact at any n, not
+    // just below double's 2^53 integer range
     val decile =
-      when(lit(q) === 0L, rank) // n < 10: one row per bucket
-        .when(rank <= headRows, (rank - 1L) / (q + 1L) + 1L)
-        .otherwise(lit(rmd) + (rank - 1L - headRows) / q + 1L)
+      when(lit(q) === 0L, $"rank") // n < 10: one row per bucket
+        .when($"rank" <= headRows, expr(s"(rank - 1) div ${q + 1L} + 1"))
+        .otherwise(expr(s"$rmd + (rank - 1 - $headRows) div $q + 1"))
     val pctRank =
       if (n <= 1L) lit(0.0)
-      else (rank - 1L).cast("double") / lit((n - 1L).toDouble)
+      else ($"rank" - 1L).cast("double") / lit((n - 1L).toDouble)
     ranged.join(offDf, Seq("pid"))
+      .withColumn("rank", $"offset" + row_number().over(wLocal))
       .select($"o_custkey", ($"cents" / 100.0).as("total_spend"),
         $"n_orders", decile.cast("int").as("decile"),
         pctRank.as("pct_rank"))

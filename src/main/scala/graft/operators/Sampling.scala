@@ -206,23 +206,35 @@ object Sampling {
     * corpus and BROADCASTS into a left-semi join against the training
     * shingles — candidate screening never shuffles the training side
     * on content; at 100 TB the eval set stays benchmark-sized
-    * (thousands of docs) while the broadcast stays megabytes, and a
-    * too-large eval set degrades gracefully to a shuffled semi-join
-    * on the shingle (production note: 8-byte xxhash64 shingle keys
-    * halve that shuffle; kept as raw strings here because the DuckDB
-    * oracle must compute identical join keys).
+    * (thousands of docs) while the broadcast stays megabytes. The
+    * broadcast-vs-shuffle choice is CODE, not prose (the q63
+    * `largeDict` analog): a column-pruned count of eval DOCS gates
+    * the plan, and an eval set above `maxBroadcastEvalDocs` swaps to
+    * a shuffled semi-join on the shingle — same output, no driver
+    * OOM (production note: 8-byte xxhash64 shingle keys halve that
+    * shuffle; kept as raw strings here because the DuckDB oracle
+    * must compute identical join keys).
     */
   def contaminationScreen(documents: DataFrame, n: Int = 8,
-                          mod: Int = 97): DataFrame = {
+                          mod: Int = 97,
+                          maxBroadcastEvalDocs: Long = 100000L): DataFrame = {
     val toks = documents.withColumn("w", TextAnalysis.tokens($"text"))
-    val evalSh = toks.filter($"doc_id" % mod === 0)
+    val evalSh0 = toks.filter($"doc_id" % mod === 0)
       .select(explode(TextAnalysis.shinglesOf($"w", n)).as("s"))
       .distinct()
+    // the gate's estimate is a doc COUNT on a pruned (doc_id-only)
+    // scan — one cheap job, never materializing the shingle set; the
+    // distinct eval shingle count is O(tokens/doc) × docs, so doc
+    // count is the right proxy for broadcast safety
+    val evalDocs = documents.select($"doc_id")
+      .filter($"doc_id" % mod === 0).count()
+    val evalSh =
+      if (evalDocs <= maxBroadcastEvalDocs) broadcast(evalSh0) else evalSh0
     val train = toks.filter($"doc_id" % mod =!= 0)
     val contaminated = train
       .select($"doc_id", $"source",
         explode(TextAnalysis.shinglesOf($"w", n)).as("s"))
-      .join(broadcast(evalSh), Seq("s"), "left_semi")
+      .join(evalSh, Seq("s"), "left_semi")
       .select($"doc_id", $"source").distinct()
     train.groupBy($"source").agg(count(lit(1)).as("n_docs"))
       .join(contaminated.groupBy($"source")

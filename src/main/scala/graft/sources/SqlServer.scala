@@ -26,8 +26,17 @@ object SqlServer {
     * hive-thriftserver dependency soft: the jar is on the runtime
     * classpath (it ships with every Spark distribution), but nothing
     * else in the library links against it.
+    *
+    * SINGLE-INSTANCE contract: HiveThriftServer2 is a JVM-global
+    * singleton in Spark itself (a second `startWithContext` in one
+    * process is not supported upstream), so one endpoint per JVM is
+    * the hard ceiling, not a library limitation. `start` is
+    * synchronized so a concurrent second caller cannot race the
+    * port setting in the shared hadoopConfiguration — it serializes
+    * behind the first and (like upstream) must stop the running
+    * server before its own port takes effect.
     */
-  def start(spark: SparkSession, dir: String, port: Int): AutoCloseable = {
+  def start(spark: SparkSession, dir: String, port: Int): AutoCloseable = synchronized {
     // GLOBAL temp views: each JDBC connection gets its own Spark
     // session, and globals are the session-crossing catalog that works
     // without the static singleSession conf (which can't be set on a

@@ -227,4 +227,81 @@ class NewOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("books", 1L, 0L), ("web", 2L, 1L)), s"got $got")
   }
+
+  test("quality rules: per-slice failure counts partition n_docs") {
+    // every doc either passes all five rules or fails >=1, so
+    // n_pass + |fail any| = n_docs; each per-rule count <= n_docs
+    val rep = TextAnalysis.qualityRules(Tables.documents(spark, dir))
+    rep.collect().foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val fails = Seq("n_fail_len", "n_fail_mwl", "n_fail_stop",
+        "n_fail_rep", "n_fail_div").map(r.getAs[Long](_))
+      assert(fails.forall(f => f >= 0 && f <= n))
+      assert(r.getAs[Long]("n_pass") <= n)
+      // a doc failing NO rule is counted in n_pass, so n_pass >= n - sum(fails)
+      assert(r.getAs[Long]("n_pass") >= n - fails.sum)
+    }
+  }
+
+  test("quality rules: a planted clean doc passes and a degenerate doc fails") {
+    import spark.implicits._
+    val clean = ("the cat sat on the mat and the dog ran to the " +
+      "park in the rain is a fine day for all of us to walk " +
+      "the long road home and rest by the warm fire tonight ok") // 41 tokens, stopword-rich, diverse
+    val degenerate = Seq.fill(30)("zzzz").mkString(" ") // rep+div+stop fail
+    val docs = Seq((1L, clean, "en", "web", 100L),
+      (2L, degenerate, "en", "web", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.qualityRules(docs).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_docs") == 2L)
+    assert(r(0).getAs[Long]("n_pass") == 1L, s"clean doc should pass: ${r(0)}")
+    assert(r(0).getAs[Long]("n_fail_rep") == 1L)
+    assert(r(0).getAs[Long]("n_fail_div") == 1L)
+  }
+
+  test("source mixture: weights are exact integer sqrt and ppm sums to <= 1e6") {
+    val mix = Sampling.sourceMixture(Tables.documents(spark, dir)).collect()
+    assert(mix.nonEmpty)
+    mix.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val w = r.getAs[Long]("weight")
+      assert(w * w <= n && (w + 1) * (w + 1) > n,
+        s"weight $w is not floor(sqrt($n))")
+    }
+    // floor-division normalization can only round DOWN: total ppm <= 1e6
+    val ppm = mix.map(_.getAs[Long]("p_ppm")).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - mix.length * 1000L,
+      s"ppm sum $ppm out of range")
+  }
+
+  test("context pack: window spans partition each doc's token mass exactly") {
+    import spark.implicits._
+    val packed = Sampling.contextPack(Tables.documents(spark, dir))
+    // (a) per-doc: spans are contiguous and sum to n_tokens
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", size(TextAnalysis.tokens($"text")).cast("long").as("n"))
+    val perDoc = packed.groupBy($"doc_id")
+      .agg(sum($"tok_len").as("covered"), min($"tok_start").as("first"))
+      .join(docs, Seq("doc_id"))
+    assert(perDoc.filter($"covered" =!= $"n" || $"first" =!= 0L).count() == 0,
+      "doc token mass not exactly partitioned by its spans")
+    // (b) per-window: every window except the last carries exactly 512 tokens
+    val lastW = packed.agg(max($"window_id")).head.getLong(0)
+    val bad = packed.groupBy($"window_id").agg(sum($"tok_len").as("mass"))
+      .filter($"window_id" < lastW && $"mass" =!= 512L)
+    assert(bad.count() == 0, "a non-final window is not exactly full")
+  }
+
+  test("inverted index: postings capped at 16, ascending, df consistent") {
+    val idx = TextAnalysis.invertedIndex(Tables.documents(spark, dir)).collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val post = r.getAs[String]("postings").split(",").map(_.toLong)
+      assert(post.length == math.min(df, 16L),
+        s"${r.getAs[String]("term")}: ${post.length} postings for df=$df")
+      assert(post.sameElements(post.sorted), "postings not ascending")
+      assert(post.distinct.length == post.length, "duplicate posting")
+    }
+  }
 }

@@ -16,10 +16,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // accidental cross join.
   // q73/q74 broadcast bounded single-digit-row sides (8 centroids / a
   // 1-row corpus-stats frame) — designed, like q28/q45. q15/q75
-  // broadcast 1-row bounds/max-key frames.
+  // broadcast 1-row bounds/max-key frames. q94 crossJoins a broadcast
+  // 1-row total-weight normalizer (same bounded shape as q74's
+  // corpus-stats frame).
   private val allowedNestedLoop =
     Set("q15_freshness", "q28_cosine_topk", "q29_ann_lsh", "q45_ann_ivf",
-      "q73_kmeans_step", "q74_bm25_rank", "q75_merge_upsert")
+      "q73_kmeans_step", "q74_bm25_rank", "q75_merge_upsert",
+      "q94_source_mixture")
 
   /** Every query's plan, built ONCE and shared by all audit tests —
     * operators with eager construction steps (q66's propagation
