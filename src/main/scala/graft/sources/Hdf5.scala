@@ -1,0 +1,597 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Inflater
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal from-scratch HDF5 reader — the data path behind NetCDF-4.
+  *
+  * The reference's PRIMARY data file is a NetCDF-4 GOES EXIS product
+  * (reference goes_satellite_etl.py:133-388 reads
+  * `test_downloads/OR_EXIS-L1b-SFXR_G18_*.nc` via the netCDF4
+  * library), and NetCDF-4 is an HDF5 container. This object parses,
+  * from the public HDF5 File Format Specification, exactly the
+  * feature set those products (and netCDF-4 files generally) use:
+  *
+  *  - superblock v0 and v2/v3 (8-byte offsets/lengths)
+  *  - object headers v1 (unsigned, 8-byte aligned messages) and v2
+  *    (`OHDR`, with `OCHK` continuation blocks)
+  *  - old-style groups: symbol-table message → v1 B-tree (`TREE`
+  *    type 0) → `SNOD` symbol nodes + local heap (`HEAP`) names
+  *  - new-style dense groups: Link Info message → fractal heap
+  *    (`FRHP`/`FHDB`/root-level `FHIB`) + v2 name B-tree
+  *    (`BTHD`/`BTLF`/depth-1 `BTIN`) — the layout the GOES sample
+  *    actually uses (creation-order tracking forces dense storage)
+  *  - compact Link messages (small new-style groups)
+  *  - datatypes: fixed-point (1/2/4/8 B, either endianness, signed
+  *    or not), IEEE float (4/8 B), fixed-size strings
+  *  - dataspace v1/v2; layout v3 compact / contiguous / chunked
+  *  - chunk index: v1 B-tree (`TREE` type 1), any nesting level
+  *  - filters: deflate (1), shuffle (2), fletcher32 (3) in any
+  *    pipeline order, applied write-reverse on read
+  *  - compact attribute messages v1/v3 (numeric + string values) —
+  *    enough for `units` / `scale_factor` / `add_offset` /
+  *    `_FillValue`
+  *
+  * Out of scope, by design (throws with a precise message rather
+  * than misreading): layout v4 chunk indexes (libver-latest files),
+  * B-tree v2 depth > 1 and multi-level indirect fractal-heap blocks
+  * (groups with ~100k+ links), variable-length and compound
+  * datatypes, dense attribute storage (compact attributes cover the
+  * netCDF-4 per-variable metadata the ETL reads).
+  *
+  * Scale shape: identical to [[NetCdf]] — one file is one task; the
+  * byte array arrives via Spark's `binaryFile` source and is parsed
+  * entirely executor-side with no driver involvement, so a 100 TB
+  * archive of ~MB products parallelizes by file count.
+  */
+object Hdf5 {
+
+  private val Undef = -1L // 0xffffffffffffffff as signed
+
+  final case class Dtype(cls: Int, size: Int, littleEndian: Boolean, signed: Boolean)
+  final case class Attr(name: String, num: Seq[Double], str: String)
+  final case class Layout(kind: String, addr: Long, size: Long,
+                          chunkDims: Seq[Int], compact: Array[Byte])
+  final case class Filter(id: Int, clientData: Seq[Int])
+  final case class H5Var(name: String, dtype: Dtype, dims: Seq[Long],
+                         layout: Layout, filters: Seq[Filter], attrs: Seq[Attr]) {
+    def elemCount: Long = if (dims.isEmpty) 1L else dims.product
+  }
+  final case class H5File(vars: Seq[H5Var]) {
+    def apply(name: String): H5Var = vars.find(_.name == name)
+      .getOrElse(sys.error(s"no HDF5 dataset $name; have ${vars.map(_.name).sorted}"))
+  }
+
+  private final class Buf(val bytes: Array[Byte]) {
+    def u8(p: Long): Int = bytes(p.toInt) & 0xff
+    def u16(p: Long): Int = u8(p) | u8(p + 1) << 8
+    def u32(p: Long): Long = u16(p).toLong | u16(p + 2).toLong << 16
+    def u64(p: Long): Long = u32(p) | u32(p + 4) << 32
+    def uN(p: Long, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (u8(p + i).toLong << (8 * i)); i += 1 }
+      v
+    }
+    def slice(p: Long, n: Long): Array[Byte] =
+      java.util.Arrays.copyOfRange(bytes, p.toInt, (p + n).toInt)
+    def ascii(p: Long, n: Long): String =
+      new String(slice(p, n), java.nio.charset.StandardCharsets.UTF_8)
+    def cstr(p: Long): String = {
+      var e = p
+      while (u8(e) != 0) e += 1
+      ascii(p, e - p)
+    }
+    def sig(p: Long, s: String): Boolean = ascii(p, 4) == s
+    def requireSig(p: Long, s: String): Unit =
+      require(sig(p, s), s"expected '$s' at offset $p, found '${ascii(p, 4)}'")
+  }
+
+  def isHdf5(bytes: Array[Byte]): Boolean =
+    bytes.length > 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'H' &&
+      bytes(2) == 'D' && bytes(3) == 'F'
+
+  /** Parse the file: superblock → root group → one [[H5Var]] per
+    * hard-linked dataset (sub-groups are descended recursively with
+    * `/`-joined names, mirroring h5py's flat visit).
+    */
+  def parse(bytes: Array[Byte]): H5File = {
+    val b = new Buf(bytes)
+    require(isHdf5(bytes), "not an HDF5 file")
+    val sbVer = b.u8(8)
+    val rootAddr = sbVer match {
+      case 0 | 1 =>
+        require(b.u8(13) == 8 && b.u8(14) == 8,
+          s"unsupported offset/length sizes ${b.u8(13)}/${b.u8(14)}")
+        // fixed fields end at 24 (+4 for v1's indexed-storage K), then
+        // base/freespace/eof/driver-info, then the root symbol-table
+        // entry: (link name offset, object header address, ...)
+        val fixed = if (sbVer == 0) 24 else 28
+        b.u64(fixed + 32 + 8)
+      case 2 | 3 =>
+        require(b.u8(9) == 8 && b.u8(10) == 8,
+          s"unsupported offset/length sizes ${b.u8(9)}/${b.u8(10)}")
+        b.u64(12 + 24)
+      case v => sys.error(s"unsupported HDF5 superblock version $v")
+    }
+    val out = ArrayBuffer.empty[H5Var]
+    descend(b, rootAddr, "", out)
+    H5File(out.toSeq)
+  }
+
+  // ---------------------------------------------------------------
+  // object headers
+  // ---------------------------------------------------------------
+
+  /** All (messageType, bodyOffset, bodySize) of an object header,
+    * v1 or v2, with continuation blocks spliced in.
+    */
+  private def messages(b: Buf, addr: Long): Seq[(Int, Long, Int)] = {
+    val out = ArrayBuffer.empty[(Int, Long, Int)]
+    if (b.sig(addr, "OHDR")) {
+      val flags = b.u8(addr + 5)
+      var p = addr + 6
+      if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+      if ((flags & 0x10) != 0) p += 4  // phase-change limits
+      val szLen = 1 << (flags & 0x3)
+      val size = b.uN(p, szLen); p += szLen
+      val gap = if ((flags & 0x4) != 0) 6 else 4 // +2 creation order
+      def scan(q0: Long, end: Long): Unit = {
+        var q = q0
+        while (q + gap <= end) {
+          val t = b.u8(q); val sz = b.u16(q + 1)
+          val body = q + gap
+          if (t == 16) { // continuation: body = (addr, len); block has OCHK sig + trailing checksum
+            val ca = b.u64(body); val cl = b.u64(body + 8)
+            b.requireSig(ca, "OCHK")
+            scan(ca + 4, ca + cl - 4)
+          } else out += ((t, body, sz))
+          q = body + sz
+        }
+      }
+      scan(p, p + size)
+    } else {
+      val ver = b.u8(addr)
+      require(ver == 1, s"unsupported object header version $ver at $addr")
+      val hdrSize = b.u32(addr + 8)
+      def scan(q0: Long, end: Long): Unit = {
+        var q = q0
+        while (q + 8 <= end) {
+          val t = b.u16(q); val sz = b.u16(q + 2)
+          if (t == 16) {
+            val ca = b.u64(q + 8); val cl = b.u64(q + 16)
+            scan(ca, ca + cl) // v1 continuations have no signature
+          } else out += ((t, q + 8, sz))
+          q += 8 + sz // v1 message bodies are already 8-byte-padded sizes
+        }
+      }
+      scan(addr + 16, addr + 16 + hdrSize)
+    }
+    out.toSeq
+  }
+
+  /** Descend one group object header, appending datasets to `out`. */
+  private def descend(b: Buf, addr: Long, prefix: String,
+                      out: ArrayBuffer[H5Var]): Unit = {
+    val msgs = messages(b, addr)
+    val links = ArrayBuffer.empty[(String, Long)]
+    var isDataset = false
+    msgs.foreach {
+      case (6, p, sz) => // compact Link message
+        parseLink(b, p).foreach(links += _)
+      case (2, p, _) => // Link Info → dense storage
+        val flags = b.u8(p + 1)
+        var q = p + 2
+        if ((flags & 0x1) != 0) q += 8 // max creation index
+        val fheap = b.u64(q); val nameBt = b.u64(q + 8)
+        if (fheap != Undef && nameBt != Undef)
+          links ++= denseLinks(b, fheap, nameBt)
+      case (17, p, _) => // v1 symbol table → old-style group
+        links ++= symbolTableLinks(b, b.u64(p), b.u64(p + 8))
+      case (8, _, _) => isDataset = true
+      case _ => ()
+    }
+    if (isDataset) out += buildVar(b, prefix.stripSuffix("/"), msgs)
+    else links.foreach { case (name, a) => descend(b, a, s"$prefix$name/", out) }
+  }
+
+  /** Hard links only (soft/external links carry no object address). */
+  private def parseLink(b: Buf, p0: Long): Option[(String, Long)] = {
+    val flags = b.u8(p0 + 1)
+    var p = p0 + 2
+    var ltype = 0
+    if ((flags & 0x8) != 0) { ltype = b.u8(p); p += 1 }
+    if ((flags & 0x4) != 0) p += 8 // creation order
+    if ((flags & 0x10) != 0) p += 1 // charset
+    val lenSz = 1 << (flags & 0x3)
+    val n = b.uN(p, lenSz); p += lenSz
+    val name = b.ascii(p, n); p += n
+    if (ltype == 0) Some((name, b.u64(p))) else None
+  }
+
+  private def buildVar(b: Buf, name: String, msgs: Seq[(Int, Long, Int)]): H5Var = {
+    var dtype: Dtype = null
+    var dims: Seq[Long] = Seq.empty
+    var layout: Layout = null
+    var filters: Seq[Filter] = Seq.empty
+    val attrs = ArrayBuffer.empty[Attr]
+    msgs.foreach {
+      case (3, p, _) => dtype = parseDtype(b, p)
+      case (1, p, _) => dims = parseDims(b, p)
+      case (8, p, _) => layout = parseLayout(b, p)
+      case (11, p, _) => filters = parseFilters(b, p)
+      case (12, p, sz) => parseAttr(b, p, sz).foreach(attrs += _)
+      case _ => ()
+    }
+    require(dtype != null && layout != null, s"dataset $name missing datatype/layout")
+    H5Var(name, dtype, dims, layout, filters, attrs.toSeq)
+  }
+
+  // ---------------------------------------------------------------
+  // old-style groups: v1 B-tree + SNOD + local heap
+  // ---------------------------------------------------------------
+
+  private def symbolTableLinks(b: Buf, btree: Long, heap: Long): Seq[(String, Long)] = {
+    b.requireSig(heap, "HEAP")
+    val heapData = b.u64(heap + 24)
+    val out = ArrayBuffer.empty[(String, Long)]
+    def snod(addr: Long): Unit = {
+      b.requireSig(addr, "SNOD")
+      val n = b.u16(addr + 6)
+      var q = addr + 8
+      var i = 0
+      while (i < n) {
+        out += ((b.cstr(heapData + b.u64(q)), b.u64(q + 8)))
+        q += 40; i += 1
+      }
+    }
+    def walk(addr: Long): Unit = {
+      b.requireSig(addr, "TREE")
+      val level = b.u8(addr + 5); val used = b.u16(addr + 6)
+      var q = addr + 8 + 16 + 8 // siblings + key0
+      var i = 0
+      while (i < used) {
+        val child = b.u64(q); q += 8 + 8 // child + next key
+        if (level == 0) snod(child) else walk(child)
+        i += 1
+      }
+    }
+    walk(btree)
+    out.toSeq
+  }
+
+  // ---------------------------------------------------------------
+  // new-style dense groups: fractal heap + v2 B-tree
+  // ---------------------------------------------------------------
+
+  /** (heap-space offset → file address) map for a fractal heap whose
+    * root is a direct block or a single-level indirect block. Each
+    * `FHDB` self-describes its heap-space offset, so lookup is
+    * greatest-offset-≤-target; objects never span blocks.
+    */
+  private final class FractalHeap(b: Buf, hdr: Long) {
+    b.requireSig(hdr, "FRHP")
+    val idLen: Int = b.u16(hdr + 5)
+    private val ioFilterLen = b.u16(hdr + 7)
+    // fixed header: sig(4) ver(1) idLen(2) ioLen(2) flags(1) maxMan(4)
+    // = 14 bytes, then twelve 8-byte statistics fields → width at +110
+    private val width = b.u16(hdr + 110)
+    private val maxHeapBits = b.u16(hdr + 110 + 2 + 8 + 8) // after startBlk, maxDirect
+    val offSz: Int = (maxHeapBits + 7) / 8
+    val lenSz: Int = idLen - 1 - offSz
+    private val rootBlk = b.u64(hdr + 128 + 2 + 2) // after maxHeapBits, startRows
+    private val curRows = b.u16(hdr + 132 + 8)
+
+    private val blocks: Array[(Long, Long)] = { // (heapOff, fileAddr) sorted
+      val dhdrOff = 4 + 1 + 8 // sig + version + heap-header address
+      val acc = ArrayBuffer.empty[(Long, Long)]
+      def direct(addr: Long): Unit =
+        acc += ((b.uN(addr + dhdrOff, offSz), addr))
+      if (b.sig(rootBlk, "FHDB")) direct(rootBlk)
+      else {
+        b.requireSig(rootBlk, "FHIB")
+        var q = rootBlk + 4 + 1 + 8 + offSz
+        val entrySz = 8 + (if (ioFilterLen > 0) 12 else 0)
+        var i = 0
+        while (i < curRows * width) {
+          val a = b.u64(q)
+          if (a != Undef) {
+            require(b.sig(a, "FHDB"),
+              "multi-level indirect fractal-heap blocks unsupported (≫10⁵-link group)")
+            direct(a)
+          }
+          q += entrySz; i += 1
+        }
+      }
+      acc.sortBy(_._1).toArray
+    }
+
+    def get(heapId: Array[Byte]): (Long, Long) = { // (fileAddr, len)
+      val ib = new Buf(heapId)
+      val off = ib.uN(1, offSz)
+      val len = ib.uN(1 + offSz, lenSz)
+      var i = blocks.length - 1
+      while (i > 0 && blocks(i)._1 > off) i -= 1
+      (blocks(i)._2 + (off - blocks(i)._1), len)
+    }
+  }
+
+  private def denseLinks(b: Buf, fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+    val heap = new FractalHeap(b, fheapAddr)
+    b.requireSig(btreeAddr, "BTHD")
+    val nodeSize = b.u32(btreeAddr + 6)
+    val recSize = b.u16(btreeAddr + 10)
+    val depth = b.u16(btreeAddr + 12)
+    val rootAddr = b.u64(btreeAddr + 16)
+    val nrecRoot = b.u16(btreeAddr + 24)
+    val leafMax = ((nodeSize - 10) / recSize).toInt
+    def bytesFor(n: Int): Int = { var v = n; var c = 0; while (v > 0) { v >>= 8; c += 1 }; math.max(c, 1) }
+    val heapIds = ArrayBuffer.empty[Array[Byte]]
+    def leaf(addr: Long, n: Int): Unit = {
+      b.requireSig(addr, "BTLF")
+      var q = addr + 6
+      var i = 0
+      while (i < n) { heapIds += b.slice(q + 4, recSize - 4); q += recSize; i += 1 }
+    }
+    if (depth == 0) leaf(rootAddr, nrecRoot)
+    else {
+      require(depth == 1, s"v2 B-tree depth $depth unsupported (≫10⁵-link group)")
+      b.requireSig(rootAddr, "BTIN")
+      val childNrecSz = bytesFor(leafMax)
+      var q = rootAddr + 6
+      // internal records are also real records pointing into the heap
+      val internalIds = ArrayBuffer.empty[Array[Byte]]
+      var i = 0
+      while (i < nrecRoot) { internalIds += b.slice(q + 4, recSize - 4); q += recSize; i += 1 }
+      i = 0
+      while (i <= nrecRoot) {
+        val child = b.u64(q); q += 8
+        val n = b.uN(q, childNrecSz).toInt; q += childNrecSz
+        leaf(child, n)
+        i += 1
+      }
+      heapIds ++= internalIds
+    }
+    heapIds.toSeq.flatMap { id =>
+      val (addr, len) = heap.get(id)
+      // the heap object IS a serialized Link message
+      parseLink(b, addr)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // messages: datatype / dataspace / layout / filters / attribute
+  // ---------------------------------------------------------------
+
+  private def parseDtype(b: Buf, p: Long): Dtype = {
+    val cls = b.u8(p) & 0xf
+    val bit0 = b.u8(p + 1)
+    val size = b.u32(p + 4).toInt
+    cls match {
+      case 0 => Dtype(0, size, (bit0 & 1) == 0, (bit0 & 0x8) != 0) // fixed-point
+      case 1 => Dtype(1, size, (bit0 & 1) == 0, signed = true)     // IEEE float
+      case 3 => Dtype(3, size, littleEndian = true, signed = false) // string
+      case c => sys.error(s"unsupported HDF5 datatype class $c (variable-length/compound out of scope)")
+    }
+  }
+
+  private def parseDims(b: Buf, p: Long): Seq[Long] = {
+    val ver = b.u8(p); val rank = b.u8(p + 1)
+    val base = if (ver == 1) p + 8 else p + 4
+    (0 until rank).map(i => b.u64(base + 8L * i))
+  }
+
+  private def parseLayout(b: Buf, p: Long): Layout = {
+    val ver = b.u8(p)
+    require(ver == 3, s"data layout version $ver unsupported (v4 libver-latest chunk indexes out of scope)")
+    b.u8(p + 1) match {
+      case 0 =>
+        val sz = b.u16(p + 2)
+        Layout("compact", Undef, sz, Seq.empty, b.slice(p + 4, sz))
+      case 1 =>
+        Layout("contiguous", b.u64(p + 2), b.u64(p + 10), Seq.empty, null)
+      case 2 =>
+        val rank = b.u8(p + 2) // rank includes the trailing element-size dim
+        val addr = b.u64(p + 3)
+        val cdims = (0 until rank).map(i => b.u32(p + 11 + 4L * i).toInt)
+        Layout("chunked", addr, 0, cdims, null)
+    }
+  }
+
+  private def parseFilters(b: Buf, p: Long): Seq[Filter] = {
+    val ver = b.u8(p); val n = b.u8(p + 1)
+    var q = if (ver == 1) p + 8 else p + 2
+    (0 until n).map { _ =>
+      val id = b.u16(q); val nameLen = b.u16(q + 2); val nCd = b.u16(q + 6)
+      q += 8
+      if (nameLen > 0) { q += nameLen; if (ver == 1 && nameLen % 8 != 0) q += 8 - nameLen % 8 }
+      val cd = (0 until nCd).map(i => b.u32(q + 4L * i).toInt)
+      q += 4L * nCd
+      if (ver == 1 && nCd % 2 == 1) q += 4
+      Filter(id, cd)
+    }
+  }
+
+  private def parseAttr(b: Buf, p: Long, msgSize: Int): Option[Attr] = {
+    val ver = b.u8(p)
+    if (ver != 1 && ver != 3) return None
+    val nameSz = b.u16(p + 2); val dtSz = b.u16(p + 4); val dsSz = b.u16(p + 6)
+    def pad8(n: Int): Int = if (ver == 1) (n + 7) & ~7 else n
+    var q = p + (if (ver == 1) 8 else 9)
+    val name = b.cstr(q); q += pad8(nameSz)
+    val dtP = q; q += pad8(dtSz)
+    val dsP = q; q += pad8(dsSz)
+    val dt =
+      try parseDtype(b, dtP)
+      catch { case _: RuntimeException => return Some(Attr(name, Seq.empty, "")) }
+    val n = parseDims(b, dsP) match { case Nil => 1L; case d => d.product }
+    if (dt.cls == 3) Some(Attr(name, Seq.empty, b.ascii(q, dt.size * n).takeWhile(_ != 0)))
+    else {
+      val nums = (0L until n).map(i => readElem(b.bytes, q + i * dt.size, dt))
+      Some(Attr(name, nums, ""))
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // data
+  // ---------------------------------------------------------------
+
+  private def readElem(bytes: Array[Byte], p: Long, dt: Dtype): Double = {
+    val bb = ByteBuffer.wrap(bytes, p.toInt, dt.size)
+      .order(if (dt.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    dt.cls match {
+      case 1 => if (dt.size == 4) bb.getFloat.toDouble else bb.getDouble
+      case _ => dt.size match { // fixed-point & string bytes
+        case 1 => if (dt.signed) bb.get.toDouble else (bb.get & 0xff).toDouble
+        case 2 => if (dt.signed) bb.getShort.toDouble else (bb.getShort & 0xffff).toDouble
+        case 4 => if (dt.signed) bb.getInt.toDouble else (bb.getInt.toLong & 0xffffffffL).toDouble
+        case 8 => bb.getLong.toDouble
+      }
+    }
+  }
+
+  private def defilter(raw: Array[Byte], filters: Seq[Filter], mask: Int): Array[Byte] = {
+    // write order is pipeline order; decode applies the reverse, and
+    // bit i of the chunk's filter mask means filter i was SKIPPED
+    var data = raw
+    filters.zipWithIndex.reverse.foreach {
+      case (f, i) if (mask & (1 << i)) == 0 =>
+        f.id match {
+          case 1 => // deflate
+            val inf = new Inflater()
+            inf.setInput(data)
+            val out = new java.io.ByteArrayOutputStream(data.length * 4)
+            val tmp = new Array[Byte](8192)
+            while (!inf.finished()) {
+              val n = inf.inflate(tmp)
+              if (n == 0 && inf.needsInput()) sys.error("truncated deflate chunk")
+              out.write(tmp, 0, n)
+            }
+            inf.end()
+            data = out.toByteArray
+          case 2 => // shuffle: byte-plane transpose with element size cd(0)
+            val es = f.clientData.head
+            if (es > 1 && data.length % es == 0) {
+              val n = data.length / es
+              val out = new Array[Byte](data.length)
+              var bIdx = 0
+              while (bIdx < es) {
+                var j = 0
+                while (j < n) { out(j * es + bIdx) = data(bIdx * n + j); j += 1 }
+                bIdx += 1
+              }
+              data = out
+            }
+          case 3 => // fletcher32: 4-byte checksum appended; strip
+            data = java.util.Arrays.copyOfRange(data, 0, data.length - 4)
+          case id => sys.error(s"unsupported HDF5 filter $id (szip/nbit out of scope)")
+        }
+      case _ => ()
+    }
+    data
+  }
+
+  /** Raw element bytes of one dataset, row-major, fully assembled
+    * from compact / contiguous / chunked storage. Unallocated chunks
+    * (fill-value regions) read as zero bytes.
+    */
+  def readRaw(bytes: Array[Byte], v: H5Var): Array[Byte] = {
+    val b = new Buf(bytes)
+    val total = v.elemCount * v.dtype.size
+    require(total <= Int.MaxValue, s"dataset ${v.name} too large for a single buffer")
+    v.layout.kind match {
+      case "compact" => v.layout.compact
+      case "contiguous" =>
+        if (v.layout.addr == Undef) new Array[Byte](total.toInt)
+        else b.slice(v.layout.addr, total)
+      case "chunked" =>
+        val out = new Array[Byte](total.toInt)
+        if (v.layout.addr == Undef) return out
+        val rank = v.layout.chunkDims.length // = dataspace rank + 1 (elem-size dim)
+        val dims = v.dims :+ v.dtype.size.toLong // element dims + byte dim, row-major
+        val cdims = v.layout.chunkDims.map(_.toLong)
+        // strides of the full array in bytes
+        val strides = new Array[Long](rank)
+        var s = 1L
+        var i = rank - 1
+        while (i >= 0) { strides(i) = s; s *= dims(i); i -= 1 }
+        def walk(addr: Long): Unit = {
+          b.requireSig(addr, "TREE")
+          require(b.u8(addr + 4) == 1, "not a raw-data chunk B-tree")
+          val level = b.u8(addr + 5); val used = b.u16(addr + 6)
+          var q = addr + 8 + 16
+          // key = size(4) + mask(4) + one 8-byte offset per chunk dim
+          // (chunk rank already includes the trailing element-size dim)
+          var k = 0
+          while (k < used) {
+            val csize = b.u32(q); val mask = b.u32(q + 4).toInt
+            val offs = (0 until rank).map(d => b.u64(q + 8 + 8L * d))
+            q += 8 + 8L * rank
+            val child = b.u64(q); q += 8
+            if (level > 0) walk(child)
+            else {
+              val data = defilter(b.slice(child, csize), v.filters, mask)
+              // scatter the chunk into `out` one contiguous row at a time:
+              // the innermost chunk dim (the byte dim) is contiguous
+              val rowBytes = cdims(rank - 1)
+              val nRows = (cdims.product / rowBytes).toInt
+              var r = 0
+              while (r < nRows) {
+                // decompose r into chunk-local coords over dims 0..rank-2
+                var rem = r.toLong
+                var dst = 0L
+                var inBounds = true
+                var d = rank - 2
+                while (d >= 0) {
+                  val c = rem % cdims(d); rem /= cdims(d)
+                  val g = offs(d) + c
+                  if (g >= dims(d)) inBounds = false
+                  dst += g * strides(d)
+                  d -= 1
+                }
+                if (inBounds) {
+                  val copy = math.min(rowBytes, dims(rank - 1) - offs(rank - 1)).toInt
+                  val srcOff = r * rowBytes
+                  if (srcOff + copy <= data.length)
+                    System.arraycopy(data, srcOff.toInt, out, dst.toInt, copy)
+                }
+                r += 1
+              }
+            }
+            k += 1
+          }
+        }
+        walk(v.layout.addr)
+        out
+    }
+  }
+
+  /** Flattened numeric values of one dataset as doubles, row-major —
+    * fixed-size strings yield per-byte code points (same convention
+    * as [[NetCdf.readVarDoubles]]).
+    */
+  def readDoubles(bytes: Array[Byte], v: H5Var): Array[Double] = {
+    val raw = readRaw(bytes, v)
+    val n = (raw.length / v.dtype.size).toInt
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = readElem(raw, i.toLong * v.dtype.size, v.dtype); i += 1 }
+    out
+  }
+
+  /** Fixed-size-string dataset as one string per innermost row
+    * (NUL-trimmed) — the shape of netCDF-4 `char x(n, strlen)` label
+    * variables.
+    */
+  def readStrings(bytes: Array[Byte], v: H5Var): Array[String] = {
+    require(v.dtype.cls == 3, s"${v.name} is not a string/char dataset")
+    val raw = readRaw(bytes, v)
+    val rowLen = if (v.dtype.cls == 3 && v.dtype.size > 1) v.dtype.size
+                 else v.dims.lastOption.getOrElse(1L).toInt * v.dtype.size
+    val n = raw.length / rowLen
+    (0 until n).map { i =>
+      new String(raw, i * rowLen, rowLen, java.nio.charset.StandardCharsets.UTF_8)
+        .takeWhile(_ != 0)
+    }.toArray
+  }
+}

@@ -149,7 +149,7 @@ class NetCdfSpec extends AnyFunSuite {
       NetCdf.FormatHdf5)
   }
 
-  test("binaryFile plumbing: describe surfaces classic vars and the HDF5 seam") {
+  test("binaryFile plumbing: describe surfaces classic AND real HDF5 variables") {
     val dir = Files.createTempDirectory("graft_nc")
     Files.write(dir.resolve("a.nc"), twoRecVarFixture)
     Files.write(dir.resolve("b.nc"), singleRecVarFixture)
@@ -159,9 +159,12 @@ class NetCdfSpec extends AnyFunSuite {
     val classicVars = rows.filter(_.getString(1) == NetCdf.FormatClassic)
       .map(_.getString(2)).toSet
     assert(classicVars == Set("lat", "time", "flux", "temp"))
-    val seam = rows.filter(_.getString(1) == NetCdf.FormatHdf5)
-    assert(seam.length == 1 && seam(0).isNullAt(2),
-      "HDF5 file must surface as a single metadata seam row")
+    // the NetCDF-4/HDF5 file now yields REAL per-variable rows
+    val h5Vars = rows.filter(_.getString(1) == NetCdf.FormatHdf5)
+      .map(_.getString(2)).toSet
+    assert(h5Vars.size == 63, s"expected 63 GOES variables, got ${h5Vars.size}")
+    assert(Set("time", "irradiance_xrsa1", "irradiance_xrsb2", "primary_xrsb",
+      "dispersion_angle", "integration_time").subsetOf(h5Vars))
   }
 
   test("binaryFile plumbing: long-form variable extraction feeds (var, time, value)") {
@@ -182,5 +185,75 @@ class NetCdfSpec extends AnyFunSuite {
       .select(col("var_name"), col("t"), col("value"))
       .orderBy("t", "value").collect()
     assert(joined.length == 6 && joined.head.getDouble(1) == 100.0)
+  }
+
+  // ----- the real GOES NetCDF-4 (HDF5) sample, decoded end-to-end -----
+
+  test("HDF5: parse the real GOES sample — dense group, 63 datasets") {
+    // 63 = the name B-tree's total-record count: 62 leaf records plus
+    // one record stored in the depth-1 internal node itself
+    assume(Files.exists(Paths.get(goesSample)), "reference sample absent")
+    val bytes = Files.readAllBytes(Paths.get(goesSample))
+    val h5 = graft.sources.Hdf5.parse(bytes)
+    assert(h5.vars.length == 63, s"got ${h5.vars.length}")
+    val time = h5("time")
+    assert(time.dims == Seq(30L) && time.dtype.cls == 1 && time.dtype.size == 8)
+    assert(time.layout.kind == "chunked" &&
+      time.filters.map(_.id).sorted == Seq(1, 2), // deflate + shuffle
+      s"layout=${time.layout.kind} filters=${time.filters}")
+    // attributes decode too: the time units string pins the epoch
+    val units = time.attrs.find(_.name == "units").map(_.str).getOrElse("")
+    assert(units.contains("seconds since 2000-01-01 12:00:00"), s"units='$units'")
+  }
+
+  test("HDF5: chunked+shuffle+deflate data decodes to physical values") {
+    assume(Files.exists(Paths.get(goesSample)), "reference sample absent")
+    val bytes = Files.readAllBytes(Paths.get(goesSample))
+    val h5 = graft.sources.Hdf5.parse(bytes)
+    val t = graft.sources.Hdf5.readDoubles(bytes, h5("time"))
+    assert(t.length == 30)
+    // filename stamp s20231160000599 = 2023 day-116 00:00:59.9 UTC;
+    // values are seconds since J2000 (2000-01-01T12:00:00Z)
+    assert(math.abs(t(0) - 735739259.947841) < 1e-5, s"t0=${t(0)}")
+    assert(t.sliding(2).forall(p => p(1) > p(0)), "time must be monotonic")
+    assert(math.abs((t(29) - t(0)) - 29.0) < 0.01, "1-second cadence")
+    val xa1 = graft.sources.Hdf5.readDoubles(bytes, h5("irradiance_xrsa1"))
+    assert(xa1.length == 30 && xa1.forall(v => v > 1e-9 && v < 1e-5),
+      s"irradiance out of physical range: ${xa1.take(3).toSeq}")
+    // 2-D fixed-size char labels
+    val labels = graft.sources.Hdf5.readStrings(bytes,
+      h5("solar_array_current_channel_index_label"))
+    assert(labels.length == 4 && labels.head == "EPS_SA_CHAN_1_4_RETRN_I",
+      labels.toSeq.toString)
+  }
+
+  test("HDF5: readVariable long-form extraction works on NetCDF-4 input") {
+    assume(Files.exists(Paths.get(goesSample)), "reference sample absent")
+    val dir = Files.createTempDirectory("graft_nc_h5")
+    Files.copy(Paths.get(goesSample), dir.resolve("goes.nc"))
+    val rows = NetCdf.readVariable(spark, s"$dir/*.nc", "integration_time")
+      .orderBy("idx").collect()
+    assert(rows.length == 30)
+    assert(rows.forall { r => val v = r.getDouble(3); v > 0 && v < 10 },
+      "integration_time should be a small positive number of seconds")
+  }
+
+  test("HDF5: readGoes yields the reference ETL's record shape") {
+    assume(Files.exists(Paths.get(goesSample)), "reference sample absent")
+    val dir = Files.createTempDirectory("graft_nc_goes")
+    Files.copy(Paths.get(goesSample), dir.resolve(
+      "OR_EXIS-L1b-SFXR_G18_s20231160000599_e20231160001294_c20231160001297.nc"))
+    val df = NetCdf.readGoes(spark, s"$dir/*.nc")
+    assert(df.columns.toSeq == Seq("path", "product_time", "time",
+      "irradiance_xrsa1", "irradiance_xrsa2", "irradiance_xrsb1",
+      "irradiance_xrsb2", "primary_xrsb", "dispersion_angle",
+      "integration_time"))
+    val rows = df.orderBy("time").collect()
+    assert(rows.length == 30)
+    assert(rows.head.getString(1) == "s20231160000599")
+    // J2000 + 735739259.94… = 2023-04-26T00:00:59Z
+    assert(rows.head.getLong(2) == 1682467259L, s"epoch=${rows.head.getLong(2)}")
+    assert(rows.last.getLong(2) == 1682467288L)
+    assert(rows.forall(r => r.getDouble(3) > 0), "xrsa1 populated from file")
   }
 }
