@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators for training-data curation.
@@ -210,30 +210,49 @@ object Sampling {
     * broadcast-vs-shuffle choice is CODE, not prose (the q63
     * `largeDict` analog): a column-pruned count of eval DOCS gates
     * the plan, and an eval set above `maxBroadcastEvalDocs` swaps to
-    * a shuffled semi-join on the shingle — same output, no driver
-    * OOM (production note: 8-byte xxhash64 shingle keys halve that
-    * shuffle; kept as raw strings here because the DuckDB oracle
-    * must compute identical join keys).
+    * a shuffled semi-join on the shingle. On that shuffle path,
+    * `hashShingleKeys = true` joins on 8-byte `xxhash64` shingle
+    * keys instead of the raw strings — ~⅛ the shuffle bytes for
+    * word 8-grams (a 64-bit hash over even 10¹² distinct shingles
+    * collides with probability ~3·10⁻², and a semi-join collision
+    * only flags one extra doc — acceptable for a screen; default
+    * stays false because the DuckDB oracle must compute identical
+    * join keys).
+    *
+    * Plan-shape guarantees, asserted in ScaleTechniquesSpec: the
+    * eval branch filters on `doc_id` BEFORE tokenizing, so the ~1%
+    * eval slice — never the full corpus — pays the tokenize+shingle
+    * explode twice; the broadcast gate runs one EAGER column-pruned
+    * count job at plan-construction time (building the q92 plan
+    * scans doc_id at the current SF), derived from the same filtered
+    * base the eval shingles read.
     */
   def contaminationScreen(documents: DataFrame, n: Int = 8,
                           mod: Int = 97,
-                          maxBroadcastEvalDocs: Long = 100000L): DataFrame = {
-    val toks = documents.withColumn("w", TextAnalysis.tokens($"text"))
-    val evalSh0 = toks.filter($"doc_id" % mod === 0)
-      .select(explode(TextAnalysis.shinglesOf($"w", n)).as("s"))
+                          maxBroadcastEvalDocs: Long = 100000L,
+                          hashShingleKeys: Boolean = false): DataFrame = {
+    val evalBase = documents.filter($"doc_id" % mod === 0)
+    val shingleKey: Column => Column =
+      if (hashShingleKeys) c => xxhash64(c) else identity
+    val evalSh0 = evalBase
+      .select(explode(
+        TextAnalysis.shinglesOf(TextAnalysis.tokens($"text"), n)).as("s0"))
+      .select(shingleKey($"s0").as("s"))
       .distinct()
     // the gate's estimate is a doc COUNT on a pruned (doc_id-only)
-    // scan — one cheap job, never materializing the shingle set; the
+    // scan of the SAME filtered base the shingles derive from — one
+    // cheap eager job, never materializing the shingle set; the
     // distinct eval shingle count is O(tokens/doc) × docs, so doc
     // count is the right proxy for broadcast safety
-    val evalDocs = documents.select($"doc_id")
-      .filter($"doc_id" % mod === 0).count()
+    val evalDocs = evalBase.select($"doc_id").count()
     val evalSh =
       if (evalDocs <= maxBroadcastEvalDocs) broadcast(evalSh0) else evalSh0
-    val train = toks.filter($"doc_id" % mod =!= 0)
+    val train = documents.filter($"doc_id" % mod =!= 0)
+      .withColumn("w", TextAnalysis.tokens($"text"))
     val contaminated = train
       .select($"doc_id", $"source",
-        explode(TextAnalysis.shinglesOf($"w", n)).as("s"))
+        explode(TextAnalysis.shinglesOf($"w", n)).as("s0"))
+      .select($"doc_id", $"source", shingleKey($"s0").as("s"))
       .join(evalSh, Seq("s"), "left_semi")
       .select($"doc_id", $"source").distinct()
     train.groupBy($"source").agg(count(lit(1)).as("n_docs"))

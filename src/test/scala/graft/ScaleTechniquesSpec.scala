@@ -133,16 +133,46 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       df.collect()  // AQE finalizes join strategy on execution
       df.queryExecution.executedPlan.toString
     }
+    // pin the GATE, not a strategy AQE could pick anyway: the
+    // small-eval path must carry the broadcast hint in its logical
+    // plan, the large-eval path must not (the physical
+    // BroadcastHashJoin alone can arise from either)
+    val hinted = operators.Sampling.contaminationScreen(docs,
+      maxBroadcastEvalDocs = Long.MaxValue).queryExecution.analyzed.toString
+    assert(hinted.contains("ResolvedHint"),
+      "small-eval path must hint the eval shingle broadcast")
     assert(planOf(Long.MaxValue).contains("BroadcastHashJoin"),
       "small-eval path should broadcast the eval shingle set")
-    // AQE may still convert the shuffled branch to broadcast at this
-    // tiny SF; the gate's contract is only that it does not FORCE a
-    // broadcast hint — assert the hint truly absent from the logical
-    // plan instead of a physical strategy AQE is free to pick
     val logical = operators.Sampling.contaminationScreen(docs,
       maxBroadcastEvalDocs = 0L).queryExecution.analyzed.toString
     assert(!logical.contains("ResolvedHint"),
       "large-eval path must not carry a broadcast hint")
+  }
+
+  test("contamination eval branch filters before tokenizing; xxhash64 keys agree") {
+    val docs = Tables.documents(spark, dir)
+    // every doc_id-mod filter in the optimized plan must sit BELOW
+    // tokenization: no split() may be computed under such a filter
+    // (the 100-TB concern: tokenizing the full corpus to keep ~1%)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val opt = operators.Sampling.contaminationScreen(docs)
+      .queryExecution.optimizedPlan
+    val gates = opt.collect {
+      case fl: LFilter if fl.condition.toString.contains("% 97") => fl
+    }
+    assert(gates.nonEmpty, "expected doc_id % mod gates in the plan")
+    gates.foreach { fl =>
+      val below = fl.child.collect { case p => p.expressions.mkString }.mkString
+      assert(!below.contains("split("),
+        s"tokenization computed below a doc_id gate:\n$fl")
+    }
+    // 8-byte shingle keys: identical screen output on the shuffled path
+    def rows(hashed: Boolean) =
+      operators.Sampling.contaminationScreen(docs,
+          maxBroadcastEvalDocs = 0L, hashShingleKeys = hashed)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(hashed = true) == rows(hashed = false),
+      "xxhash64 shingle keys changed the contamination verdicts")
   }
 
   test("schedule: catch-up backfills every complete interval, resume honors lastRun") {
