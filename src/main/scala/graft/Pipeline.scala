@@ -80,6 +80,14 @@ object Pipeline {
     * the backlog is skipped. Pure function: callers persist
     * `lastRunUs` however they persist offsets.
     *
+    * Truncation contract: the result holds `min(backlog, maxRuns)`
+    * dates, so `result.length == maxRuns` is exactly the "backlog
+    * may continue — persist the last date and call again" signal;
+    * [[backlogSize]] gives the precise owed count when a caller
+    * needs to distinguish an exactly-maxRuns backlog from a deeper
+    * one, and [[drainScheduled]] packages the persist-and-repeat
+    * loop.
+    *
     * Closed-form interval arithmetic (no generate-and-scan loop): the
     * completeness bound is the subtraction form `from <= nowUs -
     * everyUs` — the old `t + everyUs <= nowUs` scan wrapped negative
@@ -100,6 +108,37 @@ object Pipeline {
     }
   }
 
+  /** Exact number of complete intervals owed at `nowUs` — the
+    * uncapped size of what [[dueRuns]] truncates to `maxRuns`. Same
+    * overflow-safe subtraction form as dueRuns.
+    */
+  def backlogSize(s: Schedule, nowUs: Long,
+                  lastRunUs: Option[Long] = None): Long = {
+    val from = lastRunUs.map(_ + s.everyUs).getOrElse(s.startUs)
+    val limit = nowUs - s.everyUs
+    if (from > limit) 0L else (limit - from) / s.everyUs + 1L
+  }
+
+  /** The chunked drain structure: every owed logical date at `nowUs`,
+    * grouped into the `maxRuns`-sized [[dueRuns]] calls a persisting
+    * caller makes (each chunk's last date becomes the next call's
+    * `lastRunUs`). Pure — this IS the repeat-call sequence, so specs
+    * and capacity planning can inspect it without running anything:
+    * a 5000-interval backlog at maxRuns=1000 is exactly 5 chunks.
+    */
+  def drainPlan(s: Schedule, nowUs: Long, lastRunUs: Option[Long] = None,
+                maxRuns: Int = 1000): Seq[Seq[Long]] = {
+    val chunks = Seq.newBuilder[Seq[Long]]
+    var last = lastRunUs
+    var chunk = dueRuns(s, nowUs, last, catchup = true, maxRuns)
+    while (chunk.nonEmpty) {
+      chunks += chunk
+      last = Some(chunk.last)
+      chunk = dueRuns(s, nowUs, last, catchup = true, maxRuns)
+    }
+    chunks.result()
+  }
+
   /** Execute every due logical date through [[run]], tagging each
     * stage result with its logical date — `stagesFor` builds the
     * interval-parameterized stages (the execution-date templating of
@@ -118,6 +157,34 @@ object Pipeline {
     import org.apache.spark.sql.functions.lit
     val frames = dueRuns(s, nowUs, lastRunUs, catchup, maxRuns).map { t =>
       run(spark, stagesFor(t)).withColumn("logical_us", lit(t))
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse(
+      run(spark, Seq.empty).withColumn("logical_us", lit(0L)).filter(lit(false)))
+  }
+
+  /** Drain a deep backlog to COMPLETION in `maxRuns`-sized chunks —
+    * the persist-and-repeat loop [[runScheduled]]'s cap asks of its
+    * callers, packaged: each chunk runs through [[runScheduled]],
+    * its last logical date becomes the next chunk's `lastRunUs`
+    * (exactly [[drainPlan]]'s structure), and the per-stage failure
+    * isolation is preserved mid-drain — a poisoned interval records
+    * its failed stage rows and the drain continues through every
+    * later interval and chunk. Returns the union of all chunk
+    * results; `onChunk` observes (chunk index, dates run) so callers
+    * can checkpoint `lastRunUs` durably between chunks.
+    */
+  def drainScheduled(spark: SparkSession, s: Schedule, nowUs: Long,
+                     lastRunUs: Option[Long] = None, maxRuns: Int = 1000,
+                     onChunk: (Int, Seq[Long]) => Unit = (_, _) => ())
+                    (stagesFor: Long => Seq[Stage]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val chunks = drainPlan(s, nowUs, lastRunUs, maxRuns)
+    val frames = chunks.zipWithIndex.map { case (dates, i) =>
+      val df = runScheduled(spark, s, nowUs,
+        lastRunUs = if (i == 0) lastRunUs else Some(chunks(i - 1).last),
+        catchup = true, maxRuns = maxRuns)(stagesFor)
+      onChunk(i, dates)
+      df
     }
     frames.reduceOption(_.unionByName(_)).getOrElse(
       run(spark, Seq.empty).withColumn("logical_us", lit(0L)).filter(lit(false)))

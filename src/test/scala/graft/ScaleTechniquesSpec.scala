@@ -190,6 +190,42 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(Pipeline.dueRuns(s, 1350L, lastRunUs = Some(1200L)).isEmpty)
   }
 
+  test("drain: a 5000-interval backlog is exactly 5 maxRuns-chunks, signalled by length==maxRuns") {
+    val s = Pipeline.Schedule(startUs = 0L, everyUs = 100L)
+    val now = 5000L * 100L // intervals 0..4999 all closed: 5000 owed
+    assert(Pipeline.backlogSize(s, now) == 5000L)
+    // the truncation signal a single call sees
+    assert(Pipeline.dueRuns(s, now, maxRuns = 1000).length == 1000)
+    val plan = Pipeline.drainPlan(s, now, maxRuns = 1000)
+    assert(plan.length == 5, s"expected 5 chunks, got ${plan.length}")
+    assert(plan.forall(_.length == 1000))
+    // chunks are contiguous oldest-first and cover the whole backlog
+    val all = plan.flatten
+    assert(all == (0L until 5000L).map(_ * 100L))
+    // nothing left after the drain
+    assert(Pipeline.backlogSize(s, now, lastRunUs = Some(all.last)) == 0L)
+  }
+
+  test("drainScheduled runs every chunk and isolates a poisoned interval mid-drain") {
+    val s = Pipeline.Schedule(startUs = 0L, everyUs = 100L)
+    val now = 15L * 100L // 15 complete intervals; maxRuns=3 → 5 chunks
+    val chunksSeen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val out = Pipeline.drainScheduled(spark, s, now, maxRuns = 3,
+      onChunk = (_, dates) => chunksSeen += dates) { t =>
+      Seq(Pipeline.stage(s"load_$t") { sp =>
+        if (t == 600L) sys.error(s"poisoned interval $t")
+        else sp.range(t, t + 3).toDF("v")
+      })
+    }.collect()
+    assert(chunksSeen.length == 5 && chunksSeen.flatten.length == 15)
+    assert(out.length == 15)
+    val byDate = out.map(r => r.getAs[Long]("logical_us") ->
+      r.getAs[Boolean]("ok")).toMap
+    assert(byDate(600L) == false, "poisoned interval must record its failure")
+    assert(byDate.count(_._2) == 14,
+      "every interval before AND after the poison must complete")
+  }
+
   test("scheduled runs tag results with their logical date and isolate failures") {
     import org.apache.spark.sql.functions.col
     val s = Pipeline.Schedule(startUs = 0L, everyUs = 100L)
