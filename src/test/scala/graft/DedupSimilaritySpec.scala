@@ -131,6 +131,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall too low: $recall")
   }
 
+  test("recall holds at the 10× scale point: q25 prod-K LSH, q29 ANN, q45 IVF") {
+    // bucket occupancy — LSH band collisions, hyperplane buckets, IVF
+    // cell sizes — changes with corpus size, so the small-SF recall
+    // specs above don't by themselves certify the 10× point; this
+    // runs the same exact-baseline comparisons against the generated
+    // 10× data (tools/gen_sf1.py → /tmp/sf1) and cancels if absent
+    val dir10 = "/tmp/sf1"
+    assume(new java.io.File(s"$dir10/documents.parquet").exists(),
+      "10× scale point absent — python3 tools/gen_sf1.py")
+    val docs = Tables.documents(spark, dir10)
+    val exactPairs = Dedup.ngramJaccard(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "spec vacuous: no high-jaccard pairs at 10×")
+    val prod = Dedup.minhashLsh(docs,
+        k = Dedup.ProdMinHashK, bands = Dedup.ProdBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(prod),
+      s"production-K LSH lost true pairs at 10×: ${(exactPairs -- prod).take(5)}")
+    val emb = Tables.embeddings(spark, dir10)
+    val exact = Similarity.cosineTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annRecall = (exact & ann).size.toDouble / exact.size
+    assert(annRecall >= 0.3, s"ANN recall@5 degraded at 10×: $annRecall")
+    val ivf = Similarity.ivfTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    assert(ivfRecall >= 0.2, s"IVF recall@5 degraded at 10×: $ivfRecall")
+  }
+
   test("streaming rollup equals batch rollup") {
     val batch = EventStream.batchRollup(Tables.events(spark, dir))
     val stream = EventStream.runOnce(spark, dir, "rollup_spec")
