@@ -308,4 +308,40 @@ object NetCdf {
         "irradiance_xrsb2", "primary_xrsb", "dispersion_angle",
         "integration_time")
   }
+
+  /** The reference's real GOES sample, shipped read-only with the
+    * repo under test; the q97 default input.
+    */
+  val GoesSampleGlob: String =
+    "/root/reference/obdi-opensourcedatapipeline-main/test_downloads/*.nc"
+
+  /** q97: per-channel irradiance summary over real GOES NetCDF-4
+    * products — the aggregate the reference's Druid/Superset layer
+    * charts from the satellite ETL's Kafka records (README.md:277's
+    * dashboard path), computed here straight off the files. Long-form
+    * (product_time, channel, n, avg, max) — one row per X-ray
+    * channel. Rows-only by necessity: the DuckDB oracle cannot read
+    * HDF5 containers, so NetCdfSpec pins the values instead (the
+    * channel count, the 30-sample cadence, and the physical W/m²
+    * range of each mean).
+    *
+    * Scale shape: [[readGoes]] parallelizes by file; this adds one
+    * (product_time, channel)-keyed map-side-combined aggregate —
+    * a fleet of years of 1-minute GOES products rolls up with no
+    * shuffle larger than (files × channels) rows.
+    */
+  def goesIrradiance(spark: SparkSession,
+                     glob: String = GoesSampleGlob): DataFrame = {
+    import org.apache.spark.sql.functions._
+    readGoes(spark, glob)
+      .select(col("product_time"), expr(
+        """stack(5,
+             'xrsa1', irradiance_xrsa1, 'xrsa2', irradiance_xrsa2,
+             'xrsb1', irradiance_xrsb1, 'xrsb2', irradiance_xrsb2,
+             'primary_b', primary_xrsb) AS (channel, irr)"""))
+      .groupBy(col("product_time"), col("channel"))
+      .agg(count(lit(1)).as("n"), avg(col("irr")).as("avg_irr"),
+        max(col("irr")).as("max_irr"))
+      .orderBy(col("product_time"), col("channel"))
+  }
 }

@@ -256,4 +256,22 @@ class NetCdfSpec extends AnyFunSuite {
     assert(rows.last.getLong(2) == 1682467288L)
     assert(rows.forall(r => r.getDouble(3) > 0), "xrsa1 populated from file")
   }
+
+  test("q97 goes irradiance: per-channel summary off the real sample (rows-only oracle)") {
+    assume(Files.exists(Paths.get(goesSample)), "reference sample absent")
+    val rows = NetCdf.goesIrradiance(spark).collect()
+    assert(rows.length == 5, s"expected 5 channels, got ${rows.length}")
+    val byChannel = rows.map(r => r.getString(1) ->
+      (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(byChannel.keySet ==
+      Set("xrsa1", "xrsa2", "xrsb1", "xrsb2", "primary_b"))
+    assert(byChannel.values.forall(_._1 == 30L), "30 samples per channel")
+    // X-ray irradiance on a quiet-sun day: ~1e-8..1e-6 W/m² per channel
+    Seq("xrsa1", "xrsa2", "xrsb1", "xrsb2").foreach { c =>
+      val (_, avgIrr, maxIrr) = byChannel(c)
+      assert(avgIrr > 1e-9 && avgIrr < 1e-5, s"$c avg=$avgIrr")
+      assert(maxIrr >= avgIrr, s"$c max<avg")
+    }
+    assert(rows.forall(_.getString(0) == "s20231160000599"))
+  }
 }
