@@ -187,6 +187,10 @@ object SparkEntry {
     // reads the REAL GOES NetCDF-4 sample via the from-scratch HDF5
     // reader; sfDir-independent input, rows-only (DuckDB has no HDF5)
     "q97_goes_irradiance" -> ((s, _) => sources.NetCdf.goesIrradiance(s)),
+    "q98_substring_dedup" -> ((s, d) =>
+      operators.Dedup.substringDedup(Tables.documents(s, d))),
+    "q99_dsir_importance" -> ((s, d) =>
+      operators.Sampling.dsirWeights(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1281,5 +1285,48 @@ object SparkEntry {
         SELECT s.term AS term, s.df, s.tf_total, p.postings
         FROM stats s JOIN post p USING (term)
         ORDER BY term""",
+    // k=8 rolling token windows; md5 window fingerprints shared by >=2
+    // docs mark duplicated spans (mirrors Dedup.substringDedup)
+    "q98_substring_dedup" ->
+      """WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        wins AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+            i -> md5(array_to_string(w[i:i+7], ' ')))) AS fp
+          FROM toks WHERE len(w) >= 8),
+        pfd AS (
+          SELECT fp, doc_id, COUNT(*) AS cnt FROM wins GROUP BY 1, 2),
+        fps AS (
+          SELECT fp, COUNT(*) AS ndocs FROM pfd GROUP BY 1)
+        SELECT doc_id,
+          CAST(SUM(cnt) AS BIGINT) AS n_windows,
+          CAST(SUM(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+            AS dup_windows
+        FROM pfd JOIN fps USING (fp)
+        GROUP BY doc_id ORDER BY doc_id""",
+    // add-one-smoothed integer ppm ratio of en-slice df vs corpus df
+    // over per-doc distinct bigrams (mirrors Sampling.dsirWeights)
+    "q99_dsir_importance" ->
+      """WITH toks AS (
+          SELECT doc_id, lang,
+            regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        big AS (
+          SELECT DISTINCT doc_id, lang,
+            unnest(list_transform(range(1, len(w)),
+              i -> w[i] || ' ' || w[i+1])) AS b
+          FROM toks WHERE len(w) >= 2),
+        ratios AS (
+          SELECT b,
+            (1000000 * (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1))
+              // (COUNT(*) + 1) AS ppm
+          FROM big GROUP BY 1)
+        SELECT doc_id,
+          CAST(SUM(ppm) AS BIGINT) AS score,
+          CAST(COUNT(*) AS BIGINT) AS n_feats
+        FROM big JOIN ratios USING (b)
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 50""",
   )
 }

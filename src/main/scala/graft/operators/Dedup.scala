@@ -290,4 +290,53 @@ object Dedup {
       .filter($"cosine" >= tau)
       .orderBy($"vec_a", $"vec_b")
   }
+
+  /** Exact-substring duplication profile: per document, how many of
+    * its rolling k-token windows also appear verbatim in ANOTHER
+    * document. This is the screen behind suffix-array-style "remove
+    * repeated passages" dedup (boilerplate headers, license blocks,
+    * syndicated paragraphs survive doc-level near-dup but light up
+    * here): `dup_windows / n_windows` is the doc's duplicated-span
+    * fraction, and the window fingerprints that fired identify the
+    * spans to cut.
+    *
+    * Shape: ONE tokenize+window pass (the md5 fingerprint is computed
+    * inside the `transform` lambda so the k-token window string never
+    * outlives the row), then groupBy (fp, doc_id) and a
+    * count-over-Window partitioned by `fp` to attach each
+    * fingerprint's doc count — a single lineage, so the expensive
+    * explode provably runs once (PlanAuditSpec counts the Generate
+    * nodes). A self-join formulation reads nicer but plans TWO
+    * explodes: Spark prunes the unused `cnt` from the fp-stats
+    * branch, the subtrees stop being identical, and exchange reuse
+    * never fires. Exact-dup documents collapse in the (fp, doc_id)
+    * partial agg map-side; the Window is partitioned on the
+    * high-cardinality fingerprint, so no task sees more than one
+    * fingerprint group's pairs.
+    *
+    * At 100 TB: the window stream is |tokens| rows of (16-byte md5,
+    * doc_id) — the k× string amplification of naive windowing never
+    * hits the shuffle. Production kernel swaps md5 for a rolling
+    * Rabin-Karp hash (the q33 fingerprint kernel) computed in the
+    * same single pass; md5 is kept here because the DuckDB oracle can
+    * reproduce it byte-for-byte.
+    */
+  def substringDedup(documents: DataFrame, k: Int = 8): DataFrame = {
+    val wins = documents
+      .withColumn("w", TextAnalysis.tokens($"text"))
+      .filter(size($"w") >= k)
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), size($"w") - (k - 1)), i =>
+          md5(concat_ws(" ", (0 until k).map(j => element_at($"w", i + j)): _*))))
+        .as("fp"))
+    val perFpDoc = wins.groupBy($"fp", $"doc_id")
+      .agg(count(lit(1)).as("cnt"))
+    perFpDoc
+      .withColumn("ndocs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_windows"),
+        sum(when($"ndocs" >= 2, $"cnt").otherwise(0L)).as("dup_windows"))
+      .orderBy($"doc_id")
+  }
 }

@@ -262,4 +262,50 @@ object Sampling {
         coalesce($"nc", lit(0L)).as("n_contaminated"))
       .orderBy($"source")
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each
+    * document by how much its n-gram features look drawn from a
+    * TARGET distribution (here: the `lang = targetLang` slice, the
+    * stand-in for "high-quality reference corpus") versus the raw
+    * corpus, then keep the top-k — the hash-ngram importance
+    * resampling move used to tilt a web crawl toward a quality
+    * domain.
+    *
+    * Per-feature weight is the integer ppm ratio
+    * `1e6·(target_df+1) div (corpus_df+1)` (add-one smoothed); a
+    * document's score is the sum over its DISTINCT bigram features.
+    * All-integer arithmetic keeps the score exact across engines (the
+    * float log-ratio formulation would hash-drift; rank order is the
+    * same because log is monotone in the ratio).
+    *
+    * Scale shape: one tokenize pass → per-doc distinct bigrams →
+    * groupBy(bigram) builds BOTH frequency tables in one agg (the
+    * target df is a conditional sum riding the corpus df agg, so the
+    * corpus scans once); the score join shuffles on the bigram key
+    * and re-aggregates by doc_id; TakeOrderedAndProject caps the
+    * result at k rows — no global sort materializes. At 100 TB the
+    * feature key becomes `xxhash64(bigram) % 8192` (DSIR's actual
+    * hashed-feature trick, same gate as [[contaminationScreen]]'s
+    * `hashShingleKeys`) so the frequency table is a fixed-size
+    * broadcastable array; raw string keys are kept here because the
+    * oracle compares them byte-for-byte.
+    */
+  def dsirWeights(documents: DataFrame, targetLang: String = "en",
+                  topK: Int = 50): DataFrame = {
+    val bigrams = documents
+      .withColumn("w", TextAnalysis.tokens($"text"))
+      .select($"doc_id", $"lang",
+        explode(array_distinct(TextAnalysis.shinglesOf($"w", 2))).as("b"))
+    val ratios = bigrams.groupBy($"b")
+      .agg(count(lit(1)).as("c_df"),
+        sum(when($"lang" === targetLang, 1L).otherwise(0L)).as("t_df"))
+      .select($"b",
+        expr("(1000000 * (t_df + 1)) div (c_df + 1)").as("ppm"))
+    bigrams.join(ratios, Seq("b"))
+      .groupBy($"doc_id")
+      .agg(sum($"ppm").as("score"), count(lit(1)).as("n_feats"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(topK)
+  }
 }

@@ -304,4 +304,54 @@ class NewOpsSpec extends AnyFunSuite {
       assert(post.distinct.length == post.length, "duplicate posting")
     }
   }
+
+  test("substring dedup: a planted shared 8-token run fires, unique text does not") {
+    import spark.implicits._
+    val run = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val docs = Seq(
+      (0L, s"$run tailA", "en", "s", 50L),  // 9 toks: 2 windows, run shared
+      (1L, s"pre $run", "en", "s", 50L),    // 9 toks: 2 windows, run shared
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", "en", "s", 50L), // 3 unique windows
+      (3L, run, "en", "s", 47L),            // exact dup pair with doc 4:
+      (4L, run, "en", "s", 47L))            // single window, shared
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.substringDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 2L, 1L), (1L, 2L, 1L), (2L, 3L, 0L),
+      (3L, 1L, 1L), (4L, 1L, 1L)), s"got $got")
+  }
+
+  test("substring dedup: intra-doc repetition alone is not cross-doc duplication") {
+    import spark.implicits._
+    // the same 8-gram twice in ONE doc: ndocs=1, so nothing flags
+    val docs = Seq(
+      (0L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.substringDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 9L, 0L)), s"got $got")
+  }
+
+  test("dsir importance: planted target-heavy doc outranks, ppm math exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x y z", "en", "s", 5L),   // bigrams: "x y","y z"
+      (1L, "x y q", "en", "s", 5L),   // bigrams: "x y","y q"
+      (2L, "x y z", "de", "s", 5L))   // bigrams: "x y","y z"
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // "x y": c_df=3 t_df=2 -> 1e6*3 div 4 = 750000
+    // "y z": c_df=2 t_df=1 -> 1e6*2 div 3 = 666666
+    // "y q": c_df=1 t_df=1 -> 1e6*2 div 2 = 1000000
+    val got = Sampling.dsirWeights(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1750000L, 2L), (0L, 1416666L, 2L),
+      (2L, 1416666L, 2L)), s"got $got")
+  }
+
+  test("dsir importance: score is invariant to doc order and partitioning") {
+    val docs = Tables.documents(spark, dir)
+    val a = Sampling.dsirWeights(docs).collect().toSeq
+    val b = Sampling.dsirWeights(docs.repartition(7)).collect().toSeq
+    assert(a == b, "dsir top-k depends on physical layout")
+  }
 }

@@ -99,4 +99,23 @@ class PlanAuditSpec extends AnyFunSuite {
     // codegen'd operators carry the `*(stageId)` prefix in simpleString
     assert(plan.contains("*("), s"no codegen span:\n$plan")
   }
+
+  test("q98 explodes the corpus exactly once") {
+    val df = SparkEntry.queries("q98_substring_dedup")(spark, dir)
+    // the AdaptiveSparkPlan wrapper hides children from collect(), so
+    // count Generate operators in the rendered plan instead
+    val generates = "Generate explode".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(generates == 1,
+      s"q98 plans $generates explodes of the window stream; the " +
+        "single-lineage window formulation must scan the corpus once")
+  }
+
+  test("q99 caps its result with TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q99_dsir_importance")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q99 top-k should not materialize a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
