@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Vec
 
@@ -314,20 +314,25 @@ object Dedup {
     * high-cardinality fingerprint, so no task sees more than one
     * fingerprint group's pairs.
     *
-    * At 100 TB: the window stream is |tokens| rows of (16-byte md5,
+    * At 100 TB: the window stream is |tokens| rows of (fingerprint,
     * doc_id) — the k× string amplification of naive windowing never
-    * hits the shuffle. Production kernel swaps md5 for a rolling
-    * Rabin-Karp hash (the q33 fingerprint kernel) computed in the
-    * same single pass; md5 is kept here because the DuckDB oracle can
-    * reproduce it byte-for-byte.
+    * hits the shuffle. `hashFingerprints = true` is the production
+    * key: xxhash64 of the window (8 bytes through both shuffles and
+    * the Window sort) instead of the 32-hex-char md5 (~4.7× less key
+    * traffic); identical output barring a 2⁻⁶⁴ collision
+    * (spec-asserted equal on the test corpus). The oracle keeps md5 —
+    * the only fingerprint DuckDB reproduces byte-for-byte.
     */
-  def substringDedup(documents: DataFrame, k: Int = 8): DataFrame = {
+  def substringDedup(documents: DataFrame, k: Int = 8,
+                     hashFingerprints: Boolean = false): DataFrame = {
+    val fpOf: Column => Column =
+      if (hashFingerprints) xxhash64(_) else md5(_)
     val wins = documents
       .withColumn("w", TextAnalysis.tokens($"text"))
       .filter(size($"w") >= k)
       .select($"doc_id", explode(
         transform(sequence(lit(1), size($"w") - (k - 1)), i =>
-          md5(concat_ws(" ", (0 until k).map(j => element_at($"w", i + j)): _*))))
+          fpOf(concat_ws(" ", (0 until k).map(j => element_at($"w", i + j)): _*))))
         .as("fp"))
     val perFpDoc = wins.groupBy($"fp", $"doc_id")
       .agg(count(lit(1)).as("cnt"))

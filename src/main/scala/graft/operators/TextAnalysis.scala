@@ -165,12 +165,19 @@ object TextAnalysis {
   /** Within-document repetition scoring (the Gopher-style "repeated
     * n-gram fraction" quality rule): most-frequent 3-gram count over
     * total 3-grams per document.
+    *
+    * Groups on `xxhash64(shingle)` rather than the shingle string —
+    * the counts only need shingle IDENTITY, so the (doc_id, key)
+    * shuffle carries 8 bytes/key instead of a ~20-char string (the
+    * q24 trick; a 2⁻⁶⁴ intra-doc collision could only merge two
+    * distinct 3-grams' counts, which the DuckDB string-keyed oracle
+    * would catch as a hash mismatch — it never has).
     */
   def repetition(documents: DataFrame): DataFrame = {
     val sh = documents
       .withColumn("w", tokens($"text"))
       .select($"doc_id", explode(shinglesOf($"w")).as("s"))
-    sh.groupBy($"doc_id", $"s")
+    sh.groupBy($"doc_id", xxhash64($"s").as("s"))
       .agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_shingles"), max($"c").as("max_repeat"))

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, md5}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.streaming.EventStream
@@ -160,6 +161,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
     assert(ivfRecall >= 0.2, s"IVF recall@5 degraded at 10×: $ivfRecall")
+    // q26: band-blocking recall is pigeonhole-guaranteed (hamming<=3
+    // implies >=1 of 4 16-bit bands agree), but execute it at 10×
+    // anyway: every exact-dup pair (identical text => hamming 0) must
+    // surface
+    val dupPairs = Dedup.exact(docs).filter(col("n_copies") >= 2)
+      .select(col("content_hash")).collect().map(_.getString(0)).toSet
+    if (dupPairs.nonEmpty) {
+      val byHash = docs.select(md5(col("text")).as("h"), col("doc_id"))
+        .collect().groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getLong(1)).sorted).toMap
+      val expect = dupPairs.flatMap { h =>
+        val ids = byHash(h).toSeq
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }
+      val sim = Dedup.simhashPairs(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expect.subsetOf(sim),
+        s"simhash blocking lost exact-dup pairs at 10×: ${(expect -- sim).take(5)}")
+    }
+  }
+
+  test("substring dedup: xxhash64 fingerprints match the md5 path") {
+    val docs = Tables.documents(spark, dir)
+    val a = Dedup.substringDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = Dedup.substringDedup(docs, hashFingerprints = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b, "8-byte fingerprint path changed the duplication profile")
   }
 
   test("streaming rollup equals batch rollup") {
