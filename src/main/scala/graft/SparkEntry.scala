@@ -1312,11 +1312,13 @@ object SparkEntry {
           SELECT doc_id, lang,
             regexp_split_to_array(trim(text), '\s+') AS w
           FROM documents),
-        big AS (
+        big0 AS (
           SELECT DISTINCT doc_id, lang,
             unnest(list_transform(range(1, len(w)),
               i -> w[i] || ' ' || w[i+1])) AS b
           FROM toks WHERE len(w) >= 2),
+        big AS (
+          SELECT * FROM big0 WHERE trim(b) <> ''),
         ratios AS (
           SELECT b,
             (1000000 * (SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1))

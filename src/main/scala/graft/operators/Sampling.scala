@@ -297,6 +297,10 @@ object Sampling {
       .withColumn("w", TextAnalysis.tokens($"text"))
       .select($"doc_id", $"lang",
         explode(array_distinct(TextAnalysis.shinglesOf($"w", 2))).as("b"))
+      // a whitespace-only document splits to ["",""] (split keeps the
+      // leading empty token), which would mint a single-space feature;
+      // drop features with no content (mirrored in the oracle SQL)
+      .filter(trim($"b") =!= "")
     val ratios = bigrams.groupBy($"b")
       .agg(count(lit(1)).as("c_df"),
         sum(when($"lang" === targetLang, 1L).otherwise(0L)).as("t_df"))

@@ -121,4 +121,34 @@ class CoreQueriesSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
+
+  test("text operators tolerate null, empty, and whitespace-only documents") {
+    // the generated corpus has none of these, so pin the degenerate-
+    // input behavior a real crawl WILL contain: no operator crashes,
+    // and windowed/shingled operators drop the docs (no tokens => no
+    // windows) rather than emitting null-keyed garbage
+    import spark.implicits._
+    import graft.operators.{Dedup, Sampling, TextAnalysis}
+    val docs = Seq(
+      (0L, null.asInstanceOf[String], "en", "s", 0L),
+      (1L, "", "en", "s", 0L),
+      (2L, "   \t  ", "en", "s", 6L),
+      (3L, "one real document with enough words to make windows", "en", "s", 51L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sub = Dedup.substringDedup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sub.keySet == Set(3L) && sub(3L) == 2L,
+      s"degenerate docs leaked into the window stream: $sub")
+    val rep = TextAnalysis.repetition(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(rep == Set(3L), s"repetition emitted degenerate docs: $rep")
+    val dsir = Sampling.dsirWeights(docs).collect().map(_.getLong(0)).toSet
+    assert(dsir == Set(3L), s"dsir scored docs with no bigrams: $dsir")
+    // per-doc profile operators must keep every row (they report ON
+    // the degenerate docs rather than dropping them)
+    assert(TextAnalysis.tokenStats(
+      docs.withColumn("lang", $"lang")).collect().nonEmpty)
+    assert(TextAnalysis.qualityScore(docs).count() == 4L,
+      "quality score must profile degenerate docs, not drop them")
+  }
 }
