@@ -279,34 +279,55 @@ object Sampling {
     * float log-ratio formulation would hash-drift; rank order is the
     * same because log is monotone in the ratio).
     *
-    * Scale shape: one tokenize pass → per-doc distinct bigrams →
-    * groupBy(bigram) builds BOTH frequency tables in one agg (the
-    * target df is a conditional sum riding the corpus df agg, so the
-    * corpus scans once); the score join shuffles on the bigram key
-    * and re-aggregates by doc_id; TakeOrderedAndProject caps the
-    * result at k rows — no global sort materializes. At 100 TB the
-    * feature key becomes `xxhash64(bigram) % 8192` (DSIR's actual
-    * hashed-feature trick, same gate as [[contaminationScreen]]'s
-    * `hashShingleKeys`) so the frequency table is a fixed-size
-    * broadcastable array; raw string keys are kept here because the
-    * oracle compares them byte-for-byte.
+    * Scale shape: ONE tokenize+explode pass, then BOTH document
+    * frequencies ride a single `Window.partitionBy(b)` over that one
+    * feature stream (corpus df = partition count, target df = a
+    * conditional sum in the same window), each row picks up its
+    * feature's ppm in place, and a groupBy(doc_id) re-aggregates;
+    * TakeOrderedAndProject caps the result at k rows — no global
+    * sort materializes. A join-back of the per-feature table onto
+    * the feature stream reads nicer but plans the full-corpus
+    * tokenize+explode TWICE: column pruning makes the two branches
+    * non-identical, so neither exchange reuse nor AQE stage reuse
+    * fires — the exact trap [[graft.operators.Dedup.substringDedup]]
+    * documents; PlanAuditSpec counts the Generate nodes for both.
+    * The window partitions on the high-cardinality bigram key, so no
+    * task sees more than one feature's rows.
+    *
+    * `hashFeatures = true` is the production key: each bigram maps to
+    * `xxhash64(bigram) mod numBuckets` right after the explode (DSIR's
+    * actual hashed-feature trick, same gate as [[contaminationScreen]]'s
+    * `hashShingleKeys`), so every downstream shuffle and window sort
+    * moves an 8-byte key instead of an arbitrary-length string and the
+    * frequency table is a fixed-width array. Bucket collisions merge
+    * features' counts — the accepted DSIR semantics (Xie et al. use
+    * hashed n-grams throughout). Raw string keys stay the default
+    * because the oracle compares them byte-for-byte; a spec pins
+    * rank-equality of the two paths on a planted frame.
     */
   def dsirWeights(documents: DataFrame, targetLang: String = "en",
-                  topK: Int = 50): DataFrame = {
-    val bigrams = documents
+                  topK: Int = 50, hashFeatures: Boolean = false,
+                  numBuckets: Int = 8192): DataFrame = {
+    val keyOf: Column => Column =
+      if (hashFeatures) c => pmod(xxhash64(c), lit(numBuckets.toLong))
+      else identity
+    val feats = documents
       .withColumn("w", TextAnalysis.tokens($"text"))
       .select($"doc_id", $"lang",
-        explode(array_distinct(TextAnalysis.shinglesOf($"w", 2))).as("b"))
+        explode(array_distinct(TextAnalysis.shinglesOf($"w", 2))).as("b0"))
       // a whitespace-only document splits to ["",""] (split keeps the
       // leading empty token), which would mint a single-space feature;
       // drop features with no content (mirrored in the oracle SQL)
-      .filter(trim($"b") =!= "")
-    val ratios = bigrams.groupBy($"b")
-      .agg(count(lit(1)).as("c_df"),
-        sum(when($"lang" === targetLang, 1L).otherwise(0L)).as("t_df"))
-      .select($"b",
+      .filter(trim($"b0") =!= "")
+      .select($"doc_id", $"lang", keyOf($"b0").as("b"))
+    val perFeature = org.apache.spark.sql.expressions.Window.partitionBy($"b")
+    feats
+      .select($"doc_id",
+        count(lit(1)).over(perFeature).as("c_df"),
+        sum(when($"lang" === targetLang, 1L).otherwise(0L))
+          .over(perFeature).as("t_df"))
+      .select($"doc_id",
         expr("(1000000 * (t_df + 1)) div (c_df + 1)").as("ppm"))
-    bigrams.join(ratios, Seq("b"))
       .groupBy($"doc_id")
       .agg(sum($"ppm").as("score"), count(lit(1)).as("n_feats"))
       .orderBy($"score".desc, $"doc_id")

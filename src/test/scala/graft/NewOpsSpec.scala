@@ -354,4 +354,26 @@ class NewOpsSpec extends AnyFunSuite {
     val b = Sampling.dsirWeights(docs.repartition(7)).collect().toSeq
     assert(a == b, "dsir top-k depends on physical layout")
   }
+
+  test("dsir importance: hashed-feature production path preserves rank order") {
+    // 8192 buckets over a handful of planted bigrams: no collisions,
+    // so the 8-byte-key path must rank documents identically to the
+    // byte-exact string path (scores match too — same ppm arithmetic
+    // on the same per-feature counts)
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x y z", "en", "s", 5L),
+      (1L, "x y q", "en", "s", 5L),
+      (2L, "x y z", "de", "s", 5L),
+      (3L, "a b c d", "en", "s", 7L),
+      (4L, "a b q r", "de", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val strKeys = Sampling.dsirWeights(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val hashed = Sampling.dsirWeights(docs, hashFeatures = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hashed == strKeys,
+      s"hashed-feature path diverged:\n  string: $strKeys\n  hashed: $hashed")
+  }
+
 }

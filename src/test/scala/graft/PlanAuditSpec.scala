@@ -118,4 +118,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q99 top-k should not materialize a global sort:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q99 explodes the corpus exactly once") {
+    val df = SparkEntry.queries("q99_dsir_importance")(spark, dir)
+    val generates = "Generate explode".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+    assert(generates == 1,
+      s"q99 plans $generates explodes of the bigram stream; the " +
+        "single-lineage window formulation must scan the corpus once")
+  }
 }
