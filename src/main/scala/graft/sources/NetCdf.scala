@@ -197,9 +197,26 @@ object NetCdf {
     * unknown containers as one row with null variable columns.
     * Distributed per file.
     */
+  /** Expand a glob to concrete file paths driver-side before handing
+    * it to `binaryFile`. Spark's FileStreamSink metadata probe
+    * WARN-logs a full stack trace when given an unresolved glob (it
+    * tries the glob's parent as a streaming-sink directory and logs
+    * the resulting failure); resolving here keeps driver/bench stdout
+    * clean and costs only the one listing the scan does anyway. An
+    * empty match falls through to the original glob so the source
+    * raises its usual PATH_NOT_FOUND instead of a confusing
+    * zero-path error.
+    */
+  private def resolveGlob(spark: SparkSession, glob: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    if (matched.isEmpty) Seq(glob) else matched.map(_.getPath.toString)
+  }
+
   def describe(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(glob)
+    spark.read.format("binaryFile").load(resolveGlob(spark, glob): _*)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         classify(bytes) match {
@@ -238,7 +255,7 @@ object NetCdf {
     */
   def readVariable(spark: SparkSession, glob: String, varName: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(glob)
+    spark.read.format("binaryFile").load(resolveGlob(spark, glob): _*)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         classify(bytes) match {
@@ -278,7 +295,7 @@ object NetCdf {
   def readGoes(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
     val J2000EpochSec = 946728000L // 2000-01-01T12:00:00Z
-    spark.read.format("binaryFile").load(glob)
+    spark.read.format("binaryFile").load(resolveGlob(spark, glob): _*)
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         if (classify(bytes) != FormatHdf5) Seq.empty

@@ -7,12 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * the printed summary must stay well under that no matter how many
   * queries the catalog grows to. Rounds 2 and 3 both shipped a line
   * that silently outgrew the window because nothing asserted the
-  * bound — this spec is that assertion.
+  * bound — this spec is that assertion. Round 7 adds the failure
+  * contract: a query that throws must surface as an error, never as
+  * a fast success.
   */
 class BenchLineSpec extends AnyFunSuite {
 
-  private def fakeResults: Seq[(String, Double)] =
-    SparkEntry.queries.keys.toSeq.sorted.map(k => k -> 123.456789)
+  private def fakeResults: Seq[Bench.Outcome] =
+    SparkEntry.queries.keys.toSeq.sorted.map(k => Bench.Outcome(k, 123.456789))
 
   test("summary line stays under 2.0 KB at the current catalog size") {
     val line = Bench.renderLine(
@@ -22,7 +24,8 @@ class BenchLineSpec extends AnyFunSuite {
     // the bound must hold structurally, not by luck: the line carries
     // a fixed number of per-query entries regardless of catalog size
     val grown = Bench.renderLine(
-      fakeResults ++ (1 to 200).map(i => f"q_future_$i%03d_extra" -> 1.0),
+      fakeResults ++ (1 to 200).map(i =>
+        Bench.Outcome(f"q_future_$i%03d_extra", 1.0)),
       "/root/testdata/sf0.1", "bench_detail.json")
     assert(grown.length < 2000, "line size must not grow with the catalog")
   }
@@ -33,7 +36,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
     assert(line.startsWith("{") && line.endsWith("}"))
     for (key <- Seq("\"metric\":", "\"value\":", "\"unit\":", "\"n\":",
-                    "\"queries\":", "\"sf\":"))
+                    "\"failed\":", "\"queries\":", "\"sf\":"))
       assert(line.contains(key), s"missing $key")
     // queries carries exactly the 5 worst entries
     val qCount = "\"q\\d[^\"]*\":".r.findAllIn(
@@ -45,5 +48,40 @@ class BenchLineSpec extends AnyFunSuite {
     val detail = Bench.renderDetail(fakeResults, "/root/testdata/sf0.1")
     for (k <- SparkEntry.queries.keys)
       assert(detail.contains("\"" + k + "\":"), s"detail missing $k")
+  }
+
+  test("a throwing query grades as err, not as a fast success") {
+    // the exact hole the round-6 audit flagged: Bench used to swallow
+    // all Throwables, so a broken query looked like a 0.01 s pass
+    val (sec, err) = Bench.timed(() =>
+      throw new IllegalStateException("planted failure: table missing"))
+    assert(err.isDefined, "a Throwable must surface as err")
+    assert(err.get.contains("IllegalStateException") &&
+      err.get.contains("planted failure"), s"err lost the cause: $err")
+    val results = fakeResults.take(3) :+
+      Bench.Outcome("q_broken", sec, err)
+    val line = Bench.renderLine(results, "/tmp/sf", "d.json")
+    assert(line.contains("\"failed\":1"), s"failure count missing: $line")
+    val detail = Bench.renderDetail(results, "/tmp/sf")
+    assert(detail.contains("\"q_broken\":\"IllegalStateException"),
+      s"sidecar must carry the error message: $detail")
+  }
+
+  test("error messages with quotes/newlines cannot break the JSON line") {
+    val (_, err) = Bench.timed(() =>
+      throw new RuntimeException("quote \" backslash \\ and\nnewline"))
+    val results = Seq(Bench.Outcome("q_bad", 0.1, err))
+    val detail = Bench.renderDetail(results, "/tmp/sf")
+    assert(!detail.contains("\n"), "sidecar JSON must stay one line")
+    val line = Bench.renderLine(results, "/tmp/sf", "d.json")
+    assert(!line.contains("\n") && line.endsWith("}"))
+  }
+
+  test("settle pass grades min(first, rerun) and keeps the first pass visible") {
+    val settled = Bench.Outcome("q_heavy", 1.73, firstPass = Some(10.5))
+    val detail = Bench.renderDetail(Seq(settled), "/tmp/sf")
+    assert(detail.contains("\"queries\":{\"q_heavy\":1.730}"))
+    assert(detail.contains("\"first_pass\":{\"q_heavy\":10.500}"),
+      s"pre-settle observation must stay auditable: $detail")
   }
 }
