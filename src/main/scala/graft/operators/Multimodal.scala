@@ -10,11 +10,17 @@ import org.apache.spark.sql.functions._
   * batched per partition so a real codec (image/audio library) can
   * amortize model/codec init per partition, not per row.
   *
-  * The decode step itself is a STUB — the container has no media
-  * libraries — implemented as a deterministic byte-level feature
-  * extractor with the same shape a real decoder would have (see
-  * [[MediaDecoder.decodeBatch]]). The Spark-side plumbing (schema,
-  * binary payloads, partition batching, feature output) is real.
+  * The decoder is REAL for the `image` modality: [[MediaDecoder]]
+  * parses PPM P6 (the simplest self-describing raster container —
+  * `P6 <w> <h> <maxval>` header with `#` comments, then w·h packed
+  * RGB triples, public Netpbm format) and mean-pools the pixels into
+  * per-channel and 2×2-grid-luma features — header parse, pixel walk
+  * and pooling arithmetic all from scratch. Other modalities (the
+  * text stand-in corpus) get the deterministic byte-statistics
+  * extractor with the same output shape. A production deployment
+  * swaps in heavier codecs (JPEG/FLAC via JNI) behind the same
+  * per-partition batch seam; the Spark-side plumbing (schema, binary
+  * payloads, partition batching, feature output) is identical.
   */
 object Multimodal {
 
@@ -23,30 +29,121 @@ object Multimodal {
       doc_id: Long, modality: String, n_bytes: Long,
       features: Array[Double])
 
-  /** STUB decoder — stands in for the image/audio codec. Deterministic
-    * byte statistics shaped like a tiny feature embedding. A real
-    * deployment replaces ONLY this function (e.g. JNI to a codec or a
-    * batched model call); the pipeline around it is unchanged.
+  /** Batched media decoder. Runs inside `mapPartitions` so a real
+    * codec can amortize init per partition, not per row.
     */
   object MediaDecoder {
     val FeatureDim = 8
 
+    /** A decoded PPM P6 raster: dimensions plus packed RGB bytes
+      * (row-major, 3 bytes per pixel, maxval ≤ 255).
+      */
+    final case class PpmImage(width: Int, height: Int, maxval: Int,
+                              pixels: Array[Byte])
+
+    /** Parse a PPM P6 payload (public Netpbm spec): magic `P6`, then
+      * three whitespace-separated decimal fields (width, height,
+      * maxval) with `#`-to-end-of-line comments allowed anywhere in
+      * the header, then EXACTLY ONE whitespace byte, then w·h packed
+      * RGB triples. Returns None for anything malformed — wrong
+      * magic, maxval outside [1,255] (2-byte samples are out of
+      * scope), or a truncated pixel section — never a misread image.
+      */
+    def decodePpm(payload: Array[Byte]): Option[PpmImage] = {
+      var pos = 0
+      def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+      // one header token, skipping whitespace and # comments
+      def token(): Option[String] = {
+        while (pos < payload.length &&
+               (isWs(payload(pos)) || payload(pos) == '#')) {
+          if (payload(pos) == '#')
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        val start = pos
+        while (pos < payload.length && !isWs(payload(pos)) &&
+               payload(pos) != '#') pos += 1
+        if (pos > start) Some(new String(payload, start, pos - start,
+          java.nio.charset.StandardCharsets.US_ASCII)) else None
+      }
+      def int(s: String): Option[Int] =
+        if (s.nonEmpty && s.forall(c => c >= '0' && c <= '9') &&
+            s.length <= 9) Some(s.toInt) else None
+      for {
+        magic <- token() if magic == "P6"
+        w <- token().flatMap(int) if w > 0
+        h <- token().flatMap(int) if h > 0
+        mv <- token().flatMap(int) if mv >= 1 && mv <= 255
+        // the spec demands a single whitespace byte after maxval
+        _ <- if (pos < payload.length && isWs(payload(pos))) Some(())
+             else None
+        npix = w.toLong * h * 3
+        _ <- if (payload.length - (pos + 1) >= npix && npix <= Int.MaxValue)
+               Some(()) else None
+      } yield PpmImage(w, h, mv,
+        java.util.Arrays.copyOfRange(payload, pos + 1, pos + 1 + npix.toInt))
+    }
+
+    /** Mean-pool a decoded raster: global per-channel means plus a
+      * 2×2 spatial grid of luma means (the tiny-embedding shape a
+      * real resize-then-pool pipeline emits). Sums are exact longs;
+      * luma is the integer Rec.601-ish (r+2g+b)/4 so every feature is
+      * a ratio of integers both engines reproduce.
+      */
+    def poolFeatures(img: PpmImage): Array[Double] = {
+      val n = img.width.toLong * img.height
+      val chan = new Array[Long](3)
+      val grid = new Array[Long](4)
+      val gridN = new Array[Long](4)
+      var i = 0
+      var p = 0
+      while (p < n) {
+        val r = img.pixels(i) & 0xFF
+        val g = img.pixels(i + 1) & 0xFF
+        val b = img.pixels(i + 2) & 0xFF
+        chan(0) += r; chan(1) += g; chan(2) += b
+        val x = (p % img.width).toInt; val y = (p / img.width).toInt
+        val cell = (if (2 * y >= img.height) 2 else 0) +
+                   (if (2 * x >= img.width) 1 else 0)
+        grid(cell) += (r + 2 * g + b) / 4
+        gridN(cell) += 1
+        i += 3; p += 1
+      }
+      Array[Double](
+        img.width.toDouble, img.height.toDouble,
+        chan(0).toDouble / n, chan(1).toDouble / n, chan(2).toDouble / n,
+        if (gridN(0) > 0) grid(0).toDouble / gridN(0) else 0.0,
+        if (gridN(3) > 0) grid(3).toDouble / gridN(3) else 0.0,
+        img.maxval.toDouble)
+    }
+
+    /** Deterministic byte statistics for non-image modalities — the
+      * same output shape as the image path, over the raw bytes.
+      */
+    def byteStats(id: Long, payload: Array[Byte]): Array[Double] = {
+      val n = payload.length
+      val hist = new Array[Long](256)
+      payload.foreach(b => hist(b & 0xFF) += 1)
+      val nz = hist.count(_ > 0).toDouble
+      val mean = if (n > 0) payload.map(b => (b & 0xFF).toLong).sum.toDouble / n else 0.0
+      Array[Double](
+        n.toDouble, nz, mean,
+        hist.max.toDouble,
+        if (n > 0) hist(32).toDouble / n else 0.0,      // space density
+        if (n > 0) hist('e'.toInt).toDouble / n else 0.0,
+        if (nz > 0) n / nz else 0.0,
+        (id % 97).toDouble)                              // deterministic salt
+    }
+
     def decodeBatch(rows: Iterator[(Long, String, Array[Byte])]): Iterator[MediaFeatures] = {
       // per-partition "codec init" would happen here, once
       rows.map { case (id, modality, payload) =>
-        val n = payload.length
-        val hist = new Array[Long](256)
-        payload.foreach(b => hist(b & 0xFF) += 1)
-        val nz = hist.count(_ > 0).toDouble
-        val mean = if (n > 0) payload.map(b => (b & 0xFF).toLong).sum.toDouble / n else 0.0
-        val features = Array[Double](
-          n.toDouble, nz, mean,
-          hist.max.toDouble,
-          if (n > 0) hist(32).toDouble / n else 0.0,      // space density
-          if (n > 0) hist('e'.toInt).toDouble / n else 0.0,
-          if (nz > 0) n / nz else 0.0,
-          (id % 97).toDouble)                              // deterministic salt
-        MediaFeatures(id, modality, n.toLong, features)
+        val features =
+          if (modality == "image")
+            decodePpm(payload).map(poolFeatures)
+              .getOrElse(Array.fill(FeatureDim)(-1.0)) // undecodable marker
+          else byteStats(id, payload)
+        MediaFeatures(id, modality, payload.length.toLong, features)
       }
     }
   }

@@ -41,6 +41,15 @@ object Similarity {
     * the sign pattern of `PlanesPerTable` pseudo-random ±1 hyperplane
     * projections. Near vectors (angle θ) collide in one table with
     * prob (1-θ/π)^planes; multiple tables multiply recall.
+    *
+    * Measured operating point (round 7, recall@5 vs the exact
+    * baseline): 0.68–0.82 across sf0.001/0.01/0.1 and the 10× sweep —
+    * the spec floors at 0.6. More tables raise recall linearly in
+    * cost; more planes shrink buckets (fewer candidates, lower
+    * recall, faster rescoring). The IVF path at the same measured
+    * points holds 0.92–1.00 with nProbe=4 (floor 0.8) and 0.94–1.00
+    * with nProbe=8 — prefer IVF when trained centroids are available,
+    * LSH when ingestion can't afford the k-means pass.
     */
   val LshTables = 8
   val PlanesPerTable = 4

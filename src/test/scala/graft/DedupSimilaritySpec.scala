@@ -112,6 +112,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0), s"got ${pairs.toSeq}")
   }
 
+  // Recall floors are measured-minus-margin, not aspirational: at the
+  // default operating point (8 tables × 4 planes LSH; 16-cell IVF with
+  // nProbe=4) measured recall@5 is deterministic per dataset —
+  //   ANN: 0.72 @ sf0.001, 0.68 @ sf0.01, 0.82 @ sf0.1, 0.80 @ 10×
+  //   IVF: 0.94 @ sf0.001, 0.92 @ sf0.01, 1.00 @ sf0.1, 1.00 @ 10×
+  // (probed round 7 across all four scale points). Floors sit ~0.1
+  // under the worst measured point so data regeneration noise passes
+  // but a real parameter/algorithm regression (which moves recall far
+  // more than 0.1) fails. nProbe=8 lifts IVF to 0.94–1.00 where an
+  // application needs more.
   test("ANN LSH recall@5 vs brute force") {
     val emb = Tables.embeddings(spark, dir)
     val exact = Similarity.cosineTopK(emb)
@@ -119,7 +129,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val ann = Similarity.annTopK(emb)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ann).size.toDouble / exact.size
-    assert(recall >= 0.3, s"ANN recall too low: $recall")
+    assert(recall >= 0.6, s"ANN recall@5 below measured floor: $recall")
   }
 
   test("IVF ANN recall@5 vs brute force") {
@@ -129,7 +139,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val ivf = Similarity.ivfTopK(emb)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.2, s"IVF recall too low: $recall")
+    assert(recall >= 0.8, s"IVF recall@5 below measured floor: $recall")
   }
 
   test("recall holds at the 10× scale point: q25 prod-K LSH, q29 ANN, q45 IVF") {
@@ -156,11 +166,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val ann = Similarity.annTopK(emb)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val annRecall = (exact & ann).size.toDouble / exact.size
-    assert(annRecall >= 0.3, s"ANN recall@5 degraded at 10×: $annRecall")
+    assert(annRecall >= 0.6, s"ANN recall@5 degraded at 10×: $annRecall " +
+      "(measured 0.80 at the 10× point, round 7)")
     val ivf = Similarity.ivfTopK(emb)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
-    assert(ivfRecall >= 0.2, s"IVF recall@5 degraded at 10×: $ivfRecall")
+    assert(ivfRecall >= 0.8, s"IVF recall@5 degraded at 10×: $ivfRecall " +
+      "(measured 1.00 at the 10× point, round 7)")
     // q26: band-blocking recall is pigeonhole-guaranteed (hamming<=3
     // implies >=1 of 4 16-bit bands agree), but execute it at 10×
     // anyway: every exact-dup pair (identical text => hamming 0) must
@@ -233,5 +245,68 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rows.length == Tables.documents(spark, dir).count())
     // payload length must equal the feature the decoder extracted
     assert(rows.forall(r => r.getLong(2).toDouble == r.getDouble(3)))
+  }
+
+  /** Build a PPM P6 payload: header (with a comment line, exercising
+    * the comment-skip path) + packed RGB triples.
+    */
+  private def ppm(w: Int, h: Int, maxval: Int,
+                  px: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val header = s"P6\n# planted by spec\n$w $h\n$maxval\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    header ++ px.flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte) }.toArray
+  }
+
+  test("ppm decode: header fields and pixel bytes are exact") {
+    val img = Multimodal.MediaDecoder.decodePpm(
+      ppm(2, 1, 255, Seq((10, 20, 30), (40, 50, 60)))).get
+    assert((img.width, img.height, img.maxval) == ((2, 1, 255)))
+    assert(img.pixels.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60))
+  }
+
+  test("ppm decode: mean-pooled features are the pinned values") {
+    // 4×2, one constant color per 2×2-grid cell:
+    //   cell0 (top-left  2px) = (0,0,0)        luma 0
+    //   cell1 (top-right 2px) = (255,255,255)  luma 255
+    //   cell2 (bot-left  2px) = (100,100,100)  luma 100
+    //   cell3 (bot-right 2px) = (8,8,8)        luma 8
+    val px = Seq.fill(2)((0, 0, 0)) ++ Seq.fill(2)((255, 255, 255)) ++
+      Seq.fill(2)((100, 100, 100)) ++ Seq.fill(2)((8, 8, 8))
+    val f = Multimodal.MediaDecoder.poolFeatures(
+      Multimodal.MediaDecoder.decodePpm(ppm(4, 2, 255, px)).get)
+    // per-channel mean = (2·0 + 2·255 + 2·100 + 2·8)/8 = 726/8 = 90.75
+    assert(f.toSeq == Seq(4.0, 2.0, 90.75, 90.75, 90.75, 0.0, 8.0, 255.0),
+      s"pooled features drifted: ${f.toSeq}")
+  }
+
+  test("ppm decode: malformed payloads decode to None, never a misread") {
+    val d = Multimodal.MediaDecoder
+    val good = ppm(2, 2, 255, Seq.fill(4)((1, 2, 3)))
+    assert(d.decodePpm(good).isDefined)
+    // wrong magic (P5 is grayscale, out of scope)
+    assert(d.decodePpm("P5\n2 2\n255\n".getBytes ++ good.drop(12)).isEmpty)
+    // truncated pixel section
+    assert(d.decodePpm(good.dropRight(1)).isEmpty)
+    // 2-byte samples (maxval > 255) are out of scope even with ample bytes
+    assert(d.decodePpm(
+      "P6\n2 2\n65535\n".getBytes ++ Array.fill(24)(1.toByte)).isEmpty)
+    assert(d.decodePpm(Array.empty[Byte]).isEmpty)
+    // undecodable image payload surfaces as the -1 marker vector
+    val feats = d.decodeBatch(Iterator((7L, "image", good.dropRight(1)))).toSeq
+    assert(feats.head.features.forall(_ == -1.0))
+  }
+
+  test("ppm decode: image modality flows through the Dataset pipeline") {
+    import spark.implicits._
+    val payload = ppm(4, 2, 255,
+      Seq.fill(2)((0, 0, 0)) ++ Seq.fill(2)((255, 255, 255)) ++
+        Seq.fill(2)((100, 100, 100)) ++ Seq.fill(2)((8, 8, 8)))
+    val df = Seq((42L, "image", payload))
+      .toDF("doc_id", "modality", "payload")
+    val out = Multimodal.decodeFeatures(df).collect()
+    assert(out.length == 1 && out.head.doc_id == 42L)
+    assert(out.head.features.toSeq ==
+      Seq(4.0, 2.0, 90.75, 90.75, 90.75, 0.0, 8.0, 255.0))
   }
 }
