@@ -169,9 +169,10 @@ object TextAnalysis {
     * Groups on `xxhash64(shingle)` rather than the shingle string —
     * the counts only need shingle IDENTITY, so the (doc_id, key)
     * shuffle carries 8 bytes/key instead of a ~20-char string (the
-    * q24 trick; a 2⁻⁶⁴ intra-doc collision could only merge two
-    * distinct 3-grams' counts, which the DuckDB string-keyed oracle
-    * would catch as a hash mismatch — it never has).
+    * q24 trick). A 2⁻⁶⁴ intra-doc collision would merge two distinct
+    * 3-grams' counts and slightly inflate max_repeat; that risk is
+    * ACCEPTED as negligible — the string-keyed DuckDB oracle only
+    * certifies the test corpora it runs on, not production data.
     */
   def repetition(documents: DataFrame): DataFrame = {
     val sh = documents

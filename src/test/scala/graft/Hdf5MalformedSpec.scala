@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Hdf5
+
+/** Rejection-path tests for the from-scratch HDF5 reader: Hdf5.scala
+  * documents that out-of-scope or malformed inputs "throw with a
+  * precise message rather than misreading" — this suite feeds
+  * corrupted/truncated/future-versioned variants of the REAL GOES
+  * product bytes and asserts the errors are the documented ones, so
+  * there is no silent wrong-data path. Pure JVM, no SparkSession.
+  */
+class Hdf5MalformedSpec extends AnyFunSuite {
+
+  private val goesFile =
+    "/root/reference/obdi-opensourcedatapipeline-main/test_downloads/" +
+      "OR_EXIS-L1b-SFXR_G18_s20231160000599_e20231160001294_c20231160001297.nc"
+
+  private lazy val real: Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(goesFile))
+
+  private def le64(v: Long): Array[Byte] =
+    (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+
+  /** First index of `needle` in `hay`, or -1. */
+  private def indexOf(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i <= hay.length - needle.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Every full read the q97 path performs: parse, then materialize
+    * each dataset through its typed reader.
+    */
+  private def readEverything(bytes: Array[Byte]): Unit = {
+    val h5 = Hdf5.parse(bytes)
+    assert(h5.vars.nonEmpty)
+    h5.vars.foreach { v =>
+      if (v.dtype.cls == 3) Hdf5.readStrings(bytes, v)
+      else Hdf5.readDoubles(bytes, v)
+    }
+  }
+
+  test("the real product still reads end-to-end (suite baseline)") {
+    readEverything(real)
+  }
+
+  test("corrupted magic is rejected as not-HDF5, never parsed") {
+    val bad = real.clone(); bad(0) = 'X'.toByte
+    assert(!Hdf5.isHdf5(bad))
+    val e = intercept[IllegalArgumentException](Hdf5.parse(bad))
+    assert(e.getMessage.contains("not an HDF5 file"), e.getMessage)
+  }
+
+  test("future superblock version is the documented rejection") {
+    val bad = real.clone(); bad(8) = 4.toByte
+    val e = intercept[RuntimeException](Hdf5.parse(bad))
+    assert(e.getMessage.contains("unsupported HDF5 superblock version 4"),
+      e.getMessage)
+  }
+
+  test("non-8-byte offset sizes are the documented rejection") {
+    val sbVer = real(8).toInt
+    val offsetSizeByte = if (sbVer >= 2) 9 else 13
+    val bad = real.clone(); bad(offsetSizeByte) = 4.toByte
+    val e = intercept[RuntimeException](Hdf5.parse(bad))
+    assert(e.getMessage.contains("unsupported offset/length sizes"),
+      e.getMessage)
+  }
+
+  test("v4-style data layout version is rejected, not misread") {
+    // locate a dataset's v3 layout message in the raw bytes by its
+    // (version=3, class, ...) prefix derived from the parsed layout,
+    // then bump the version byte to 4 (the libver-latest encoding the
+    // reader documents as out of scope)
+    val h5 = Hdf5.parse(real)
+    val patched = h5.vars.flatMap { v =>
+      val prefix = v.layout.kind match {
+        case "chunked" =>
+          Array[Byte](3, 2, v.layout.chunkDims.length.toByte) ++
+            le64(v.layout.addr)
+        case "contiguous" =>
+          Array[Byte](3, 1) ++ le64(v.layout.addr) ++ le64(v.layout.size)
+        case _ => Array.empty[Byte]
+      }
+      val idx = if (prefix.isEmpty) -1 else indexOf(real, prefix)
+      if (idx >= 0) Some(idx) else None
+    }
+    assert(patched.nonEmpty,
+      "could not locate any v3 layout message in the raw bytes")
+    val bad = real.clone()
+    patched.foreach(idx => bad(idx) = 4.toByte)
+    val e = intercept[RuntimeException](readEverything(bad))
+    assert(e.getMessage.contains("data layout version 4 unsupported"),
+      e.getMessage)
+  }
+
+  test("corrupted chunk B-tree signature is the documented signature error") {
+    val tree = "TREE".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var found = 0
+    val bad = real.clone()
+    var i = indexOf(bad, tree)
+    while (i >= 0) {
+      bad(i + 3) = 'X'.toByte; found += 1
+      i = indexOf(bad, tree)
+    }
+    assert(found > 0, "no TREE signatures in the GOES sample?")
+    val e = intercept[RuntimeException](readEverything(bad))
+    assert(e.getMessage.contains("expected 'TREE'"), e.getMessage)
+  }
+
+  test("corrupted fractal-heap signature is the documented signature error") {
+    // the file carries several FRHP blocks (name index, creation-order
+    // index); only the traversed one raises, so corrupt them all
+    val frhp = "FRHP".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var found = 0
+    val bad = real.clone()
+    var i = indexOf(bad, frhp)
+    while (i >= 0) {
+      bad(i) = 'X'.toByte; found += 1
+      i = indexOf(bad, frhp)
+    }
+    assert(found > 0, "GOES sample should use a dense (fractal-heap) group")
+    val e = intercept[RuntimeException](readEverything(bad))
+    assert(e.getMessage.contains("FRHP"), e.getMessage)
+  }
+
+  test("truncated files throw, never return partial data") {
+    // a cut inside the superblock, the object headers, or the chunk
+    // data must surface as an exception from parse or from one of the
+    // dataset reads, never as a short/garbage array (a cut in the
+    // file's trailing slack past the last chunk is legitimately
+    // readable, so cuts stay at/below the midpoint)
+    for (cut <- Seq(16, 100, 1024, real.length / 4, real.length / 2)) {
+      val t = java.util.Arrays.copyOfRange(real, 0, cut)
+      val r = scala.util.Try(readEverything(t))
+      assert(r.isFailure, s"truncation at $cut bytes read 'successfully'")
+    }
+  }
+
+  test("reading a float dataset as strings is the documented type error") {
+    val h5 = Hdf5.parse(real)
+    val e = intercept[IllegalArgumentException](
+      Hdf5.readStrings(real, h5("time")))
+    assert(e.getMessage.contains("not a string/char dataset"), e.getMessage)
+  }
+
+  test("asking for a missing dataset names the available ones") {
+    val h5 = Hdf5.parse(real)
+    val e = intercept[RuntimeException](h5("no_such_dataset"))
+    assert(e.getMessage.contains("no HDF5 dataset no_such_dataset") &&
+      e.getMessage.contains("time"), e.getMessage)
+  }
+}
