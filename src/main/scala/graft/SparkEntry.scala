@@ -191,6 +191,10 @@ object SparkEntry {
       operators.Dedup.substringDedup(Tables.documents(s, d))),
     "q99_dsir_importance" -> ((s, d) =>
       operators.Sampling.dsirWeights(Tables.documents(s, d))),
+    // iterative merge loop — not one-statement SQL, rows-only in the
+    // oracle gate; planted-corpus merge sequences pinned in NewOpsSpec
+    "q100_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented

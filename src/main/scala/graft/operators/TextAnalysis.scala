@@ -269,6 +269,76 @@ object TextAnalysis {
       .orderBy($"n".desc, $"pair")
       .limit(k)
 
+  /** Full BPE merge-table training (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units") — the
+    * tokenizer-vocabulary learner [[bpePairFreq]]'s scaladoc promises:
+    * start from characters, repeatedly merge the most frequent
+    * adjacent symbol pair, emit the learned merge table
+    * (step, left, right, merged, freq).
+    *
+    * Scale shape: the corpus is scanned ONCE — BPE statistics live on
+    * the word VOCABULARY (distinct word → count), which the first
+    * groupBy collapses to ~10⁸ rows at 100 TB, orders of magnitude
+    * below the corpus. Every merge round then runs on that vocab
+    * frame only: an adjacent-pair count whose keyspace is bounded by
+    * symbols² (map-side combine shrinks it to almost nothing), a
+    * `limit(1)` argmax collect — ONE driver row per round, the same
+    * bounded-certificate pattern as [[Dedup.dupClusters]] — and an
+    * `aggregate` left-fold that rewrites each word's symbol array in
+    * place (greedy left-to-right, so "aaa" merges to ["aa","a"] like
+    * the reference implementation). `localCheckpoint` per round
+    * bounds the growing lineage exactly as the label-propagation
+    * loop does. Determinism: ties break (freq DESC, left ASC,
+    * right ASC), so the merge table is a pure function of the corpus.
+    *
+    * Iterative and therefore not SQL-expressible in one statement —
+    * rows-only in the oracle gate, with planted-corpus specs pinning
+    * the classic merge sequences.
+    */
+  def bpeTrain(documents: DataFrame, nMerges: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    // only the Seq→DF conversion; the full implicits would shadow the
+    // package-level $ column interpolator
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    var vocab = documents
+      .select(explode(tokens(lower($"text"))).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select(split($"w", "").as("syms"), $"freq")
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = vocab
+        .filter(size($"syms") >= 2)
+        .select($"freq", explode(transform(sequence(lit(1), size($"syms") - 1),
+          i => struct(element_at($"syms", i).as("l"),
+            element_at($"syms", i + 1).as("r")))).as("p"))
+        .groupBy($"p.l", $"p.r").agg(sum($"freq").as("n"))
+        .orderBy($"n".desc, $"l", $"r")
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((step, l, r, l + r, n))
+        // greedy left-to-right merge: once (l,r) fuses, the fused
+        // symbol is l+r and cannot re-pair as l with a following r
+        vocab = vocab.select(
+          aggregate($"syms", array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))).as("syms"),
+          $"freq")
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "merged", "freq")
+  }
+
   /** Top-k terms per language by raw frequency (the corpus-vocabulary
     * profile a curation pipeline builds before filtering). One explode
     * + one (lang, term) count with map-side combine; the final per-lang

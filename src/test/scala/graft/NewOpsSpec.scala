@@ -355,6 +355,64 @@ class NewOpsSpec extends AnyFunSuite {
     assert(a == b, "dsir top-k depends on physical layout")
   }
 
+  test("bpe train: learns the classic Sennrich merge sequence") {
+    import spark.implicits._
+    // the canonical corpus: low×5, lower×2, newest×6, widest×3.
+    // pair totals round 1: (e,s)=9, (s,t)=9, (w,e)=8, (l,o)=7, (o,w)=7
+    // → ties break left-asc, so: es, then est, then lo
+    val docs = Seq(
+      (0L, ("low " * 5).trim, "en", "s", 20L),
+      (1L, ("lower " * 2).trim, "en", "s", 12L),
+      (2L, ("newest " * 6).trim, "en", "s", 42L),
+      (3L, ("widest " * 3).trim, "en", "s", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.bpeTrain(docs, nMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L)), s"merge table drifted: $got")
+  }
+
+  test("bpe train: greedy left-to-right merge on overlapping pairs") {
+    import spark.implicits._
+    // "aaa": round 1 counts (a,a) twice but merges greedily to
+    // ["aa","a"]; round 2 fuses ("aa","a") — never ["a","aa"]
+    val docs = Seq((0L, "aaa", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.bpeTrain(docs, nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 2L),
+      (2, "aa", "a", "aaa", 1L)), s"got $got")
+  }
+
+  test("bpe train: stops when no pairs remain; empty corpus yields empty table") {
+    import spark.implicits._
+    val tiny = Seq((0L, "ab ab", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // one merge exhausts the corpus; asking for 10 returns 1 row
+    val got = TextAnalysis.bpeTrain(tiny, nMerges = 10).collect()
+    assert(got.length == 1 && got(0).getString(3) == "ab")
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val none = TextAnalysis.bpeTrain(empty, nMerges = 3)
+    assert(none.columns.toSeq ==
+      Seq("step", "left", "right", "merged", "freq"))
+    assert(none.count() == 0)
+  }
+
+  test("bpe train: merge table is invariant to doc order and partitioning") {
+    val docs = Tables.documents(spark, dir)
+    val a = TextAnalysis.bpeTrain(docs, nMerges = 5).collect().toSeq
+    val b = TextAnalysis.bpeTrain(docs.repartition(7), nMerges = 5)
+      .collect().toSeq
+    assert(a == b, s"BPE merges depend on physical layout:\n$a\n$b")
+    assert(a.length == 5, "real corpus should sustain 5 merges")
+  }
+
   test("dsir importance: hashed-feature production path preserves rank order") {
     // 8192 buckets over a handful of planted bigrams: no collisions,
     // so the 8-byte-key path must rank documents identically to the
