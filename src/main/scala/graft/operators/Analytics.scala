@@ -302,7 +302,10 @@ object Analytics {
     * dictionary, not the row count.
     */
   def fuzzyNamePairs(part: DataFrame, maxDist: Int = 2): DataFrame = {
-    val names = part.select($"p_name").distinct()
+    // the distinct-name dictionary is derived ONCE (checkpoint) —
+    // both length-bucket sides replicate from the materialized
+    // vocabulary instead of re-scanning part per side
+    val names = part.select($"p_name").distinct().localCheckpoint(true)
     // length-bucket equi-key (width d+1): |len diff| <= d confines a
     // true pair to the same or adjacent buckets, so replicating one
     // side to lb-1..lb+1 keeps an equi-join (no nested loop) with
@@ -344,7 +347,8 @@ object Analytics {
     */
   def fuzzyNamePairsPassJoin(part: DataFrame, maxDist: Int = 2): DataFrame = {
     val k = maxDist + 1
-    val names = part.select($"p_name").distinct()
+    // dictionary derived once, shared by segment/substring/short sides
+    val names = part.select($"p_name").distinct().localCheckpoint(true)
 
     // segment side: names long enough that all k segments are nonempty
     val ys = names
@@ -463,8 +467,16 @@ object Analytics {
     * distinct sets.
     */
   def clickPurchaseSets(events: DataFrame): DataFrame = {
-    val clickers = events.filter($"event_type" === "click").select($"user_id")
-    val purchasers = events.filter($"event_type" === "purchase").select($"user_id")
+    // ONE event scan feeds all four set-op operands: the distinct
+    // (user, type) frame is bounded (≤ users × 2 rows) and
+    // checkpointed, so INTERSECT and EXCEPT each read the
+    // materialized frame — the naive form planned four full
+    // event scans, one per operand lineage
+    val typed = events.filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"event_type").distinct()
+      .localCheckpoint(true)
+    val clickers = typed.filter($"event_type" === "click").select($"user_id")
+    val purchasers = typed.filter($"event_type" === "purchase").select($"user_id")
     clickers.intersect(purchasers).withColumn("cohort", lit("click_and_purchase"))
       .unionByName(
         clickers.except(purchasers).withColumn("cohort", lit("click_no_purchase")))

@@ -45,6 +45,15 @@ object Dedup {
 
   def ngramJaccard(documents: DataFrame, n: Int = 3, tau: Double = 0.1,
                    maxShingleDf: Long = MaxShingleDf): DataFrame = {
+    // the hashed-shingle frame is materialized ONCE (localCheckpoint)
+    // and reused by the DF-cap aggregate and both self-join sides —
+    // round 7's probe showed the un-persisted form re-reading and
+    // re-tokenizing documents 4× (the DF-cap lineage and each join
+    // side re-derived it; ReusedExchange only collapsed the two join
+    // sides). The frame is corpus-scale but ~⅛ the text bytes (8-byte
+    // hashes, no text column), and tokenize+shingle+hash is the CPU
+    // hot spot — at 100 TB one pass + executor-local reread beats
+    // two full tokenize passes.
     val sets = documents
       .withColumn("w", TextAnalysis.tokens($"text"))
       .select(
@@ -52,6 +61,7 @@ object Dedup {
         array_distinct(transform(TextAnalysis.shinglesOf($"w", n), s => xxhash64(s)))
           .as("hs"))
       .withColumn("n_sh", size($"hs"))
+      .localCheckpoint(true)
     val exploded = sets.select($"doc_id", $"n_sh", explode($"hs").as("h"))
     // stop-shingle cap: the candidate join fans out quadratically in
     // each shingle's document frequency, so one shingle shared by M
@@ -139,7 +149,11 @@ object Dedup {
                  k: Int = MinHashK, bands: Int = Bands): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rowsPerBand = k / bands
-    val sigs = minhashSignatures(documents, n, k)
+    // the signature frame (k longs per doc — the artifact a minhash
+    // pipeline materializes anyway) is checkpointed so the two
+    // band-join sides read it instead of each re-running the full
+    // tokenize+shingle+minhash lineage over the corpus
+    val sigs = minhashSignatures(documents, n, k).localCheckpoint(true)
     val banded = sigs.select($"doc_id", $"sig",
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key",

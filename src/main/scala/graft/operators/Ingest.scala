@@ -166,24 +166,42 @@ object Ingest {
     * the orders snapshot — ~10% price corrections (op=U) and ~5% new
     * orders under shifted keys (op=N) — merged latest-wins through
     * [[upsert]]. Money rides as exact integer cents.
+    *
+    * Plan shape (the 100-TB budget): THREE passes over the fact table
+    * total, never more. (1) a column-pruned max(o_orderkey) aggregate
+    * — arrival keys shift past the OBSERVED max (1-row broadcast
+    * frame) so they can never collide with a real order at any scale
+    * factor; a constant offset would silently overwrite real rows
+    * once o_orderkey outgrew it. (2) ONE scan builds the whole CDC
+    * batch: corrections (keys %100<10) and arrivals (%100>=95) have
+    * disjoint predicates, so a single filtered pass with when/
+    * otherwise emits either shape — no per-branch re-scan. The batch
+    * (~15% of base) is `localCheckpoint`ed — the same bounded-
+    * materialization judgment as dupClusters/bpeTrain — so the two
+    * references [[upsert]] makes to it (union side + anti-join key
+    * side) read the materialized frame instead of re-deriving the
+    * update lineage. (3) the anti-join's scan of base itself. The
+    * executed MERGE plan therefore scans orders ONCE
+    * (ScanCountGateSpec pins it; round 7's naive form planned SEVEN
+    * scans — each updates reference re-derived corrections, arrivals
+    * and the max-key agg from fresh scans).
     */
   def ordersUpsert(orders: DataFrame): DataFrame = {
     val base = orders.select($"o_orderkey", $"o_orderstatus",
       round($"o_totalprice" * 100).cast("long").as("price_cents"),
       lit("B").as("op"))
-    val corrections = base.filter($"o_orderkey" % 100 < 10)
-      .select($"o_orderkey", lit("U").as("o_orderstatus"),
-        ($"price_cents" + 500L).as("price_cents"), lit("U").as("op"))
-    // arrival keys shift past the OBSERVED max key (1-row broadcast
-    // frame), so they can never collide with a real order at any scale
-    // factor — a constant offset would silently overwrite real rows
-    // once o_orderkey outgrew it
     val maxKey = base.agg(max($"o_orderkey").as("max_key"))
-    val arrivals = base.filter($"o_orderkey" % 100 >= 95)
+    val isCorr = $"o_orderkey" % 100 < 10
+    val updates = base.filter(isCorr || $"o_orderkey" % 100 >= 95)
       .crossJoin(broadcast(maxKey))
-      .select(($"o_orderkey" + $"max_key" + 1L).as("o_orderkey"),
-        lit("N").as("o_orderstatus"), $"price_cents", lit("N").as("op"))
-    upsert(base, corrections.unionByName(arrivals), "o_orderkey")
-      .orderBy($"o_orderkey")
+      .select(
+        when(isCorr, $"o_orderkey")
+          .otherwise($"o_orderkey" + $"max_key" + 1L).as("o_orderkey"),
+        when(isCorr, lit("U")).otherwise(lit("N")).as("o_orderstatus"),
+        when(isCorr, $"price_cents" + 500L)
+          .otherwise($"price_cents").as("price_cents"),
+        when(isCorr, lit("U")).otherwise(lit("N")).as("op"))
+      .localCheckpoint(true)
+    upsert(base, updates, "o_orderkey").orderBy($"o_orderkey")
   }
 }

@@ -70,14 +70,19 @@ object Sampling {
                   minQuality: Double = 0.3,
                   dropLangs: Set[String] = Set("zh"),
                   salt: String = "smpl"): DataFrame = {
-    val quality = TextAnalysis.qualityScore(documents)
-      .select($"doc_id", $"quality")
-    val hashes = documents.select($"doc_id", $"lang", md5($"text").as("h"))
-    val keepers = hashes.groupBy($"h").agg(min($"doc_id").as("keeper"))
-    hashes.join(keepers, Seq("h"))
+    // ONE pass over the text computes BOTH per-doc signals (quality
+    // components and the md5 dedup digest) — round 7's form derived
+    // them in separate lineages and planned three full corpus scans.
+    // The exact-dup keeper is a window min over the digest (same
+    // shuffle key the old groupBy+join used, one exchange instead of
+    // two and no join back); thresholds ride a broadcast literal.
+    val base = TextAnalysis.withQuality(documents)
+      .select($"doc_id", $"lang", md5($"text").as("h"), $"quality")
+    base
+      .withColumn("keeper", min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"h")))
       .filter($"doc_id" === $"keeper")
       .filter(!$"lang".isInCollection(dropLangs))
-      .join(quality, Seq("doc_id"))
       .filter($"quality" >= minQuality)
       .withColumn("sample_key", sampleKey(salt))
       .join(thresholdLookup(documents, fractions), Seq("lang"))
@@ -183,6 +188,9 @@ object Sampling {
     * join, the same bounded shape as q74's corpus stats.
     */
   def sourceMixture(documents: DataFrame): DataFrame = {
+    // one row per source, referenced twice (normalizer + output) —
+    // checkpointed so the normalizer doesn't re-run the full
+    // tokenize pass a second time
     val base = documents
       .select($"source", size(TextAnalysis.tokens($"text"))
         .cast("long").as("n"))
@@ -190,6 +198,7 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
       .withColumn("weight",
         floor(sqrt($"n_tokens".cast("double"))).cast("long"))
+      .localCheckpoint(true)
     val total = base.agg(sum($"weight").as("total_w"))
     base.crossJoin(broadcast(total))
       .withColumn("p_ppm", expr("(weight * 1000000) div total_w"))

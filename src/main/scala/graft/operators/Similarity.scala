@@ -92,8 +92,12 @@ object Similarity {
     val q = embeddings
       .select($"vec_id", Vec.quantize($"embedding").as("v"))
       .withColumn("nrm", Vec.normQ($"v"))
+    // nCells rows, materialized once: without the checkpoint both the
+    // assignment and the probe branch re-derive the centroid slice
+    // from a fresh (pushdown-pruned, but still planned) corpus scan
     val centroids = q.filter($"vec_id" < nCells)
       .select($"vec_id".as("cell"), $"v".as("cv"), $"nrm".as("cnrm"))
+      .localCheckpoint(true)
     // nearest-centroid assignment: argmax cosine via max(struct)
     val scored = q.crossJoin(broadcast(centroids))
       .select($"vec_id", $"v", $"nrm",

@@ -47,7 +47,19 @@ object TextAnalysis {
   /** Per-document quality scoring: length, punctuation ratio, stopword
     * ratio — the heuristics used to filter web-scraped training text.
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
+  def qualityScore(documents: DataFrame): DataFrame =
+    withQuality(documents)
+      .select($"doc_id", $"n_chars_actual", $"n_tokens", $"punct_ratio",
+        $"stop_ratio", $"avg_token_len", $"quality")
+      .orderBy($"doc_id")
+
+  /** Appends the quality components to `documents` WITHOUT projecting
+    * the source columns away — the fused single-scan building block
+    * shared by [[qualityScore]] (q31) and `Sampling.trainingMix`
+    * (q82), which computes quality and the dedup digest in the same
+    * pass over the text.
+    */
+  private[operators] def withQuality(documents: DataFrame): DataFrame = {
     graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .withColumn("toks", tokens($"text"))  // bind once; see shinglesOf note
@@ -63,9 +75,6 @@ object TextAnalysis {
       .withColumn("quality",
         $"stop_ratio" * 0.5 + (lit(1.0) - $"punct_ratio") * 0.3 +
           when($"avg_token_len".between(3.0, 8.0), 0.2).otherwise(0.0))
-      .select($"doc_id", $"n_chars_actual", $"n_tokens", $"punct_ratio",
-        $"stop_ratio", $"avg_token_len", $"quality")
-      .orderBy($"doc_id")
   }
 
   /** Stopword profiles for [[langId]], in tie-break preference order
@@ -213,25 +222,25 @@ object TextAnalysis {
     * + minimum shingle hash (a 1-hash MinHash, stable under small
     * edits — the rolling-hash fingerprint family).
     */
-  def fingerprint(documents: DataFrame): DataFrame = {
-    val norm = documents
+  def fingerprint(documents: DataFrame): DataFrame =
+    // ONE scan: the normalized-text md5 rides through the shingle
+    // explode (explode_outer keeps <3-token docs as a null shingle
+    // row, so min(md5(null))=null reproduces the old left-join /
+    // array_min(empty)=null semantics) and both fingerprints come out
+    // of the same doc_id aggregate. The md5 and the min stay in
+    // whole-stage codegen (array_min over an interpreted transform
+    // lambda measured ~2x slower); round 7's two-lineage form
+    // scanned and tokenized the corpus twice.
+    documents
       .withColumn("fp_norm",
         md5(lower(regexp_replace(trim($"text"), "\\s+", " "))))
-      .select($"doc_id", $"fp_norm")
-    // min-shingle via explode + min-agg: the md5 and the min stay in
-    // whole-stage codegen (array_min over an interpreted transform
-    // lambda measured ~2x slower); left join keeps docs with <3 tokens
-    // (null fingerprint) like the array_min(empty)=null form
-    val minShingle = documents
       .withColumn("w", tokens($"text"))
-      .select($"doc_id", explode(shinglesOf($"w")).as("s"))
+      .select($"doc_id", $"fp_norm", explode_outer(shinglesOf($"w")).as("s"))
       .groupBy($"doc_id")
-      .agg(min(md5($"s")).as("fp_min_shingle"))
-    norm
-      .join(minShingle, Seq("doc_id"), "left")
+      .agg(first($"fp_norm").as("fp_norm"),
+        min(md5($"s")).as("fp_min_shingle"))
       .select($"doc_id", $"fp_norm", $"fp_min_shingle")
       .orderBy($"doc_id")
-  }
 
   /** Whitespace vs BPE-ish token counts side by side (q89) — the two
     * token-budget estimates a curation pipeline carries (word-level
@@ -488,22 +497,28 @@ object TextAnalysis {
     */
   def invertedIndex(documents: DataFrame, maxPostings: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE lineage: term-level df/tf_total are unbounded windows over
+    // the SAME term partitioning the posting-cap row_number uses (one
+    // exchange serves both window frames and the final groupBy), so
+    // the stats see every posting while the list is capped — round
+    // 7's separate stats aggregate re-derived the tokenize+explode
+    // lineage and scanned documents twice
     val perTok = documents
       .select($"doc_id", explode(tokens($"text")).as("term"))
       .groupBy($"term", $"doc_id")
       .agg(count(lit(1)).as("tf"))
-    val stats = perTok
-      .groupBy($"term")
-      .agg(count(lit(1)).as("df"), sum($"tf").as("tf_total"))
     val w = Window.partitionBy($"term").orderBy($"doc_id")
-    val postings = perTok
+    val wAll = Window.partitionBy($"term")
+    perTok
       .withColumn("rn", row_number().over(w))
+      .withColumn("df", count(lit(1)).over(wAll))
+      .withColumn("tf_total", sum($"tf").over(wAll))
       .filter($"rn" <= maxPostings)
       .groupBy($"term")
-      .agg(array_join(
-        sort_array(collect_list($"doc_id")).cast("array<string>"), ",")
-        .as("postings"))
-    stats.join(postings, Seq("term"))
+      .agg(first($"df").as("df"), first($"tf_total").as("tf_total"),
+        array_join(
+          sort_array(collect_list($"doc_id")).cast("array<string>"), ",")
+          .as("postings"))
       .select($"term", $"df", $"tf_total", $"postings")
       .orderBy($"term")
   }

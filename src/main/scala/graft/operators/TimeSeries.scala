@@ -228,26 +228,33 @@ object TimeSeries {
         $"monthly_growth_mb")
 
   /** Two-step funnel: per user, the first `fromType` event and the
-    * first `toType` event that follows it within `windowUs`. Both
-    * sides pre-aggregate to one row per user BEFORE the join (min
-    * per user is map-side combined), so the join is user-keyed
-    * one-to-few — never the raw event×event pair space. Microseconds
-    * (exact longs) throughout.
+    * first `toType` event that follows it within `windowUs`.
+    * Microseconds (exact longs) throughout.
+    *
+    * ONE event scan, ONE shuffle: the type filter (pushed to the
+    * scan) keeps only the two funnel stages, a user-partitioned
+    * window computes each user's first `fromType` timestamp across
+    * its rows, and the follow-up minimum is a conditional aggregate
+    * over the SAME user partitioning — Catalyst reuses the window's
+    * hash partitioning for the groupBy, so no second exchange. The
+    * round-7 three-lineage form (two filtered aggregates + join)
+    * scanned events three times for the same answer; never the raw
+    * event×event pair space either way.
     */
   def funnel(events: DataFrame, fromType: String = "click",
              toType: String = "purchase",
              windowUs: Long = 3600000000L): DataFrame = {
-    val first = events.filter($"event_type" === fromType)
+    val wu = Window.partitionBy($"user_id")
+    events.filter($"event_type".isin(fromType, toType))
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("first_from_us",
+        min(when($"event_type" === fromType, $"us")).over(wu))
+      .filter($"first_from_us".isNotNull)
       .groupBy($"user_id")
-      .agg(min(unix_micros($"ts")).as("first_from_us"))
-    val followups = events.filter($"event_type" === toType)
-      .select($"user_id", unix_micros($"ts").as("to_us"))
-      .join(first, Seq("user_id"))
-      .filter($"to_us" >= $"first_from_us" &&
-        $"to_us" <= $"first_from_us" + windowUs)
-      .groupBy($"user_id")
-      .agg(min($"to_us").as("first_to_us"))
-    first.join(followups, Seq("user_id"), "left")
+      .agg(min($"first_from_us").as("first_from_us"),
+        min(when($"event_type" === toType &&
+          $"us" >= $"first_from_us" &&
+          $"us" <= $"first_from_us" + windowUs, $"us")).as("first_to_us"))
       .select($"user_id", $"first_from_us", $"first_to_us",
         ($"first_to_us" - $"first_from_us").as("delta_us"),
         $"first_to_us".isNotNull.as("converted"))
@@ -294,9 +301,13 @@ object TimeSeries {
     * moves exact integers.
     */
   def gapFill(events: DataFrame): DataFrame = {
+    // bounded (types × observed minutes) and referenced twice (spine
+    // bounds + the fill join) — checkpointed so the second reference
+    // reads the materialized frame, not a second full event scan
     val perMin = events
       .groupBy($"event_type", date_trunc("minute", $"ts").as("minute"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val spine = perMin.groupBy($"event_type")
       .agg(min($"minute").as("mn"), max($"minute").as("mx"))
       .select($"event_type",
@@ -317,11 +328,16 @@ object TimeSeries {
     * events.
     */
   def retentionCohorts(events: DataFrame): DataFrame = {
+    // cohort day as a user-partitioned window min over the distinct
+    // (user, day) frame — one scan, no cohort join (the round-7
+    // groupBy+join form re-derived the distinct frame, and with it a
+    // second full event scan, for the join's right side)
     val days = events
       .select($"user_id", date_trunc("day", $"ts").as("day"))
       .distinct()
-    val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-    days.join(cohorts, Seq("user_id"))
+    days
+      .withColumn("cohort_day",
+        min($"day").over(Window.partitionBy($"user_id")))
       .withColumn("offset_days", datediff($"day", $"cohort_day"))
       .groupBy($"cohort_day", $"offset_days")
       .agg(count(lit(1)).as("n_users"))

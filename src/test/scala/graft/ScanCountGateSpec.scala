@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression gate over per-table scan counts in every declared
+  * query's physical plan — the graduated successor of round 7's
+  * TEMPORARY print-only probe, which flagged 26 multi-scan lineages.
+  * Triage outcome (round 8): ten queries were restructured to a
+  * single pass or a bounded checkpointed frame (q24 documents 4→1,
+  * q25 2→1, q33 2→1, q58 events 4→1, q63 part 4→2, q71 events 3→1,
+  * q72 2→1, q75 orders 7→1, q82 documents 3→1, q90 2→1, q94 2→1,
+  * q96 2→1, q45 embeddings 4→2); the rest are inherent to the
+  * operator's shape and carry an explicit allowance + reason below.
+  *
+  * Counting rule: FileScan lines whose path ends in the table's
+  * parquet (a plain substring count also matches literals — q22
+  * carries `lit("events.parquet")` as a provenance tag, the round-7
+  * probe's one false positive). Queries using localCheckpoint run
+  * their bounded build jobs at plan-construction time; the gate
+  * counts the executed MERGE/query plan, and each checkpoint's own
+  * build is a single additional pass documented at the operator.
+  */
+class ScanCountGateSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Engine.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+  val tables = Seq("lineitem", "orders", "customer", "supplier", "part",
+    "events", "documents", "embeddings", "nation", "region")
+
+  /** Triaged allowances above the default of 1, each with its
+    * structural reason. Raising a number here requires the same
+    * justification these entries carry.
+    */
+  val allow: Map[String, Map[String, Int]] = Map(
+    // 1-row global max-ts stat (column-pruned, broadcast) + the
+    // last-24h filtered pass
+    "q15_freshness" -> Map("events" -> 2),
+    // per-type stats aggregate (map-side combined, broadcast back) +
+    // the scoring pass; two scans beat sorting the corpus through a
+    // window at low type cardinality
+    "q18_anomaly_zscore" -> Map("events" -> 2),
+    // label-blocked self-join sides
+    "q27_dedup_embedding" -> Map("embeddings" -> 2),
+    // corpus side + pushdown-pruned query slice (vec_id < nQueries)
+    "q28_cosine_topk" -> Map("embeddings" -> 2),
+    "q29_ann_lsh" -> Map("embeddings" -> 2),
+    // assignment pass + pruned query slice; the 16-row centroid
+    // frame is checkpointed (round 7 planned 4 scans)
+    "q45_ann_ivf" -> Map("embeddings" -> 2),
+    // bucket-blocked range self-join sides
+    "q49_range_join" -> Map("events" -> 2),
+    // row-expansion join sides a/b; the distinct-name dictionary is
+    // checkpointed (round 7 planned 4 scans)
+    "q63_fuzzy_join" -> Map("part" -> 2),
+    // corpus + pushdown-pruned centroid slice (vec_id < k)
+    "q73_kmeans_step" -> Map("embeddings" -> 2),
+    // per-doc TF pass + 1-row corpus-stats pass
+    "q74_bm25_rank" -> Map("documents" -> 2),
+    // decorrelated min-per-group + winner join-back (TPC-H Q2 shape)
+    "q76_min_cost_supplier" -> Map("lineitem" -> 2),
+    // per-customer average joined back (TPC-H Q17 shape)
+    "q80_above_customer_avg" -> Map("orders" -> 2),
+    // two disjoint batch slices by construction — stands in for
+    // incremental arrival files that are separate scans at scale
+    "q87_incremental_rollup" -> Map("events" -> 2),
+    // full train tokenize pass + column-pruned (doc_id, source)
+    // count pass + ~1% eval-slice pass (see contaminationScreen doc)
+    "q92_contamination" -> Map("documents" -> 3))
+
+  test("every query's plan scans each table at most its allowed count") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val perQuery = allow.getOrElse(name, Map.empty)
+        tables.flatMap { t =>
+          val c = plan.linesIterator.count(l =>
+            l.contains("FileScan") && l.contains(s"/$t.parquet"))
+          val max = perQuery.getOrElse(t, 1)
+          if (c > max) Some(s"$name: $t scanned x$c (allowed $max)")
+          else None
+        }
+    }
+    assert(violations.isEmpty,
+      s"scan-count regressions:\n${violations.mkString("\n")}")
+  }
+}
