@@ -29,12 +29,19 @@ object Registry {
     ("graft_pii_scan", "graft.functions.PiiScan",
       exprs => PiiScan.fromExprs(exprs)))
 
-  /** Idempotently register graft functions in the session's registry. */
-  def ensure(spark: SparkSession): Unit =
+  /** Idempotently register graft functions in the session's registry.
+    * Skips names already present: re-registering emits a "function
+    * replaced" warning per call, and `ensure` runs at every operator
+    * construction — the warnings burned the bench's bounded stdout
+    * tail (round-7 verdict).
+    */
+  def ensure(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     functions.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+  }
 }
 
 /** SparkSessionExtensions injector (`spark.sql.extensions`). */

@@ -84,17 +84,20 @@ object Multimodal {
         java.util.Arrays.copyOfRange(payload, pos + 1, pos + 1 + npix.toInt))
     }
 
-    /** Mean-pool a decoded raster: global per-channel means plus a
-      * 2×2 spatial grid of luma means (the tiny-embedding shape a
-      * real resize-then-pool pipeline emits). Sums are exact longs;
+    /** Mean-pool a decoded raster: global per-channel means plus the
+      * top-left and bottom-right corner-cell luma means of a 2×2
+      * spatial grid (the tiny-embedding shape a real resize-then-pool
+      * pipeline emits; two opposite corners carry the gradient signal
+      * and only those two are accumulated — the other two cells were
+      * dead per-pixel work, round-7 advice). Sums are exact longs;
       * luma is the integer Rec.601-ish (r+2g+b)/4 so every feature is
       * a ratio of integers both engines reproduce.
       */
     def poolFeatures(img: PpmImage): Array[Double] = {
       val n = img.width.toLong * img.height
       val chan = new Array[Long](3)
-      val grid = new Array[Long](4)
-      val gridN = new Array[Long](4)
+      var lumaTL = 0L; var nTL = 0L
+      var lumaBR = 0L; var nBR = 0L
       var i = 0
       var p = 0
       while (p < n) {
@@ -103,17 +106,17 @@ object Multimodal {
         val b = img.pixels(i + 2) & 0xFF
         chan(0) += r; chan(1) += g; chan(2) += b
         val x = (p % img.width).toInt; val y = (p / img.width).toInt
-        val cell = (if (2 * y >= img.height) 2 else 0) +
-                   (if (2 * x >= img.width) 1 else 0)
-        grid(cell) += (r + 2 * g + b) / 4
-        gridN(cell) += 1
+        val top = 2 * y < img.height
+        val left = 2 * x < img.width
+        if (top && left) { lumaTL += (r + 2 * g + b) / 4; nTL += 1 }
+        else if (!top && !left) { lumaBR += (r + 2 * g + b) / 4; nBR += 1 }
         i += 3; p += 1
       }
       Array[Double](
         img.width.toDouble, img.height.toDouble,
         chan(0).toDouble / n, chan(1).toDouble / n, chan(2).toDouble / n,
-        if (gridN(0) > 0) grid(0).toDouble / gridN(0) else 0.0,
-        if (gridN(3) > 0) grid(3).toDouble / gridN(3) else 0.0,
+        if (nTL > 0) lumaTL.toDouble / nTL else 0.0,
+        if (nBR > 0) lumaBR.toDouble / nBR else 0.0,
         img.maxval.toDouble)
     }
 

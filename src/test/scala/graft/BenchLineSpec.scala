@@ -36,7 +36,8 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
     assert(line.startsWith("{") && line.endsWith("}"))
     for (key <- Seq("\"metric\":", "\"value\":", "\"unit\":", "\"n\":",
-                    "\"failed\":", "\"queries\":", "\"sf\":"))
+                    "\"failed\":", "\"first_pass_total\":", "\"queries\":",
+                    "\"sf\":"))
       assert(line.contains(key), s"missing $key")
     // queries carries exactly the 5 worst entries
     val qCount = "\"q\\d[^\"]*\":".r.findAllIn(
@@ -83,5 +84,19 @@ class BenchLineSpec extends AnyFunSuite {
     assert(detail.contains("\"queries\":{\"q_heavy\":1.730}"))
     assert(detail.contains("\"first_pass\":{\"q_heavy\":10.500}"),
       s"pre-settle observation must stay auditable: $detail")
+  }
+
+  test("summary line reports BOTH totals: settled and first-pass") {
+    // round-7 advice: the graded total is a best-of-two for the
+    // worst-K only — print the single-run total next to it so the
+    // settle delta is visible on the line itself, not just in the
+    // sidecar
+    val results = Seq(
+      Bench.Outcome("q_heavy", 1.73, firstPass = Some(10.5)),
+      Bench.Outcome("q_quick", 0.27))
+    val line = Bench.renderLine(results, "/tmp/sf", "d.json")
+    assert(line.contains("\"value\":2.000"), s"settled total wrong: $line")
+    assert(line.contains("\"first_pass_total\":10.770"),
+      s"single-run total must be on the line: $line")
   }
 }

@@ -16,8 +16,17 @@ class Hdf5MalformedSpec extends AnyFunSuite {
     "/root/reference/obdi-opensourcedatapipeline-main/test_downloads/" +
       "OR_EXIS-L1b-SFXR_G18_s20231160000599_e20231160001294_c20231160001297.nc"
 
-  private lazy val real: Array[Byte] =
-    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(goesFile))
+  private lazy val real: Array[Byte] = {
+    val p = java.nio.file.Paths.get(goesFile)
+    // the sample lives in the out-of-repo reference checkout: degrade
+    // to 'canceled' when that tree is absent or relocated instead of
+    // aborting the suite with a read error (round-7 advice). assume()
+    // throws TestCanceledException, which scalatest records per test;
+    // the failed lazy init re-evaluates, so EVERY dependent test
+    // cancels cleanly rather than only the first.
+    assume(java.nio.file.Files.exists(p), s"GOES sample absent: $goesFile")
+    java.nio.file.Files.readAllBytes(p)
+  }
 
   private def le64(v: Long): Array[Byte] =
     (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
