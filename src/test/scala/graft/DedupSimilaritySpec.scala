@@ -148,9 +148,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // specs above don't by themselves certify the 10× point; this
     // runs the same exact-baseline comparisons against the generated
     // 10× data (tools/gen_sf1.py → /tmp/sf1) and cancels if absent
+    // gen_sf1.py writes _MANIFEST.json LAST, so its presence
+    // certifies a completed generation; the row-count cross-check
+    // catches a stale manifest sitting over re-generated or
+    // truncated parquet (a half-written sf1 must cancel, not grade
+    // green-ish — round-7 verdict item 8)
     val dir10 = "/tmp/sf1"
-    assume(new java.io.File(s"$dir10/documents.parquet").exists(),
-      "10× scale point absent — python3 tools/gen_sf1.py")
+    val manifest = new java.io.File(s"$dir10/_MANIFEST.json")
+    assume(manifest.exists(),
+      "10× scale point absent or incomplete — python3 tools/gen_sf1.py")
+    val mtxt = new String(java.nio.file.Files.readAllBytes(manifest.toPath))
+    def declared(t: String): Long =
+      ("\"" + t + "\":\\s*(\\d+)").r.findFirstMatchIn(mtxt)
+        .map(_.group(1).toLong).getOrElse(-1L)
+    assume(
+      spark.read.parquet(s"$dir10/documents.parquet").count() ==
+        declared("documents") &&
+      spark.read.parquet(s"$dir10/embeddings.parquet").count() ==
+        declared("embeddings"),
+      "10× manifest inconsistent with data — rerun python3 tools/gen_sf1.py")
     val docs = Tables.documents(spark, dir10)
     val exactPairs = Dedup.ngramJaccard(docs, tau = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -33,9 +33,13 @@ DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 
+ROWS = {}
+
+
 def write(name, table):
     pq.write_table(table, f"{DST}/{name}.parquet", version="2.6",
                    coerce_timestamps=None)
+    ROWS[name] = table.num_rows
     print(name, table.num_rows)
 
 
@@ -124,6 +128,15 @@ def main():
         ).fetchone()
         assert n == d, (t, n, d)
     print("all keys unique")
+
+    # completion marker, written LAST (after the uniqueness checks):
+    # a crashed or half-finished generation leaves no manifest, and
+    # the 10x specs cancel instead of grading against stale or
+    # truncated data. Row counts let the consumer cross-check.
+    import json
+    with open(f"{DST}/_MANIFEST.json", "w") as f:
+        json.dump({"src": SRC, "copies": COPIES, "tables": ROWS}, f)
+    print("manifest written")
 
 
 if __name__ == "__main__":
