@@ -304,7 +304,9 @@ object TextAnalysis {
     * rows-only in the oracle gate, with planted-corpus specs pinning
     * the classic merge sequences.
     */
-  def bpeTrain(documents: DataFrame, nMerges: Int = 10): DataFrame = {
+  def bpeTrain(documents: DataFrame, nMerges: Int = 10,
+               vocabSizeProbe: Option[scala.collection.mutable.Buffer[Long]] =
+                 None): DataFrame = {
     val spark = documents.sparkSession
     // only the Seq→DF conversion; the full implicits would shadow the
     // package-level $ column interpolator
@@ -315,6 +317,11 @@ object TextAnalysis {
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .select(split($"w", "").as("syms"), $"freq")
       .localCheckpoint(true)
+    // test-only instrumentation: record the vocab-frame row count per
+    // round so the scale invariant (the loop runs on a frame that
+    // never grows — one row per distinct word, constant across
+    // merges) is assertable. None in production: zero extra jobs.
+    vocabSizeProbe.foreach(_ += vocab.count())
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -342,6 +349,7 @@ object TextAnalysis {
               .otherwise(concat(acc, array(x)))).as("syms"),
           $"freq")
           .localCheckpoint(true)
+        vocabSizeProbe.foreach(_ += vocab.count())
         step += 1
       }
     }

@@ -404,6 +404,23 @@ class NewOpsSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("bpe train: vocab frame row count is monotone non-increasing across rounds") {
+    // the scale argument for q100 is that every merge round runs on
+    // the WORD VOCABULARY, never the corpus: one row per distinct
+    // word, so the frame cannot grow as merges accumulate (it stays
+    // exactly constant — merges rewrite symbol arrays in place).
+    // Asserting monotone non-increase pins the invariant the 100-TB
+    // claim rests on.
+    val docs = Tables.documents(spark, dir)
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    TextAnalysis.bpeTrain(docs, nMerges = 5, vocabSizeProbe = Some(sizes))
+    assert(sizes.length == 6, s"expected init + 5 rounds, got $sizes")
+    assert(sizes.sliding(2).forall(p => p(1) <= p(0)),
+      s"vocab frame grew across merge rounds: $sizes")
+    assert(sizes.distinct.length == 1,
+      s"vocab rows should be constant (one per distinct word): $sizes")
+  }
+
   test("bpe train: merge table is invariant to doc order and partitioning") {
     val docs = Tables.documents(spark, dir)
     val a = TextAnalysis.bpeTrain(docs, nMerges = 5).collect().toSeq
