@@ -155,13 +155,33 @@ object Multimodal {
     * metadata struct — the schema a mixed image/audio/text corpus
     * would use (payload column stays opaque; scans prune it unless
     * the query touches it).
+    *
+    * Every 5th document becomes an IMAGE shard member: its payload is
+    * a synthesized 16×16 PPM P6 raster (header + 768 pixel bytes
+    * drawn from the text, dot-padded/truncated to exact length) so
+    * the real decode+pool path — header parse, pixel walk, corner
+    * pooling — carries a measured per-row cost in the bench and the
+    * scale sweeps at EVERY scale factor, instead of only running on
+    * spec-planted files (round-7 verdict item 6). The rendering is a
+    * pure Column expression: deterministic, engine-reproducible, and
+    * linear in the corpus.
     */
-  def asMultimodal(documents: DataFrame): DataFrame =
+  def asMultimodal(documents: DataFrame): DataFrame = {
+    val isImg = $"doc_id" % 5 === 0
+    // 16×16 RGB = 768 payload bytes; rpad both pads short texts and
+    // truncates long ones to the exact pixel-section length (ASCII
+    // corpus ⇒ chars == bytes; decodePpm tolerates trailing bytes
+    // anyway)
+    val ppmPayload = concat(
+      encode(lit("P6\n16 16\n255\n"), "UTF-8"),
+      encode(rpad($"text", 768, "."), "UTF-8"))
     documents.select(
       $"doc_id",
-      lit("text").as("modality"),
-      encode($"text", "UTF-8").as("payload"),
+      when(isImg, "image").otherwise("text").as("modality"),
+      when(isImg, ppmPayload).otherwise(encode($"text", "UTF-8"))
+        .as("payload"),
       struct($"source", $"n_chars", $"lang").as("meta"))
+  }
 
   /** Batched per-partition decode → feature table. `mapPartitions`
     * keeps the codec's per-partition init cost amortized; upstream
@@ -176,8 +196,11 @@ object Multimodal {
       .mapPartitions(MediaDecoder.decodeBatch)
   }
 
-  /** End-to-end: wrap → decode → per-modality feature aggregation
-    * (feature means via exact integer sums of the byte statistics).
+  /** End-to-end: wrap → decode → first three feature components.
+    * Feature slots are per-modality (the fixed-width vector is the
+    * contract): for `text`, length / distinct bytes / mean byte; for
+    * the planted `image` shard, parsed width / height / red-channel
+    * mean out of the REAL PPM decode.
     */
   def featurePipeline(documents: DataFrame): DataFrame =
     decodeFeatures(asMultimodal(documents))

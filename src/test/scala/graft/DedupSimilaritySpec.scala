@@ -254,13 +254,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("multimodal decode: schema and deterministic features") {
-    val out = Multimodal.featurePipeline(Tables.documents(spark, dir))
+    val docs = Tables.documents(spark, dir)
+    val out = Multimodal.featurePipeline(docs)
     assert(out.columns.toSeq ==
       Seq("doc_id", "modality", "n_bytes", "f_len", "f_distinct_bytes", "f_mean_byte"))
     val rows = out.collect()
-    assert(rows.length == Tables.documents(spark, dir).count())
-    // payload length must equal the feature the decoder extracted
-    assert(rows.forall(r => r.getLong(2).toDouble == r.getDouble(3)))
+    assert(rows.length == docs.count())
+    val (img, txt) = rows.partition(_.getString(1) == "image")
+    // every 5th doc is the planted image shard — the REAL ppm decode
+    // path runs at corpus scale, not only on spec-planted files
+    assert(img.length == docs.filter(col("doc_id") % 5 === 0).count())
+    assert(img.nonEmpty, "image shard must be non-empty")
+    // text rows: payload length equals the extracted length feature
+    assert(txt.forall(r => r.getLong(2).toDouble == r.getDouble(3)))
+    // image rows: 13-byte header + 768 pixel bytes, and the decoder
+    // really parsed them — f1/f2 are the raster dimensions, f3 the
+    // red-channel mean (a byte mean, so within [0, 255])
+    assert(img.forall { r =>
+      r.getLong(2) == 13L + 768L &&
+      r.getDouble(3) == 16.0 && r.getDouble(4) == 16.0 &&
+      r.getDouble(5) >= 0.0 && r.getDouble(5) <= 255.0 })
   }
 
   /** Build a PPM P6 payload: header (with a comment line, exercising
