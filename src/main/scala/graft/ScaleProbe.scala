@@ -70,7 +70,7 @@ object ScaleProbe {
     val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
       Map("q63_fuzzy_join_largedict" -> ((s, d) =>
         operators.Analytics.fuzzyPartNames(sources.Tables.part(s, d),
-          largeDict = true)))
+          largeDict = Some(true))))
     val catalog = SparkEntry.queries ++ extras
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",

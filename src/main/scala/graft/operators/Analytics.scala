@@ -407,19 +407,52 @@ object Analytics {
       .select($"name_a", $"name_b", $"dist")
   }
 
-  /** `largeDict = true` swaps the dictionary-pair stage to the
+  /** Stats-driven dictionary-path pick for [[fuzzyPartNames]]: true →
+    * the PassJoin segment equi-join, false → the broadcast
+    * length-bucket kernel. Decided from Catalyst's size estimate of
+    * the pruned name projection (driver-side plan stats — no job),
+    * against the session's own broadcast budget
+    * (`spark.sql.autoBroadcastJoinThreshold`): the broadcast path
+    * ships the ordered name-PAIR table, whose bytes are bounded by a
+    * small multiple of the dictionary bytes (both directions + the
+    * dist-0 diagonal + per-name near-match multiplicity — ≤8× on any
+    * dictionary where fuzzy matching is meaningful), so the flip
+    * fires when 8× the estimated name bytes exceeds the threshold,
+    * or when auto-broadcast is disabled outright (threshold < 0).
+    * The estimate errs large (plan stats assume no compression),
+    * which errs toward the shuffle path — the safe direction at
+    * scale, and measured ≤1.4× of broadcast even where broadcast is
+    * available (SURVEY §7 round-8 probe).
+    */
+  def fuzzyDictLarge(part: DataFrame): Boolean = {
+    val threshold =
+      part.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold < 0) true
+    else {
+      val nameBytes = part.select($"p_name")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      nameBytes * 8 > threshold
+    }
+  }
+
+  /** `largeDict = Some(true)` swaps the dictionary-pair stage to the
     * PassJoin segment equi-join and drops the broadcast hint on the
     * pair table (AQE picks the join strategy from the measured size) —
-    * the plan for a vocabulary that outgrows the driver. Row-side
-    * expansion joins are identical either way, as is the output.
+    * the plan for a vocabulary that outgrows the driver.
+    * `Some(false)` forces the broadcast length-bucket kernel. The
+    * default `None` picks via [[fuzzyDictLarge]]'s plan-stats
+    * heuristic, so a growing dictionary flips the plan without a
+    * caller-side flag. Row-side expansion joins are identical either
+    * way, as is the output (pair-set-equality spec).
     */
   def fuzzyPartNames(part: DataFrame, maxDist: Int = 2,
-                     largeDict: Boolean = false): DataFrame = {
+                     largeDict: Option[Boolean] = None): DataFrame = {
     val p = part.select($"p_partkey", $"p_brand", $"p_name")
+    val big = largeDict.getOrElse(fuzzyDictLarge(part))
     val namePairs0 =
-      if (largeDict) fuzzyNamePairsPassJoin(p, maxDist)
+      if (big) fuzzyNamePairsPassJoin(p, maxDist)
       else fuzzyNamePairs(p, maxDist)
-    val namePairs = if (largeDict) namePairs0 else broadcast(namePairs0)
+    val namePairs = if (big) namePairs0 else broadcast(namePairs0)
     p.as("a")
       .join(namePairs, col("a.p_name") === $"name_a")
       .join(p.as("b"),

@@ -112,10 +112,30 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   test("largeDict fuzzy join output equals the broadcast path on the part table") {
     val part = Tables.part(spark, dir)
     def rows(largeDict: Boolean) =
-      operators.Analytics.fuzzyPartNames(part, largeDict = largeDict)
+      operators.Analytics.fuzzyPartNames(part, largeDict = Some(largeDict))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
         .toSet
     assert(rows(largeDict = true) == rows(largeDict = false))
+  }
+
+  test("fuzzy dictionary path auto-selects from plan stats vs the broadcast budget") {
+    val part = Tables.part(spark, dir)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      // default 10 MB budget: the test dictionary is tiny → broadcast
+      spark.conf.set(key, "10MB")
+      assert(!operators.Analytics.fuzzyDictLarge(part),
+        "tiny dictionary should pick the broadcast kernel")
+      // shrink the budget below the name projection → PassJoin
+      spark.conf.set(key, "64")
+      assert(operators.Analytics.fuzzyDictLarge(part),
+        "dictionary above the shrunken budget should pick PassJoin")
+      // auto-broadcast disabled: respect the operator's scale intent
+      spark.conf.set(key, "-1")
+      assert(operators.Analytics.fuzzyDictLarge(part),
+        "disabled auto-broadcast should pick PassJoin")
+    } finally spark.conf.set(key, saved)
   }
 
   test("contamination gate: shuffled path equals broadcast path, and both plan as gated") {
