@@ -195,6 +195,8 @@ object SparkEntry {
     // oracle gate; planted-corpus merge sequences pinned in NewOpsSpec
     "q100_bpe_train" -> ((s, d) =>
       TextAnalysis.bpeTrain(Tables.documents(s, d))),
+    "q101_curation_e2e" -> ((s, d) =>
+      operators.Sampling.curationManifest(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1334,5 +1336,55 @@ object SparkEntry {
         FROM big JOIN ratios USING (b)
         GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT 50""",
+    // composed quality-gate → exact-dedup → decontaminate funnel
+    // (mirrors Sampling.curationManifest: quality formula = q31's,
+    // dedup keeper = conditional min over md5(text), contamination =
+    // q92's word-8-gram eval overlap)
+    "q101_curation_e2e" ->
+      """WITH t AS (
+          SELECT doc_id, source, md5(text) AS h,
+            CAST(length(text) AS BIGINT) AS n_chars_actual,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+            CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_count,
+            CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              tk -> tk IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS stop_count
+          FROM documents WHERE doc_id % 97 != 0),
+        q AS (
+          SELECT doc_id, source, h, n_tokens,
+            ((stop_count * 1.0 / n_tokens) * 0.5
+              + (1.0 - punct_count * 1.0 / n_chars_actual) * 0.3
+              + CASE WHEN n_chars_actual * 1.0 / n_tokens BETWEEN 3.0 AND 8.0
+                     THEN 0.2 ELSE 0.0 END) >= 0.5 AS q_ok
+          FROM t),
+        k AS (
+          SELECT *, q_ok AND doc_id =
+              min(CASE WHEN q_ok THEN doc_id END) OVER (PARTITION BY h)
+            AS keep_dedup
+          FROM q),
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        esh AS (
+          SELECT DISTINCT unnest(list_transform(range(1, len(w)-6),
+            i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+              ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) AS s
+          FROM toks WHERE doc_id % 97 = 0 AND len(w) >= 8),
+        cont AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(w)-6),
+              i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+                ||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) AS s
+            FROM toks WHERE doc_id % 97 != 0 AND len(w) >= 8) x
+          WHERE s IN (SELECT s FROM esh)),
+        f AS (
+          SELECT k.*, k.keep_dedup AND c.doc_id IS NULL AS keep_clean
+          FROM k LEFT JOIN cont c USING (doc_id))
+        SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+          CAST(SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+          CAST(SUM(CASE WHEN keep_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+          CAST(SUM(CASE WHEN keep_clean THEN n_tokens ELSE 0 END) AS BIGINT) AS total_tokens
+        FROM f GROUP BY source ORDER BY source""",
   )
 }

@@ -342,4 +342,67 @@ object Sampling {
       .orderBy($"score".desc, $"doc_id")
       .limit(topK)
   }
+
+  /** End-to-end curation manifest (q101): the composed
+    * quality-gate → exact-dedup → decontaminate flow every training
+    * corpus runs before a data mix is cut, reported as the per-source
+    * funnel a pipeline operator actually reads — how many documents
+    * enter, survive the quality gate, survive dedup, and remain after
+    * benchmark decontamination, plus the token budget the clean set
+    * contributes. This is the "switch from the reference" flagship:
+    * its stages are the reference pipeline's task chain (quality
+    * filter, content-hash dedup, eval-overlap screen) composed as ONE
+    * declarative DataFrame flow that Catalyst plans whole — no
+    * per-stage materialization, no driver orchestration.
+    *
+    * Stage semantics (training slice = `doc_id % mod != 0`, the same
+    * deterministic eval split as [[contaminationScreen]]):
+    *   - quality: [[TextAnalysis.withQuality]]'s score ≥ `qualityMin`;
+    *   - dedup keeper: the min doc_id among QUALITY-PASSING training
+    *     docs sharing md5(text) — a conditional window min in the
+    *     same pass, no self-join (the q98 single-lineage rule);
+    *   - clean: keeper AND shares no word `n`-gram with the eval
+    *     slice (q92's broadcast left-semi screen, flipped to exclude).
+    *
+    * Scale shape: three passes over documents — the flags pass
+    * (tokenize + quality + window over md5, shuffled on content
+    * hash), the training shingle pass (tokenize + explode, semi-join
+    * against the broadcast eval shingle set), and the ~1/mod
+    * eval-slice pass. The contaminated-id frame joins back to the
+    * flags pass on doc_id (AQE sizes it). A fused single-tokenize
+    * variant would checkpoint the tokenized corpus — a data-sized
+    * materialization this flow deliberately avoids; at 100 TB the
+    * second tokenize is cheaper than the write. Gate allowance:
+    * documents×3 with reasons (ScanCountGateSpec).
+    */
+  def curationManifest(documents: DataFrame, qualityMin: Double = 0.5,
+                       n: Int = 8, mod: Int = 97): DataFrame = {
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"text"))
+    val flags = TextAnalysis.withQuality(documents.filter($"doc_id" % mod =!= 0))
+      .withColumn("q_ok", $"quality" >= qualityMin)
+      .withColumn("keeper_id", min(when($"q_ok", $"doc_id")).over(byHash))
+      .withColumn("keep_dedup", $"q_ok" && $"doc_id" === $"keeper_id")
+    val evalSh = documents.filter($"doc_id" % mod === 0)
+      .withColumn("w", TextAnalysis.tokens($"text"))
+      .select(explode(TextAnalysis.shinglesOf($"w", n)).as("s"))
+      .distinct()
+    val contaminated = documents.filter($"doc_id" % mod =!= 0)
+      .withColumn("w", TextAnalysis.tokens($"text"))
+      .select($"doc_id", explode(TextAnalysis.shinglesOf($"w", n)).as("s"))
+      .join(broadcast(evalSh), Seq("s"), "left_semi")
+      .select($"doc_id").distinct()
+      .withColumn("tainted", lit(true))
+    flags.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("keep_clean",
+        $"keep_dedup" && !coalesce($"tainted", lit(false)))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"q_ok", 1L).otherwise(0L)).as("n_quality"),
+        sum(when($"keep_dedup", 1L).otherwise(0L)).as("n_dedup"),
+        sum(when($"keep_clean", 1L).otherwise(0L)).as("n_clean"),
+        sum(when($"keep_clean", $"n_tokens").otherwise(0L)).as("total_tokens"))
+      .orderBy($"source")
+  }
 }

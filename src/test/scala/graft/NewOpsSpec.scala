@@ -451,4 +451,40 @@ class NewOpsSpec extends AnyFunSuite {
       s"hashed-feature path diverged:\n  string: $strKeys\n  hashed: $hashed")
   }
 
+  test("curation funnel: planted corpus walks every stage") {
+    import spark.implicits._
+    // mod=5: doc 0 is the eval slice; 1..4 and 6 are training.
+    // 1 and 6 share text (dup — keeper is min id 1); 2 embeds the
+    // eval doc's 8-gram (contaminated); 3 fails the quality gate
+    // (one 12-char token, heavy punctuation); 4 is clean.
+    val goodA = "the cat and the dog sat of the mat"
+    val contam = "the cat and of the e1 e2 e3 e4 e5 e6 e7 e8"
+    val docs = Seq(
+      (0L, "e1 e2 e3 e4 e5 e6 e7 e8"),
+      (1L, goodA), (6L, goodA),
+      (2L, contam),
+      (3L, "zzzzzzzzzzzz!!!!!!"),
+      (4L, "a big dog ran over the old red mat today"))
+      .map { case (id, t) => (id, t, "s") }
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.curationManifest(docs, qualityMin = 0.5, mod = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val tokA = goodA.split("\\s+").length.toLong       // 9
+    val tok4 = 10L                                     // doc 4's tokens
+    assert(got.toSeq == Seq(("s", 5L, 4L, 3L, 2L, tokA + tok4)),
+      s"funnel mismatch: ${got.toSeq}")
+  }
+
+  test("curation funnel: stage counts are monotone per source on the corpus") {
+    val m = Sampling.curationManifest(Tables.documents(spark, dir)).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (docs, q, d, c) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(docs >= q && q >= d && d >= c && c >= 0,
+        s"non-monotone funnel for ${r.getString(0)}: $docs/$q/$d/$c")
+    }
+  }
+
 }

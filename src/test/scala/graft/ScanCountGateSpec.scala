@@ -65,7 +65,11 @@ class ScanCountGateSpec extends AnyFunSuite {
     "q87_incremental_rollup" -> Map("events" -> 2),
     // full train tokenize pass + column-pruned (doc_id, source)
     // count pass + ~1% eval-slice pass (see contaminationScreen doc)
-    "q92_contamination" -> Map("documents" -> 3))
+    "q92_contamination" -> Map("documents" -> 3),
+    // composed funnel: flags pass (quality + md5-window) + training
+    // shingle pass + ~1% eval-slice pass (see curationManifest doc —
+    // the fused alternative is a data-sized checkpoint)
+    "q101_curation_e2e" -> Map("documents" -> 3))
 
   test("every query's plan scans each table at most its allowed count") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
