@@ -197,6 +197,10 @@ object SparkEntry {
       TextAnalysis.bpeTrain(Tables.documents(s, d))),
     "q101_curation_e2e" -> ((s, d) =>
       operators.Sampling.curationManifest(Tables.documents(s, d))),
+    // rows-only: iterative train+encode; reference-encoder equivalence
+    // and conservation invariants pinned in NewOpsSpec
+    "q102_bpe_encode" -> ((s, d) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented

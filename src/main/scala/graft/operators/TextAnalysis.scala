@@ -356,6 +356,85 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "left", "right", "merged", "freq")
   }
 
+  /** Apply a trained BPE merge table to the distinct-word vocabulary:
+    * each word's character array is rewritten by every merge in rank
+    * order with the same greedy left-fold the trainer uses. Returns
+    * one row per distinct lowercased word: (w, syms).
+    *
+    * Rank-order sequential application is EQUIVALENT to the classic
+    * iterative lowest-rank-pair encode (Sennrich 2016 reference
+    * implementation): fusing merge k's pair can only create new pairs
+    * that contain the fused symbol, and any merge consuming that
+    * symbol was necessarily trained after k — so by the time merge k
+    * runs, no earlier merge can ever apply again. The spec pins this
+    * empirically against a plain-Scala reference encoder over every
+    * distinct corpus word (NewOpsSpec).
+    *
+    * Scale shape: the merge table is driver-resident by construction
+    * (one row per merge round — [[bpeTrain]]'s bounded certificate),
+    * and the rewrite runs on the distinct-word vocabulary, never the
+    * corpus. Merges apply in column-expression batches of
+    * [[BpeFoldBatch]] with a `localCheckpoint` between batches: the
+    * batch keeps the fold inside one projection, the checkpoint stops
+    * a production-size table (1000s of merges) from growing an
+    * expression tree past what codegen tolerates.
+    */
+  val BpeFoldBatch = 8
+
+  def bpeApplyMerges(vocabWords: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    var enc = vocabWords.select($"w", split($"w", "").as("syms"))
+    merges.grouped(BpeFoldBatch).foreach { batch =>
+      batch.foreach { case (l, r) =>
+        enc = enc.withColumn("syms",
+          aggregate($"syms", array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))))
+      }
+      enc = enc.localCheckpoint(true)
+    }
+    enc
+  }
+
+  /** BPE corpus encoding (q102): train a merge table on the corpus
+    * ([[bpeTrain]]), apply it to the distinct-word vocabulary
+    * ([[bpeApplyMerges]]), and join subword counts back to the
+    * corpus — per document, the word count and the exact subword
+    * token count under the trained tokenizer. This closes the
+    * tokenizer loop the reference pipeline needs around q100: train
+    * once, then price every document in learned-subword tokens (the
+    * unit training budgets are actually written in).
+    *
+    * Scale shape: three corpus scans (train's vocab collapse, the
+    * encode vocab collapse, the join-back) — each collapses or joins
+    * through the distinct-word vocabulary, so nothing pairs at corpus
+    * scale; the word→n_sub join is an equi-join AQE sizes (the vocab
+    * frame broadcasts whenever it fits). Iterative and therefore
+    * rows-only in the oracle gate; the reference-encoder equivalence,
+    * merge-monotonicity, and zero-merge=character-count invariants
+    * are spec-pinned.
+    */
+  def bpeEncode(documents: DataFrame, nMerges: Int = 10): DataFrame = {
+    val merges = bpeTrain(documents, nMerges).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = documents
+      .select(explode(tokens(lower($"text"))).as("w"))
+      .filter($"w" =!= "")
+      .distinct()
+    val enc = bpeApplyMerges(words, merges)
+      .select($"w", size($"syms").cast("long").as("n_sub"))
+    documents
+      .select($"doc_id", explode(tokens(lower($"text"))).as("w"))
+      .filter($"w" =!= "")
+      .join(enc, Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_sub").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** Top-k terms per language by raw frequency (the corpus-vocabulary
     * profile a curation pipeline builds before filtering). One explode
     * + one (lang, term) count with map-side combine; the final per-lang

@@ -476,6 +476,95 @@ class NewOpsSpec extends AnyFunSuite {
       s"funnel mismatch: ${got.toSeq}")
   }
 
+  /** Classic iterative BPE encode (Sennrich 2016 reference shape):
+    * repeatedly find the LOWEST-RANK adjacent pair present in the
+    * merge table and fuse all its greedy-leftmost occurrences. The
+    * production path applies merges rank-sequentially instead
+    * (bpeApplyMerges scaladoc proves equivalence); this is the
+    * independent implementation the equivalence spec checks against.
+    */
+  private def refBpeEncode(word: String,
+                           ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Vector[String] = word.split("").toVector.filter(_.nonEmpty)
+    var done = false
+    while (!done && syms.length >= 2) {
+      val best = syms.zip(syms.tail).filter(ranks.contains)
+        .sortBy(ranks).headOption
+      best match {
+        case None => done = true
+        case Some((l, r)) =>
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              buf += (l + r); i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          syms = buf.result()
+      }
+    }
+    syms
+  }
+
+  test("bpe encode: rank-sequential fold == classic iterative min-rank encode") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val mergeRows = TextAnalysis.bpeTrain(docs, nMerges = 20).collect()
+      .sortBy(_.getInt(0))
+    val merges = mergeRows.map(r => (r.getString(1), r.getString(2))).toSeq
+    val ranks = merges.zipWithIndex.toMap
+    val words = docs
+      .select(explode(TextAnalysis.tokens(lower($"text"))).as("w"))
+      .filter($"w" =!= "").distinct()
+    val got = TextAnalysis.bpeApplyMerges(words, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (w, syms) =>
+      assert(syms.mkString == w, s"segmentation of '$w' lost characters: $syms")
+      val ref = refBpeEncode(w, ranks)
+      assert(syms == ref, s"'$w': fold gave $syms, reference gave $ref")
+    }
+  }
+
+  test("bpe encode: per-doc counts conserve and merges only shrink them") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val zero = TextAnalysis.bpeEncode(docs, nMerges = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // with no merges every word is its characters: n_tokens per doc ==
+    // total character count of its (lowercased, whitespace-split) words
+    val chars = docs
+      .select($"doc_id", explode(TextAnalysis.tokens(lower($"text"))).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nw"), sum(length($"w")).as("nc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    zero.foreach { case (id, nw, nt) =>
+      assert((nw, nt) == chars(id), s"doc $id zero-merge mismatch")
+    }
+    val trained = TextAnalysis.bpeEncode(docs, nMerges = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val zeroMap = zero.map(t => t._1 -> t).toMap
+    assert(trained.length == zero.length)
+    var shrank = false
+    trained.foreach { case (id, nw, nt) =>
+      val (_, znw, znt) = zeroMap(id)
+      assert(nw == znw, s"doc $id word count changed under merges")
+      assert(nt >= nw && nt <= znt,
+        s"doc $id token count $nt outside [words=$nw, chars=$znt]")
+      if (nt < znt) shrank = true
+    }
+    assert(shrank, "10 trained merges compressed no document")
+  }
+
+  test("bpe encode: result is partition-invariant") {
+    val docs = Tables.documents(spark, dir)
+    val a = TextAnalysis.bpeEncode(docs, nMerges = 5).collect().toSeq
+    val b = TextAnalysis.bpeEncode(docs.repartition(7), nMerges = 5)
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("curation funnel: stage counts are monotone per source on the corpus") {
     val m = Sampling.curationManifest(Tables.documents(spark, dir)).collect()
     assert(m.nonEmpty)

@@ -69,7 +69,10 @@ class ScanCountGateSpec extends AnyFunSuite {
     // composed funnel: flags pass (quality + md5-window) + training
     // shingle pass + ~1% eval-slice pass (see curationManifest doc —
     // the fused alternative is a data-sized checkpoint)
-    "q101_curation_e2e" -> Map("documents" -> 3))
+    "q101_curation_e2e" -> Map("documents" -> 3),
+    // encode vocab collapse + per-doc join-back (training's own scan
+    // runs eagerly inside bpeTrain and is not part of this plan)
+    "q102_bpe_encode" -> Map("documents" -> 2))
 
   test("every query's plan scans each table at most its allowed count") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
