@@ -201,6 +201,10 @@ object SparkEntry {
     // and conservation invariants pinned in NewOpsSpec
     "q102_bpe_encode" -> ((s, d) =>
       TextAnalysis.bpeEncode(Tables.documents(s, d))),
+    "q103_zorder_layout" -> ((s, d) =>
+      operators.Layout.zorderLayout(Tables.orders(s, d))),
+    "q104_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1390,5 +1394,47 @@ object SparkEntry {
           CAST(SUM(CASE WHEN keep_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
           CAST(SUM(CASE WHEN keep_clean THEN n_tokens ELSE 0 END) AS BIGINT) AS total_tokens
         FROM f GROUP BY source ORDER BY source""",
+    // z-order layout manifest (mirrors Layout.zorderLayout: 8-bit
+    // min/max scaling, Morton interleave, top-6-bit file buckets,
+    // per-bucket pruning ranges); integer arithmetic end to end
+    "q103_zorder_layout" ->
+      """WITH s AS (
+          SELECT min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+            min(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))) AS min_day,
+            max(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))) AS max_day
+          FROM orders),
+        b AS (
+          SELECT o_custkey,
+            date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day,
+            ((o_custkey - min_ck) * 256) // (max_ck - min_ck + 1) AS xb,
+            ((date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) - min_day) * 256)
+              // (max_day - min_day + 1) AS yb
+          FROM orders, s),
+        z AS (
+          SELECT o_custkey, day,
+            CAST(list_sum(list_transform(range(0, 8), i ->
+              (((xb >> i) & 1) << (2*i)) + (((yb >> i) & 1) << (2*i+1)))) AS BIGINT) AS zv
+          FROM b)
+        SELECT zv >> 10 AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+          min(day) AS day_min, max(day) AS day_max
+        FROM z GROUP BY 1 ORDER BY bucket""",
+    // per-vector symmetric int8 quantization (mirrors
+    // Similarity.quantizeInt8); round-half-up via floor(.+0.5) so the
+    // double tree is identical in both engines, scale emitted for
+    // reconstruction
+    "q104_quantize_int8" ->
+      """WITH m AS (
+          SELECT vec_id, embedding,
+            greatest(list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS maxabs
+          FROM embeddings)
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+          CAST(FLOOR(CAST(x AS DOUBLE) / maxabs * 127 + 0.5) AS BIGINT) AS code,
+          maxabs
+        FROM (SELECT vec_id, maxabs, unnest(embedding) AS x,
+                generate_subscripts(embedding, 1) AS i FROM m) t
+        ORDER BY vec_id, dim""",
   )
 }

@@ -183,6 +183,37 @@ object Similarity {
       .orderBy($"cid", $"dim")
   }
 
+  /** Per-vector symmetric int8 quantization (q104) — the storage/
+    * bandwidth lever under every production ANN deployment: codes are
+    * 1 byte per dimension against float32's 4, so a 100-TB embedding
+    * store becomes 25 TB and every scan, shuffle, and cache line moves
+    * 4× less, while the dot product stays integer arithmetic (exact,
+    * partitioning-invariant — same argument as [[Vec.quantize]]).
+    * `code_i = round(x_i / maxabs * 127)` with the per-vector scale
+    * `maxabs = max|x_i|`; round is expressed as `floor(· + 0.5)` so
+    * both engines evaluate one identical double tree (the oracle
+    * parity rule), and the scale is emitted alongside so the consumer
+    * can reconstruct `x_i ≈ code_i * maxabs / 127`.
+    *
+    * Long form (vec_id, dim, code, maxabs) for scalar oracle
+    * comparability, like q84. One narrow scan, no shuffle — at scale
+    * this runs as a map-only rewrite of the embedding store. The
+    * recall cost of 8-bit codes is spec-measured (NewOpsSpec): top-k
+    * by int8·int8 dot against the exact-quantized baseline.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val scaled = embeddings.select($"vec_id", $"embedding",
+      greatest(array_max(transform($"embedding",
+        x => abs(x.cast("double")))), lit(1e-30)).as("maxabs"))
+    scaled
+      .select($"vec_id", $"maxabs", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"vec_id", $"dim",
+        floor($"x".cast("double") / $"maxabs" * 127 + lit(0.5))
+          .cast("long").as("code"),
+        $"maxabs")
+      .orderBy($"vec_id", $"dim")
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH: candidates are
     * vectors sharing a (table, bucket) with the query; exact
     * quantized-cosine rescoring + window top-k on the candidates only.

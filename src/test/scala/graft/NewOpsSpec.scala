@@ -565,6 +565,105 @@ class NewOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("zvalue: pinned Morton interleave and scale edges") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // x=0b101, y=0b011: x bits land at even positions {0,4}, y bits
+    // at odd {1,3} -> z = 1 + 2 + 8 + 16 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zvalue($"x", $"y").as("z")).head().getLong(0)
+    assert(z == 27L, s"zvalue(5,3) = $z, want 27")
+    // scaleDim maps min -> 0 and max -> 2^bits - 1
+    val e = Seq((0L, 0L, 99L), (99L, 0L, 99L), (50L, 0L, 99L))
+      .toDF("v", "lo", "hi")
+      .select(Layout.scaleDim($"v", $"lo", $"hi").as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(e == Seq(0L, 253L, 128L), s"scale edges: $e")
+  }
+
+  test("zorder layout: both dimensions' bucket ranges beat a hash layout") {
+    import graft.operators.Layout
+    val orders = Tables.orders(spark, dir)
+    val zb = Layout.zorderLayout(orders).collect()
+    assert(zb.nonEmpty && zb.length <= 64)
+    assert(zb.map(_.getLong(1)).sum == orders.count(), "buckets lose rows")
+    def meanRange(rows: Array[org.apache.spark.sql.Row],
+                  lo: Int, hi: Int): Double =
+      rows.map(r => (r.getLong(hi) - r.getLong(lo)).toDouble).sum / rows.length
+    // hash layout: same per-bucket stats keyed on o_orderkey % 64
+    val hb = orders
+      .withColumn("day", datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1990-01-01"))).cast("long"))
+      .groupBy((col("o_orderkey") % 64).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
+        min(col("day")).as("day_min"), max(col("day")).as("day_max"))
+      .collect()
+    val (zCk, zDay) = (meanRange(zb, 2, 3), meanRange(zb, 4, 5))
+    val (hCk, hDay) = (meanRange(hb, 2, 3), meanRange(hb, 4, 5))
+    // a hash layout scatters both dims across ~the full domain; the
+    // z-order curve confines EACH dim to a fraction simultaneously
+    assert(zCk < 0.5 * hCk, s"custkey range $zCk !< half of hash $hCk")
+    assert(zDay < 0.5 * hDay, s"day range $zDay !< half of hash $hDay")
+  }
+
+  test("int8 quantization: pinned codes, scale, and reconstruction bound") {
+    import spark.implicits._
+    val q = Similarity.quantizeInt8(
+      Seq((0L, Seq(0.5f, -0.25f, 0.125f, 0.0f, -0.5f)))
+        .toDF("vec_id", "embedding")).collect()
+    // maxabs = 0.5; round-half-up: -0.25 -> -63.5 -> -63, 0.125 -> 31.75 -> 32
+    assert(q.map(_.getLong(2)).toSeq == Seq(127L, -63L, 32L, 0L, -127L),
+      s"codes: ${q.map(_.getLong(2)).toSeq}")
+    assert(q.forall(_.getDouble(3) == 0.5))
+    // every code is in int8 range and reconstructs within half a step
+    val corpus = Similarity.quantizeInt8(Tables.embeddings(spark, dir))
+    val stats = corpus
+      .join(Tables.embeddings(spark, dir)
+        .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x"))),
+        Seq("vec_id", "dim"))
+      .agg(min($"code").as("lo"), max($"code").as("hi"),
+        max(abs($"code" * $"maxabs" / 127 - $"x".cast("double"))
+          / $"maxabs").as("maxerr"))
+      .head()
+    assert(stats.getLong(0) >= -127 && stats.getLong(1) <= 127)
+    assert(stats.getDouble(2) <= 0.5 / 127 + 1e-9,
+      s"reconstruction error ${stats.getDouble(2)} exceeds half a step")
+  }
+
+  test("int8 quantization: top-5 by int8 cosine matches exact within recall 0.8") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.cosineTopK(emb, nQueries = 10, k = 5)
+      .select($"query_id", $"vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // int8 cosine: per-vector scales cancel in dot/(|a||b|) over codes
+    val codes = Similarity.quantizeInt8(emb)
+      .groupBy($"vec_id")
+      .agg(collect_list(struct($"dim", $"code")).as("dc"))
+      .select($"vec_id",
+        expr("transform(array_sort(dc), s -> s.code)").as("c"))
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(c, 0L, (a, x) -> a + x * x)").cast("double")))
+    val qs = codes.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"c".as("qc"), $"nrm".as("qnrm"))
+    val approx = codes.join(broadcast(qs), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (expr("aggregate(zip_with(c, qc, (x, y) -> x * y), 0L, (a, x) -> a + x)")
+          .cast("double") / ($"nrm" * $"qnrm")).as("cos8"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos8".desc, $"vec_id")
+    val top8 = approx.withColumn("r", row_number().over(w)).filter($"r" <= 5)
+      .select($"query_id", $"vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.keys.toSeq.map { qid =>
+      (exact(qid) intersect top8.getOrElse(qid, Set.empty)).size.toDouble /
+        exact(qid).size
+    }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.8, s"int8 top-5 mean recall $mean < 0.8")
+  }
+
   test("curation funnel: stage counts are monotone per source on the corpus") {
     val m = Sampling.curationManifest(Tables.documents(spark, dir)).collect()
     assert(m.nonEmpty)

@@ -18,11 +18,12 @@ class PlanAuditSpec extends AnyFunSuite {
   // 1-row corpus-stats frame) — designed, like q28/q45. q15/q75
   // broadcast 1-row bounds/max-key frames. q94 crossJoins a broadcast
   // 1-row total-weight normalizer (same bounded shape as q74's
-  // corpus-stats frame).
+  // corpus-stats frame). q103 broadcasts a 1-row global min/max
+  // dim-stats frame for z-value scaling.
   private val allowedNestedLoop =
     Set("q15_freshness", "q28_cosine_topk", "q29_ann_lsh", "q45_ann_ivf",
       "q73_kmeans_step", "q74_bm25_rank", "q75_merge_upsert",
-      "q94_source_mixture")
+      "q94_source_mixture", "q103_zorder_layout")
 
   /** Every query's plan, built ONCE and shared by all audit tests —
     * operators with eager construction steps (q66's propagation

@@ -72,7 +72,10 @@ class ScanCountGateSpec extends AnyFunSuite {
     "q101_curation_e2e" -> Map("documents" -> 3),
     // encode vocab collapse + per-doc join-back (training's own scan
     // runs eagerly inside bpeTrain and is not part of this plan)
-    "q102_bpe_encode" -> Map("documents" -> 2))
+    "q102_bpe_encode" -> Map("documents" -> 2),
+    // 1-row global dim-stats pass (column-pruned, broadcast) + the
+    // key/bucket pass
+    "q103_zorder_layout" -> Map("orders" -> 2))
 
   test("every query's plan scans each table at most its allowed count") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
