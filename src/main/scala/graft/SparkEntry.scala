@@ -205,6 +205,8 @@ object SparkEntry {
       operators.Layout.zorderLayout(Tables.orders(s, d))),
     "q104_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d))),
+    "q105_bloom_screen" -> ((s, d) =>
+      Dedup.bloomScreen(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1436,5 +1438,38 @@ object SparkEntry {
         FROM (SELECT vec_id, maxabs, unnest(embedding) AS x,
                 generate_subscripts(embedding, 1) AS i FROM m) t
         ORDER BY vec_id, dim""",
+    // bloom incremental-dedup screen (mirrors Dedup.bloomScreen:
+    // m = 16*|corpus| bits, k=4 positions from md5 hex slices, 63-bit
+    // packed words, per-doc all-bits-present verdict + exact audit)
+    "q105_bloom_screen" ->
+      """WITH corpus AS (
+          SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 < 9),
+        batch AS (
+          SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 5 = 4),
+        sz AS (SELECT 16 * count(*) AS m FROM corpus),
+        cpos AS (
+          SELECT DISTINCT CAST('0x' || substr(h, 8*j + 1, 8) AS BIGINT) % m AS pos
+          FROM corpus, (SELECT unnest(range(0, 4)) AS j), sz),
+        words AS (
+          SELECT pos // 63 AS word,
+            bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+          FROM cpos GROUP BY 1),
+        bpos AS (
+          SELECT doc_id, source, h,
+            CAST('0x' || substr(h, 8*j + 1, 8) AS BIGINT) % m AS pos
+          FROM batch, (SELECT unnest(range(0, 4)) AS j), sz),
+        probe AS (
+          SELECT b.doc_id, b.source, b.h,
+            (CASE WHEN (coalesce(w.bits, 0) &
+                (CAST(1 AS BIGINT) << CAST(b.pos % 63 AS INTEGER))) <> 0
+              THEN 0 ELSE 1 END) AS miss
+          FROM bpos b LEFT JOIN words w ON (b.pos // 63) = w.word),
+        verdict AS (
+          SELECT doc_id, source, h, (sum(miss) = 0) AS flagged
+          FROM probe GROUP BY 1, 2, 3),
+        truth AS (SELECT DISTINCT h FROM corpus)
+        SELECT v.doc_id, v.source, v.flagged, (t.h IS NOT NULL) AS is_dup
+        FROM verdict v LEFT JOIN truth t ON v.h = t.h
+        ORDER BY v.doc_id""",
   )
 }

@@ -358,4 +358,63 @@ object Dedup {
         sum(when($"ndocs" >= 2, $"cnt").otherwise(0L)).as("dup_windows"))
       .orderBy($"doc_id")
   }
+
+  /** Bloom-filter incremental dedup screen (q105) — the
+    * new-batch-versus-standing-corpus membership test behind
+    * incremental crawl ingestion. A full exact-dedup join re-shuffles
+    * the corpus digest set against every daily increment; the bloom
+    * inverts that: the corpus is summarized ONCE into an m-bit filter
+    * (k=4 md5-derived bit positions per document, m = 16·|corpus|
+    * ≈ 0.24% false-positive rate), packed into 63-bit words
+    * (`bit_or` over `pos div 63` — bit 63 stays clear of signed-shift
+    * overflow in either engine), and each arriving batch probes the
+    * word table with an equi-join on word id. No false negatives by
+    * construction — every true duplicate is flagged (spec-asserted);
+    * false positives are the documented, bounded price.
+    *
+    * Scale: the word frame is m/63 rows ≈ one long per four
+    * documents — 200 MB for a 10⁸-document corpus, which AQE
+    * broadcast-joins (probe cost = map-side hash lookup, the batch
+    * never shuffles); past broadcast range it degrades to a shuffle
+    * on word id, still ∝ k·|batch| + m/63, never ∝ |corpus|. The
+    * filter is sized from the corpus count (one eager 1-row count
+    * job at build — production uses the catalog's row-count stat).
+    * The exact-membership `is_dup` column is the AUDIT side
+    * (production runs the bloom passes only and pays the exact join
+    * just for flagged docs); it makes the false-positive behavior
+    * oracle-checkable.
+    *
+    * Batch model on the test corpus: `doc_id % 5 = 4` — half
+    * re-arrivals of corpus documents (crawler re-fetches, true
+    * duplicates), half unseen (`doc_id % 10 = 9`, excluded from the
+    * corpus slice).
+    */
+  def bloomScreen(documents: DataFrame, bitsPerKey: Int = 16,
+                  kHashes: Int = 4): DataFrame = {
+    val hashed = documents.select($"doc_id", $"source", md5($"text").as("h"))
+    val corpus = hashed.filter($"doc_id" % 10 < 9)
+    val batch = hashed.filter($"doc_id" % 5 === 4)
+    val m: Long = bitsPerKey.toLong * corpus.count()
+    def positions(df: DataFrame): DataFrame = df
+      .select($"doc_id", $"source", $"h", explode(expr(
+        s"transform(sequence(0, ${kHashes - 1}), " +
+          s"j -> cast(conv(substr(h, 8*j + 1, 8), 16, 10) as bigint) % ${m}L)"))
+        .as("pos"))
+      .withColumn("word", expr("pos div 63"))
+      .withColumn("mask", expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))"))
+    val words = positions(corpus)
+      .groupBy($"word").agg(expr("bit_or(mask)").as("bits"))
+    val verdict = positions(batch)
+      .join(words, Seq("word"), "left")
+      .withColumn("miss",
+        when((coalesce($"bits", lit(0L)).bitwiseAND($"mask")) =!= 0, 0L)
+          .otherwise(1L))
+      .groupBy($"doc_id", $"source", $"h")
+      .agg((sum($"miss") === 0).as("flagged"))
+    val truth = corpus.select($"h").distinct().withColumn("seen", lit(true))
+    verdict.join(truth, Seq("h"), "left")
+      .select($"doc_id", $"source", $"flagged",
+        coalesce($"seen", lit(false)).as("is_dup"))
+      .orderBy($"doc_id")
+  }
 }

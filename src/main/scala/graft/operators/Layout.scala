@@ -66,7 +66,12 @@ object Layout {
     * `repartitionByRange(nFiles, zvalue)` + write; this manifest IS
     * its pruning profile, and stays oracle-checkable.
     */
-  def zorderLayout(orders: DataFrame, bucketBits: Int = 6): DataFrame = {
+  /** Orders frame extended with the (o_custkey, order day) Morton key:
+    * `day` (long, days since 1990-01-01), the 1-row broadcast global
+    * min/max stats, the 8-bit scaled dims, and the 16-bit `z` key.
+    * Shared by the q103 manifest and the [[zOrdered]] writer.
+    */
+  private[graft] def withZ(orders: DataFrame): DataFrame = {
     val stats = orders.agg(
       min($"o_custkey").as("min_ck"), max($"o_custkey").as("max_ck"),
       min(datediff($"o_orderdate".cast("date"), to_date(lit("1990-01-01"))))
@@ -82,6 +87,10 @@ object Layout {
       .withColumn("yb", scaleDim($"day", $"min_day".cast("long"),
         $"max_day".cast("long")))
       .withColumn("z", zvalue($"xb", $"yb"))
+  }
+
+  def zorderLayout(orders: DataFrame, bucketBits: Int = 6): DataFrame =
+    withZ(orders)
       .withColumn("bucket", shiftrightunsigned($"z", 16 - bucketBits))
       .groupBy($"bucket")
       .agg(
@@ -89,5 +98,17 @@ object Layout {
         min($"o_custkey").as("ck_min"), max($"o_custkey").as("ck_max"),
         min($"day").as("day_min"), max($"day").as("day_max"))
       .orderBy($"bucket")
-  }
+
+  /** The actual z-ordered rewrite the q103 manifest profiles: range-
+    * partition on the Morton key into `nFiles` output files, so each
+    * file covers one contiguous curve segment — a small rectangle in
+    * BOTH dimensions, which is what parquet min/max footers prune on.
+    * ScaleTechniquesSpec writes this layout and measures the payoff
+    * in anger: scans with a range predicate on EITHER dimension read
+    * a fraction of the row groups a hash layout reads.
+    */
+  def zOrdered(orders: DataFrame, nFiles: Int): DataFrame =
+    withZ(orders)
+      .drop("min_ck", "max_ck", "min_day", "max_day", "xb", "yb")
+      .repartitionByRange(nFiles, $"z")
 }

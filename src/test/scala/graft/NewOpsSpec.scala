@@ -664,6 +664,33 @@ class NewOpsSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"int8 top-5 mean recall $mean < 0.8")
   }
 
+  test("bloom screen: no false negatives and bounded false-positive rate") {
+    import spark.implicits._
+    val v = Dedup.bloomScreen(Tables.documents(spark, dir)).collect()
+    assert(v.nonEmpty)
+    val fn = v.count(r => r.getBoolean(3) && !r.getBoolean(2))
+    assert(fn == 0, s"$fn true duplicates missed by the bloom — impossible by construction")
+    val clean = v.count(!_.getBoolean(3))
+    val fp = v.count(r => r.getBoolean(2) && !r.getBoolean(3))
+    assert(clean == 0 || fp.toDouble / clean <= 0.05,
+      s"false-positive rate $fp/$clean above 5% (expected ~0.24% at 16 bits/key)")
+  }
+
+  test("bloom screen: planted re-arrival is flagged as dup, unseen doc is not") {
+    import spark.implicits._
+    // ids 0..8 land in the corpus slice (%10<9); the batch slice
+    // (%5=4) picks id 4 (a corpus member re-arriving -> true dup)
+    // and id 9 (absent from the corpus -> genuinely new)
+    val docs = (0L to 9L).map(i =>
+      (i, s"planted document number $i with enough text", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.bloomScreen(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(4L, 9L))
+    assert(out(4L) == ((true, true)), "re-arrived corpus doc must flag as dup")
+    assert(!out(9L)._2, "unseen doc cannot be an exact dup")
+  }
+
   test("curation funnel: stage counts are monotone per source on the corpus") {
     val m = Sampling.curationManifest(Tables.documents(spark, dir)).collect()
     assert(m.nonEmpty)

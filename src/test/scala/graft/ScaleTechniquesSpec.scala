@@ -298,6 +298,58 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"permanent failure not bounded at maxAttempts: ${rows(1)}")
   }
 
+  test("z-ordered files prune parquet row groups on BOTH dimensions in anger") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.{Column, DataFrame}
+    val orders = Tables.orders(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zord").toString
+    graft.operators.Layout.zOrdered(orders, 16)
+      .write.mode("overwrite").parquet(s"$tmp/zord")
+    // control: same rows/columns/file count, hash-scattered layout
+    orders
+      .withColumn("day", datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1990-01-01"))).cast("long"))
+      .repartition(16, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmp/hash")
+
+    // rows the scan operator actually emits = rows in row groups the
+    // pushed min/max predicate could NOT skip (one row group per file
+    // at this size -> file-level pruning)
+    def scanned(path: String, pred: Column): (Long, Long) = {
+      val df = spark.read.parquet(path).filter(pred)
+      // the action must run THIS df's plan — a count() would build a
+      // separate pruned query and leave these metrics at zero
+      val matched = df.collect().length.toLong
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      (matched,
+        scans(df.queryExecution.executedPlan)
+          .map(_.metrics("numOutputRows").value).sum)
+    }
+    val ckStats = orders.agg(min(col("o_custkey")), max(col("o_custkey"))).head()
+    val (ckLo, ckHi) = (ckStats.getLong(0), ckStats.getLong(1))
+    val ckPred = col("o_custkey").between(ckLo, ckLo + (ckHi - ckLo) / 8)
+    val dyStats = orders.agg(
+      min(datediff(col("o_orderdate").cast("date"), to_date(lit("1990-01-01")))),
+      max(datediff(col("o_orderdate").cast("date"), to_date(lit("1990-01-01"))))).head()
+    val (dyLo, dyHi) = (dyStats.getInt(0).toLong, dyStats.getInt(1).toLong)
+    val dyPred = col("day").between(dyLo, dyLo + (dyHi - dyLo) / 8)
+
+    for ((predName, pred) <- Seq("custkey" -> ckPred, "day" -> dyPred)) {
+      val (zMatch, zScan) = scanned(s"$tmp/zord", pred)
+      val (hMatch, hScan) = scanned(s"$tmp/hash", pred)
+      info(s"$predName range: z-layout scanned $zScan rows, hash scanned $hScan")
+      assert(zMatch == hMatch, s"$predName: layouts disagree on matching rows")
+      assert(hScan > 0 && zScan <= hScan / 2,
+        s"$predName range: z-layout scanned $zScan rows vs hash $hScan — " +
+          "footer pruning isn't biting on this dimension")
+    }
+  }
+
   test("catalog metadata lists every table with schema and row counts") {
     val meta = CatalogMeta.describeTables(spark, dir)
     val tables = meta.select("table_name").distinct()

@@ -75,7 +75,12 @@ class ScanCountGateSpec extends AnyFunSuite {
     "q102_bpe_encode" -> Map("documents" -> 2),
     // 1-row global dim-stats pass (column-pruned, broadcast) + the
     // key/bucket pass
-    "q103_zorder_layout" -> Map("orders" -> 2))
+    "q103_zorder_layout" -> Map("orders" -> 2),
+    // bloom build pass + batch probe pass + exact-truth audit pass
+    // (production drops the audit join; the m-sizing count is one
+    // more eager 1-row pass outside this plan, documented at the
+    // operator)
+    "q105_bloom_screen" -> Map("documents" -> 3))
 
   test("every query's plan scans each table at most its allowed count") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
