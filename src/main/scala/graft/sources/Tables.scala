@@ -35,10 +35,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as long
-    * (`nanosAsLong`) and truncate to a micro-precision timestamp —
-    * the same ns→us truncation DuckDB applies on scan.
+  /** `events.parquet` has shipped with two physical types for `ts`:
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as long via `nanosAsLong` and truncate ns→us, the
+    * same truncation DuckDB applies on scan) and plain
+    * TIMESTAMP(MICROS) (reads as a normal timestamp, no conversion).
+    * Sniff the loaded dtype and normalize either way, so the engine
+    * survives a regenerated dataset without a code change.
     *
     * SESSION-WIDE SIDE EFFECT, by design: `nanosAsLong` is flipped on
     * the shared session and left on, so any later parquet read of a
@@ -47,8 +50,8 @@ object Tables {
     * again at task time (per-read options don't reach the footer
     * converter — verified empirically), so a save/restore around the
     * lazy read breaks the scan at execution. Graft-canonical tables are
-    * unaffected (`events` is the only nanos table, always read through
-    * here).
+    * unaffected (`events` is the only possibly-nanos table, always
+    * read through here).
     */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -56,8 +59,15 @@ object Tables {
   }
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame =
-    eventsRaw(s, d).withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(eventsRaw(s, d))
+
+  /** ts LONG (nanos) → micro-precision timestamp; ts TIMESTAMP → as is. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

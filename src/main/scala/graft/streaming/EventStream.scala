@@ -16,9 +16,11 @@ import graft.functions.Exact.dsum
   */
 object EventStream {
 
-  /** Parquet-on-disk schema of the events stream (ts arrives as
-    * parquet TIMESTAMP(NANOS) → read as long, converted in
-    * [[fromRaw]]).
+  /** Parquet-on-disk schema of the events stream. `ts` has shipped as
+    * both TIMESTAMP(NANOS) (surfaces as long under `nanosAsLong`,
+    * converted in [[fromRaw]]) and TIMESTAMP(MICROS) (a plain
+    * timestamp) — so a stream's schema is sniffed from a batch read
+    * of the same files rather than hardcoded.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -29,7 +31,7 @@ object EventStream {
     StructField("props", StringType)))
 
   private def fromRaw(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.Tables.normalizeEventTs(df)
 
   /** 5-minute windowed rollup per event_type (Druid
     * queryGranularity-style). Works identically on a bounded batch
@@ -61,8 +63,11 @@ object EventStream {
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Sniff the on-disk schema (nanos-era files surface ts as long,
+    // micros-era as timestamp) so the stream reads whatever shipped.
+    val onDisk = spark.read.parquet(s"$dir/events.parquet").schema
     fromRaw(
-      spark.readStream.schema(rawSchema)
+      spark.readStream.schema(onDisk)
         // glob form: FileStreamSource force-overrides basePath with the
         // source path unless it's a glob, and a file basePath breaks
         // partition inference in getBatch
