@@ -187,5 +187,15 @@ object Bench {
     // printed after spark.stop() so the summary is the LAST stdout
     // line no matter what the session logs during shutdown
     println(renderLine(results, sfDir, detailFile))
+    // failure contract, part 2 (round 10): the summary line has
+    // carried `failed` since round 7, but round 8's 41 failures sat
+    // unremarked because nothing read it — exit nonzero AFTER printing
+    // so the driver's rc captures any query failure even when the
+    // JSON line goes unparsed.
+    val nFailed = results.count(_.err.isDefined)
+    if (nFailed > 0) {
+      System.err.println(s"[bench] $nFailed queries failed — see $detailFile")
+      sys.exit(1)
+    }
   }
 }

@@ -761,9 +761,11 @@ object SparkEntry {
     // q07/q39 in CoreQueriesSpec.
     "q44_catalog_meta" ->
       // DuckDB's information_schema over the same views, with its type
-      // names mapped onto Spark simpleString names. events.ts is
-      // special-cased: graft reads parquet TIMESTAMP(NANOS) as bigint
-      // (nanosAsLong), while DuckDB truncates it to TIMESTAMP on scan.
+      // names mapped onto Spark simpleString names. CatalogMeta reports
+      // the ON-DISK type (a catalog describes storage): events.ts is
+      // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark
+      // reads as timestamp_ntz and DuckDB as TIMESTAMP — the generic
+      // TIMESTAMP→'timestamp_ntz' arm below covers it.
       """WITH counts AS (
           SELECT 'region' AS t, COUNT(*) AS n FROM region
           UNION ALL SELECT 'nation', COUNT(*) FROM nation
@@ -777,8 +779,7 @@ object SparkEntry {
           UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings)
         SELECT c.table_name, CAST(c.ordinal_position - 1 AS INTEGER) AS ordinal,
           c.column_name,
-          CASE WHEN c.table_name = 'events' AND c.column_name = 'ts' THEN 'bigint'
-               WHEN c.data_type = 'BIGINT' THEN 'bigint'
+          CASE WHEN c.data_type = 'BIGINT' THEN 'bigint'
                WHEN c.data_type = 'INTEGER' THEN 'int'
                WHEN c.data_type = 'DOUBLE' THEN 'double'
                WHEN c.data_type = 'VARCHAR' THEN 'string'

@@ -367,30 +367,42 @@ object Sampling {
     * Scale shape: three passes over documents — the flags pass
     * (tokenize + quality + window over md5, shuffled on content
     * hash), the training shingle pass (tokenize + explode, semi-join
-    * against the broadcast eval shingle set), and the ~1/mod
+    * against the eval shingle set), and the ~1/mod
     * eval-slice pass. The contaminated-id frame joins back to the
     * flags pass on doc_id (AQE sizes it). A fused single-tokenize
     * variant would checkpoint the tokenized corpus — a data-sized
     * materialization this flow deliberately avoids; at 100 TB the
     * second tokenize is cheaper than the write. Gate allowance:
     * documents×3 with reasons (ScanCountGateSpec).
+    *
+    * The eval shingle set gets the SAME size-gated broadcast↔shuffle
+    * switch as [[contaminationScreen]] (one eager doc-count on a
+    * doc_id-pruned scan of the eval slice): a small holdout
+    * broadcasts, an unbounded one degrades to a shuffled semi-join
+    * instead of materializing an unbounded distinct 8-gram set on
+    * the driver.
     */
   def curationManifest(documents: DataFrame, qualityMin: Double = 0.5,
-                       n: Int = 8, mod: Int = 97): DataFrame = {
+                       n: Int = 8, mod: Int = 97,
+                       maxBroadcastEvalDocs: Long = 100000L): DataFrame = {
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(md5($"text"))
     val flags = TextAnalysis.withQuality(documents.filter($"doc_id" % mod =!= 0))
       .withColumn("q_ok", $"quality" >= qualityMin)
       .withColumn("keeper_id", min(when($"q_ok", $"doc_id")).over(byHash))
       .withColumn("keep_dedup", $"q_ok" && $"doc_id" === $"keeper_id")
-    val evalSh = documents.filter($"doc_id" % mod === 0)
+    val evalBase = documents.filter($"doc_id" % mod === 0)
+    val evalSh0 = evalBase
       .withColumn("w", TextAnalysis.tokens($"text"))
       .select(explode(TextAnalysis.shinglesOf($"w", n)).as("s"))
       .distinct()
+    val evalDocs = evalBase.select($"doc_id").count()
+    val evalSh =
+      if (evalDocs <= maxBroadcastEvalDocs) broadcast(evalSh0) else evalSh0
     val contaminated = documents.filter($"doc_id" % mod =!= 0)
       .withColumn("w", TextAnalysis.tokens($"text"))
       .select($"doc_id", explode(TextAnalysis.shinglesOf($"w", n)).as("s"))
-      .join(broadcast(evalSh), Seq("s"), "left_semi")
+      .join(evalSh, Seq("s"), "left_semi")
       .select($"doc_id").distinct()
       .withColumn("tainted", lit(true))
     flags.join(contaminated, Seq("doc_id"), "left")

@@ -25,7 +25,9 @@ object CatalogMeta {
     */
   def describeTables(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
-    // events.parquet carries TIMESTAMP(NANOS); surface it as bigint
+    // The catalog reports ON-DISK types (storage, not engine
+    // normalization): a nanos-era events.ts surfaces as bigint
+    // (nanosAsLong), the current NTZ-micros era as timestamp_ntz.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dfs = Tables.names.map(t => t -> Tables.load(spark, dir, t))
     val schemaRows = dfs.flatMap { case (t, df) =>

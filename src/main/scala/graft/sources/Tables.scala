@@ -61,11 +61,20 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(eventsRaw(s, d))
 
-  /** ts LONG (nanos) → micro-precision timestamp; ts TIMESTAMP → as is. */
+  /** Normalize `ts` to session-TZ TimestampType, the one dtype every
+    * downstream consumer (unix_micros, withWatermark, window()) accepts:
+    *   - LONG (nanos era, surfaced by `nanosAsLong`) → truncate ns→us;
+    *   - TIMESTAMP_NTZ (micros era with isAdjustedToUTC=false) → cast;
+    *     the session TZ is UTC, so the instant is bit-identical and
+    *     oracle hashes are unchanged;
+    *   - TIMESTAMP → as is.
+    */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast("timestamp"))
       case _ => df
     }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

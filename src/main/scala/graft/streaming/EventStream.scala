@@ -16,15 +16,21 @@ import graft.functions.Exact.dsum
   */
 object EventStream {
 
-  /** Parquet-on-disk schema of the events stream. `ts` has shipped as
-    * both TIMESTAMP(NANOS) (surfaces as long under `nanosAsLong`,
-    * converted in [[fromRaw]]) and TIMESTAMP(MICROS) (a plain
-    * timestamp) — so a stream's schema is sniffed from a batch read
-    * of the same files rather than hardcoded.
+  /** Fallback schema for the events stream, used only when the source
+    * directory has no files yet (a normal startup mode for a file
+    * stream: open the stream, then files land). `ts` has shipped with
+    * three physical types across dataset eras — TIMESTAMP(NANOS)
+    * (surfaces as long under `nanosAsLong`), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ, the current era)
+    * and plain TIMESTAMP(MICROS) — so when files ARE present the
+    * schema is sniffed from a batch read of the same glob the stream
+    * uses, and this value declares the current-era shape for the
+    * empty-dir case. Either way [[fromRaw]] normalizes `ts` to
+    * session-TZ TimestampType before any watermark sees it.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -64,8 +70,15 @@ object EventStream {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Sniff the on-disk schema (nanos-era files surface ts as long,
-    // micros-era as timestamp) so the stream reads whatever shipped.
-    val onDisk = spark.read.parquet(s"$dir/events.parquet").schema
+    // micros-era as timestamp_ntz) with the SAME glob the stream
+    // reads — batch reads expand globs, so sniff and stream always
+    // see the same files (a literal `events.parquet` path would miss
+    // glob-only layouts like `events.parquet_a/_b`). An empty or
+    // not-yet-populated directory falls back to the declared
+    // current-era schema so the stream can still start.
+    val onDisk =
+      try spark.read.parquet(s"$dir/events.parque*").schema
+      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
     fromRaw(
       spark.readStream.schema(onDisk)
         // glob form: FileStreamSource force-overrides basePath with the
