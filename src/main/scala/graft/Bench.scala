@@ -192,10 +192,19 @@ object Bench {
     // unremarked because nothing read it — exit nonzero AFTER printing
     // so the driver's rc captures any query failure even when the
     // JSON line goes unparsed.
-    val nFailed = results.count(_.err.isDefined)
-    if (nFailed > 0) {
-      System.err.println(s"[bench] $nFailed queries failed — see $detailFile")
-      sys.exit(1)
+    val rc = exitCode(results)
+    if (rc != 0) {
+      System.err.println(
+        s"[bench] ${results.count(_.err.isDefined)} queries failed — see $detailFile")
+      sys.exit(rc)
     }
   }
+
+  /** The process exit code for a finished run: 0 only when every
+    * query graded clean, 1 on any failure. Factored out of main so
+    * BenchLineSpec can pin the contract — the decision itself, not
+    * just the `failed` field nothing is obliged to read.
+    */
+  def exitCode(results: Seq[Outcome]): Int =
+    if (results.exists(_.err.isDefined)) 1 else 0
 }

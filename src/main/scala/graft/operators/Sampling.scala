@@ -375,16 +375,47 @@ object Sampling {
     * second tokenize is cheaper than the write. Gate allowance:
     * documents×3 with reasons (ScanCountGateSpec).
     *
-    * The eval shingle set gets the SAME size-gated broadcast↔shuffle
-    * switch as [[contaminationScreen]] (one eager doc-count on a
-    * doc_id-pruned scan of the eval slice): a small holdout
-    * broadcasts, an unbounded one degrades to a shuffled semi-join
-    * instead of materializing an unbounded distinct 8-gram set on
-    * the driver.
+    * The eval shingle set gets the same broadcast↔shuffle degradation
+    * as [[contaminationScreen]] — a small holdout broadcasts, an
+    * unbounded one falls back to a shuffled semi-join instead of
+    * materializing an unbounded distinct 8-gram set on the driver —
+    * but the pick comes from [[evalSliceBroadcastable]]'s driver-side
+    * plan-stats estimate, NOT an eager count: building this plan
+    * launches ZERO jobs (spec-pinned in ScaleTechniquesSpec), where
+    * the q92 precedent pays one eager doc-count per construction.
+    * `broadcastEval` forces a branch (the fuzzyPartNames `largeDict`
+    * convention); `None` auto-picks.
     */
+  /** Stats-driven broadcast pick for an eval shingle set: true → the
+    * distinct word n-gram set of the `doc_id % mod == 0` slice fits
+    * the session's broadcast budget. Decided entirely from Catalyst's
+    * size estimate of the pruned text projection (driver-side plan
+    * stats — no job; the [[Analytics.fuzzyDictLarge]] precedent)
+    * scaled by the slice's deterministic 1/mod selectivity (the
+    * default stats visitor doesn't estimate filter selectivity, but
+    * this filter's is exact by construction), against
+    * `spark.sql.autoBroadcastJoinThreshold`: every word lands in at
+    * most n shingles, so raw shingle bytes are ≤ n× the slice's text
+    * bytes and distinct() only shrinks that — the flip fires when n×
+    * the estimated slice bytes exceeds the threshold, or when
+    * auto-broadcast is disabled outright (threshold < 0, the
+    * operator's scale intent respected).
+    */
+  def evalSliceBroadcastable(documents: DataFrame, mod: Int,
+                             n: Int): Boolean = {
+    val threshold =
+      documents.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold < 0) false
+    else {
+      val textBytes = documents.select($"text")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      (textBytes / mod) * n <= threshold
+    }
+  }
+
   def curationManifest(documents: DataFrame, qualityMin: Double = 0.5,
                        n: Int = 8, mod: Int = 97,
-                       maxBroadcastEvalDocs: Long = 100000L): DataFrame = {
+                       broadcastEval: Option[Boolean] = None): DataFrame = {
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(md5($"text"))
     val flags = TextAnalysis.withQuality(documents.filter($"doc_id" % mod =!= 0))
@@ -396,9 +427,10 @@ object Sampling {
       .withColumn("w", TextAnalysis.tokens($"text"))
       .select(explode(TextAnalysis.shinglesOf($"w", n)).as("s"))
       .distinct()
-    val evalDocs = evalBase.select($"doc_id").count()
     val evalSh =
-      if (evalDocs <= maxBroadcastEvalDocs) broadcast(evalSh0) else evalSh0
+      if (broadcastEval.getOrElse(evalSliceBroadcastable(documents, mod, n)))
+        broadcast(evalSh0)
+      else evalSh0
     val contaminated = documents.filter($"doc_id" % mod =!= 0)
       .withColumn("w", TextAnalysis.tokens($"text"))
       .select($"doc_id", explode(TextAnalysis.shinglesOf($"w", n)).as("s"))

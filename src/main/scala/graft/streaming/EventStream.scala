@@ -27,6 +27,14 @@ object EventStream {
     * uses, and this value declares the current-era shape for the
     * empty-dir case. Either way [[fromRaw]] normalizes `ts` to
     * session-TZ TimestampType before any watermark sees it.
+    *
+    * Known mixed-era failure mode (deliberate): a stream opened on an
+    * EMPTY dir locks in this NTZ schema, so if nanos-era files (ts as
+    * parquet TIMESTAMP(NANOS), surfacing as long) later land in that
+    * dir, the first micro-batch fails with a parquet type-convert
+    * error rather than being normalized. That is current-era-only by
+    * design — a dir that mixes eras got there by operator error, and
+    * the loud batch failure beats silently reinterpreting longs.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -73,19 +81,29 @@ object EventStream {
     // micros-era as timestamp_ntz) with the SAME glob the stream
     // reads — batch reads expand globs, so sniff and stream always
     // see the same files (a literal `events.parquet` path would miss
-    // glob-only layouts like `events.parquet_a/_b`). An empty or
-    // not-yet-populated directory falls back to the declared
-    // current-era schema so the stream can still start.
+    // glob-only layouts like `events.parquet_a/_b`). Only a
+    // not-yet-populated source (glob matches nothing — checked via
+    // the Hadoop FS API, NOT by catching AnalysisException) falls
+    // back to the declared current-era schema so the stream can
+    // still start; any other open-time failure (corrupt footer,
+    // conflicting schemas across files) propagates HERE, where it
+    // names the bad source, instead of surfacing mid-stream as an
+    // opaque batch error against the fallback schema.
+    val glob = s"$dir/events.parque*"
+    val globPath = new org.apache.hadoop.fs.Path(glob)
+    val matched = globPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .globStatus(globPath) // null when the parent dir doesn't exist
     val onDisk =
-      try spark.read.parquet(s"$dir/events.parque*").schema
-      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
+      if (matched == null || matched.isEmpty) rawSchema
+      else spark.read.parquet(glob).schema
     fromRaw(
       spark.readStream.schema(onDisk)
         // glob form: FileStreamSource force-overrides basePath with the
         // source path unless it's a glob, and a file basePath breaks
         // partition inference in getBatch
         .option("basePath", dir)
-        .parquet(s"$dir/events.parque*"))
+        .parquet(glob))
   }
 
   /** Checkpointed ingestion into a parquet sink: the durable

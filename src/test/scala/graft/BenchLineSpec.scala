@@ -51,6 +51,22 @@ class BenchLineSpec extends AnyFunSuite {
       assert(detail.contains("\"" + k + "\":"), s"detail missing $k")
   }
 
+  test("exit code contract: all-green run exits 0, any failure exits 1") {
+    // round 8 shipped 41 silent failures because the only signal was
+    // a JSON field nothing read; the process exit code is the
+    // contract the driver's rc actually captures (round 10), pinned
+    // here as a function of the graded outcomes
+    assert(Bench.exitCode(fakeResults) == 0)
+    val oneFail = fakeResults.head.copy(
+      err = Some("IllegalStateException: planted")) +: fakeResults.tail
+    assert(Bench.exitCode(oneFail) == 1)
+    assert(Bench.exitCode(Seq.empty) == 0)
+    // the summary line still renders on a failing run — main prints
+    // it BEFORE exiting nonzero, so the driver always gets the line
+    val line = Bench.renderLine(oneFail, "/root/testdata/sf0.1", "d.json")
+    assert(line.contains("\"failed\":1"), line.take(200))
+  }
+
   test("a throwing query grades as err, not as a fast success") {
     // the exact hole the round-6 audit flagged: Bench used to swallow
     // all Throwables, so a broken query looked like a 0.01 s pass

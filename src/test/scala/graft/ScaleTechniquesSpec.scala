@@ -195,6 +195,60 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       "xxhash64 shingle keys changed the contamination verdicts")
   }
 
+  test("curation gate: plan-stats pick, branch parity, zero construction jobs") {
+    val docs = Tables.documents(spark, dir)
+    // the pick itself: Catalyst size estimate vs the broadcast budget
+    // (the fuzzyDictLarge precedent) — no job, no eager count
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "10MB")
+      assert(operators.Sampling.evalSliceBroadcastable(docs, 97, 8),
+        "tiny eval slice should broadcast under the default budget")
+      spark.conf.set(key, "64")
+      assert(!operators.Sampling.evalSliceBroadcastable(docs, 97, 8),
+        "slice above the shrunken budget must degrade to shuffle")
+      spark.conf.set(key, "-1")
+      assert(!operators.Sampling.evalSliceBroadcastable(docs, 97, 8),
+        "disabled auto-broadcast must pick the shuffled semi-join")
+    } finally spark.conf.set(key, saved)
+    def manifest(b: Option[Boolean]) =
+      operators.Sampling.curationManifest(docs, broadcastEval = b)
+    def rows(b: Option[Boolean]) = manifest(b)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(rows(Some(true)) == rows(Some(false)),
+      "broadcast and shuffled curation branches disagree")
+    // pin the GATE (the logical hint), not a strategy AQE could pick
+    assert(manifest(Some(true)).queryExecution.analyzed.toString
+      .contains("ResolvedHint"), "forced-on branch must hint the broadcast")
+    assert(!manifest(Some(false)).queryExecution.analyzed.toString
+      .contains("ResolvedHint"), "forced-off branch must not carry a hint")
+    assert(manifest(None).queryExecution.analyzed.toString
+      .contains("ResolvedHint"), "auto pick should broadcast a tiny slice")
+    // the round-10 gate ran an eager count() at construction time, so
+    // merely EXPLAINing q101 scanned the eval slice — pin that
+    // building and optimizing the plan now launches ZERO jobs
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      manifest(None).queryExecution.optimizedPlan
+      Thread.sleep(500) // listener delivery is async; absence needs a wait
+      assert(jobs == 0, s"plan construction launched $jobs job(s)")
+      // listener sanity: it DOES observe real jobs, so the zero-jobs
+      // assertion above is not vacuous
+      docs.count()
+      var waited = 0
+      while (jobs == 0 && waited < 5000) { Thread.sleep(100); waited += 100 }
+      assert(jobs > 0, "listener sanity check failed")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("schedule: catch-up backfills every complete interval, resume honors lastRun") {
     val s = Pipeline.Schedule(startUs = 1000L, everyUs = 100L)
     // now=1350: intervals [1000,1100) [1100,1200) [1200,1300) complete;

@@ -68,7 +68,9 @@ class ScanCountGateSpec extends AnyFunSuite {
     "q92_contamination" -> Map("documents" -> 3),
     // composed funnel: flags pass (quality + md5-window) + training
     // shingle pass + ~1% eval-slice pass (see curationManifest doc —
-    // the fused alternative is a data-sized checkpoint)
+    // the fused alternative is a data-sized checkpoint). The
+    // broadcast gate is plan-stats-only (round 11): no eager job
+    // outside this plan, spec-pinned in ScaleTechniquesSpec.
     "q101_curation_e2e" -> Map("documents" -> 3),
     // encode vocab collapse + per-doc join-back (training's own scan
     // runs eagerly inside bpeTrain and is not part of this plan)

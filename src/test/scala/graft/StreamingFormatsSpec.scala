@@ -239,6 +239,33 @@ class StreamingFormatsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"window value mismatches: ${bad.take(3)}")
   }
 
+  test("watermarked rollup round-trips the graded sf0.01 on-disk events") {
+    // the round-8/9 regression class: streaming specs that synthesize
+    // frames in-memory stay green while the real on-disk events are
+    // unreadable. This one runs the full open→watermark→window path
+    // against the actual files the correctness gate grades (sf0.01),
+    // and checks the result against the batch twin window-by-window.
+    val d = "/root/testdata/sf0.01"
+    val q = EventStream.windowRollup(
+        EventStream.readEventStream(spark, d), watermarked = true)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_wm_sf001")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_wm_sf001")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val expected = EventStream.batchRollup(Tables.events(spark, d))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty, "spec vacuous: no windows emitted")
+    assert(got.keySet == expected.keySet,
+      s"missing=${(expected.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(3)}")
+    val bad = expected.filter { case (k, v) => got(k) != v }
+    assert(bad.isEmpty, s"window value mismatches: ${bad.take(3)}")
+  }
+
   test("streaming dedup drops replayed events and matches batch dedup") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Files.createTempDirectory("graft_dedup_src").toString
