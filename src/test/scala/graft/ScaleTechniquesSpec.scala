@@ -352,10 +352,29 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"permanent failure not bounded at maxAttempts: ${rows(1)}")
   }
 
-  test("z-ordered files prune parquet row groups on BOTH dimensions in anger") {
+  /** Rows the scan operator actually emits = rows in row groups the
+    * pushed min/max predicate could NOT skip (one row group per file
+    * at these sizes → file-level pruning). The action must run THIS
+    * df's plan — a count() would build a separate pruned query and
+    * leave the metrics at zero.
+    */
+  private def scannedRows(path: String,
+                          pred: org.apache.spark.sql.Column): (Long, Long) = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.{Column, DataFrame}
+    val df = spark.read.parquet(path).filter(pred)
+    val matched = df.collect().length.toLong
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    (matched,
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum)
+  }
+
+  test("z-ordered files prune parquet row groups on BOTH dimensions in anger") {
     val orders = Tables.orders(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft_zord").toString
     graft.operators.Layout.zOrdered(orders, 16)
@@ -367,23 +386,8 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .repartition(16, col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$tmp/hash")
 
-    // rows the scan operator actually emits = rows in row groups the
-    // pushed min/max predicate could NOT skip (one row group per file
-    // at this size -> file-level pruning)
-    def scanned(path: String, pred: Column): (Long, Long) = {
-      val df = spark.read.parquet(path).filter(pred)
-      // the action must run THIS df's plan — a count() would build a
-      // separate pruned query and leave these metrics at zero
-      val matched = df.collect().length.toLong
-      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-        case f: FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(scans)
-      }
-      (matched,
-        scans(df.queryExecution.executedPlan)
-          .map(_.metrics("numOutputRows").value).sum)
-    }
+    def scanned(path: String, pred: org.apache.spark.sql.Column) =
+      scannedRows(path, pred)
     val ckStats = orders.agg(min(col("o_custkey")), max(col("o_custkey"))).head()
     val (ckLo, ckHi) = (ckStats.getLong(0), ckStats.getLong(1))
     val ckPred = col("o_custkey").between(ckLo, ckLo + (ckHi - ckLo) / 8)
@@ -402,6 +406,66 @@ class ScaleTechniquesSpec extends AnyFunSuite {
         s"$predName range: z-layout scanned $zScan rows vs hash $hScan — " +
           "footer pruning isn't biting on this dimension")
     }
+  }
+
+  test("10×: z-order day-dim pruning holds; rewrite amplification bounded") {
+    // the sf0.001 test above proves the mechanism; this one proves it
+    // at the 10× point (1.5 M orders), where row-group min/max spans
+    // are set by real data density, not by a 15 k-row toy layout.
+    // Cancels (does not pass vacuously) when /tmp/sf1 is absent.
+    val dir10 = "/tmp/sf1"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir10/_MANIFEST.json")),
+      "10× scale point absent — python3 tools/gen_sf1.py")
+    val orders = Tables.orders(spark, dir10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zord10").toString
+    graft.operators.Layout.zOrdered(orders, 32)
+      .write.mode("overwrite").parquet(s"$tmp/zord")
+    orders
+      .withColumn("day", datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1990-01-01"))).cast("long"))
+      .repartition(32, col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$tmp/hash")
+    val dy = orders.agg(
+      min(datediff(col("o_orderdate").cast("date"), to_date(lit("1990-01-01")))),
+      max(datediff(col("o_orderdate").cast("date"), to_date(lit("1990-01-01"))))).head()
+    val (dyLo, dyHi) = (dy.getInt(0).toLong, dy.getInt(1).toLong)
+    val dyPred = col("day").between(dyLo, dyLo + (dyHi - dyLo) / 8)
+    val (zMatch, zScan) = scannedRows(s"$tmp/zord", dyPred)
+    val (hMatch, hScan) = scannedRows(s"$tmp/hash", dyPred)
+    info(s"10× day range: z-layout scanned $zScan rows, hash scanned $hScan")
+    assert(zMatch == hMatch, "layouts disagree on matching rows at 10×")
+    assert(hScan > 0 && zScan <= hScan / 2,
+      s"10× day range: z-layout scanned $zScan vs hash $hScan — " +
+        "day-dimension pruning does not survive the scale-up")
+
+    // Write amplification, ONE cost model for both clustered layouts:
+    // each is exactly one full rewrite of the fact table (one shuffle
+    // + one write — no multi-pass compaction), so amplification =
+    // layout bytes / plain-rewrite bytes (the hash copy, same file
+    // count, source row order). Clustering changes parquet encoding
+    // efficiency (sorted runs compress differently), which is the
+    // only degree of freedom — bound it.
+    def dirBytes(p: String): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+    }
+    Bucketed.reset(spark, "orders10_bucketed")
+    Bucketed.writeBucketed(orders, "orders10_bucketed", "o_orderkey", 32)
+    val whUri = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val wh = java.nio.file.Paths.get(
+      Option(whUri.getPath).getOrElse(whUri.toString)).toString
+    val (plainB, zB, bkB) = (dirBytes(s"$tmp/hash"), dirBytes(s"$tmp/zord"),
+      dirBytes(s"$wh/orders10_bucketed"))
+    info(f"10× rewrite bytes: plain=$plainB z=$zB (×${zB.toDouble / plainB}%.2f) " +
+      f"bucketed=$bkB (×${bkB.toDouble / plainB}%.2f)")
+    for ((nm, b) <- Seq("z-order" -> zB, "bucketed" -> bkB))
+      assert(b > plainB / 2 && b < plainB * 2,
+        s"$nm rewrite is ${b}B vs plain ${plainB}B — amplification " +
+          "outside the one-rewrite cost model (encoding blowup?)")
   }
 
   test("catalog metadata lists every table with schema and row counts") {
