@@ -217,9 +217,10 @@ object Sampling {
     * on content; at 100 TB the eval set stays benchmark-sized
     * (thousands of docs) while the broadcast stays megabytes. The
     * broadcast-vs-shuffle choice is CODE, not prose (the q63
-    * `largeDict` analog): a column-pruned count of eval DOCS gates
-    * the plan, and an eval set above `maxBroadcastEvalDocs` swaps to
-    * a shuffled semi-join on the shingle. On that shuffle path,
+    * `largeDict` analog): [[evalSliceBroadcastable]]'s plan-stats
+    * estimate gates the plan, and an eval slice above the session's
+    * broadcast budget swaps to a shuffled semi-join on the shingle
+    * (`broadcastEval` forces either branch). On that shuffle path,
     * `hashShingleKeys = true` joins on 8-byte `xxhash64` shingle
     * keys instead of the raw strings — ~⅛ the shuffle bytes for
     * word 8-grams (a 64-bit hash over even 10¹² distinct shingles
@@ -231,14 +232,13 @@ object Sampling {
     * Plan-shape guarantees, asserted in ScaleTechniquesSpec: the
     * eval branch filters on `doc_id` BEFORE tokenizing, so the ~1%
     * eval slice — never the full corpus — pays the tokenize+shingle
-    * explode twice; the broadcast gate runs one EAGER column-pruned
-    * count job at plan-construction time (building the q92 plan
-    * scans doc_id at the current SF), derived from the same filtered
-    * base the eval shingles read.
+    * explode twice; and (round 11, matching [[curationManifest]])
+    * the broadcast gate is driver-side plan stats only — building
+    * the q92 plan launches zero jobs.
     */
   def contaminationScreen(documents: DataFrame, n: Int = 8,
                           mod: Int = 97,
-                          maxBroadcastEvalDocs: Long = 100000L,
+                          broadcastEval: Option[Boolean] = None,
                           hashShingleKeys: Boolean = false): DataFrame = {
     val evalBase = documents.filter($"doc_id" % mod === 0)
     val shingleKey: Column => Column =
@@ -248,14 +248,10 @@ object Sampling {
         TextAnalysis.shinglesOf(TextAnalysis.tokens($"text"), n)).as("s0"))
       .select(shingleKey($"s0").as("s"))
       .distinct()
-    // the gate's estimate is a doc COUNT on a pruned (doc_id-only)
-    // scan of the SAME filtered base the shingles derive from — one
-    // cheap eager job, never materializing the shingle set; the
-    // distinct eval shingle count is O(tokens/doc) × docs, so doc
-    // count is the right proxy for broadcast safety
-    val evalDocs = evalBase.select($"doc_id").count()
     val evalSh =
-      if (evalDocs <= maxBroadcastEvalDocs) broadcast(evalSh0) else evalSh0
+      if (broadcastEval.getOrElse(evalSliceBroadcastable(documents, mod, n)))
+        broadcast(evalSh0)
+      else evalSh0
     val train = documents.filter($"doc_id" % mod =!= 0)
       .withColumn("w", TextAnalysis.tokens($"text"))
     val contaminated = train

@@ -140,16 +140,15 @@ class ScaleTechniquesSpec extends AnyFunSuite {
 
   test("contamination gate: shuffled path equals broadcast path, and both plan as gated") {
     val docs = Tables.documents(spark, dir)
-    def rows(maxBroadcast: Long) =
-      operators.Sampling.contaminationScreen(docs,
-          maxBroadcastEvalDocs = maxBroadcast)
+    def rows(b: Boolean) =
+      operators.Sampling.contaminationScreen(docs, broadcastEval = Some(b))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    // maxBroadcast=0 forces the large-eval shuffled semi-join branch
-    assert(rows(0L) == rows(Long.MaxValue),
+    // Some(false) forces the large-eval shuffled semi-join branch
+    assert(rows(false) == rows(true),
       "shuffled and broadcast contamination paths disagree")
-    def planOf(maxBroadcast: Long) = {
+    def planOf(b: Boolean) = {
       val df = operators.Sampling.contaminationScreen(docs,
-        maxBroadcastEvalDocs = maxBroadcast)
+        broadcastEval = Some(b))
       df.collect()  // AQE finalizes join strategy on execution
       df.queryExecution.executedPlan.toString
     }
@@ -158,15 +157,21 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     // plan, the large-eval path must not (the physical
     // BroadcastHashJoin alone can arise from either)
     val hinted = operators.Sampling.contaminationScreen(docs,
-      maxBroadcastEvalDocs = Long.MaxValue).queryExecution.analyzed.toString
+      broadcastEval = Some(true)).queryExecution.analyzed.toString
     assert(hinted.contains("ResolvedHint"),
       "small-eval path must hint the eval shingle broadcast")
-    assert(planOf(Long.MaxValue).contains("BroadcastHashJoin"),
+    assert(planOf(b = true).contains("BroadcastHashJoin"),
       "small-eval path should broadcast the eval shingle set")
     val logical = operators.Sampling.contaminationScreen(docs,
-      maxBroadcastEvalDocs = 0L).queryExecution.analyzed.toString
+      broadcastEval = Some(false)).queryExecution.analyzed.toString
     assert(!logical.contains("ResolvedHint"),
       "large-eval path must not carry a broadcast hint")
+    // the auto pick (plan stats vs broadcast budget) broadcasts the
+    // tiny slice at this SF — same gate function as q101, spec'd
+    // threshold-by-threshold in the curation gate test below
+    assert(operators.Sampling.contaminationScreen(docs)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "auto pick should broadcast a tiny eval slice")
   }
 
   test("contamination eval branch filters before tokenizing; xxhash64 keys agree") {
@@ -189,7 +194,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     // 8-byte shingle keys: identical screen output on the shuffled path
     def rows(hashed: Boolean) =
       operators.Sampling.contaminationScreen(docs,
-          maxBroadcastEvalDocs = 0L, hashShingleKeys = hashed)
+          broadcastEval = Some(false), hashShingleKeys = hashed)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows(hashed = true) == rows(hashed = false),
       "xxhash64 shingle keys changed the contamination verdicts")
@@ -238,6 +243,8 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(l)
     try {
       manifest(None).queryExecution.optimizedPlan
+      // q92 shares the gate; its construction must be jobless too
+      operators.Sampling.contaminationScreen(docs).queryExecution.optimizedPlan
       Thread.sleep(500) // listener delivery is async; absence needs a wait
       assert(jobs == 0, s"plan construction launched $jobs job(s)")
       // listener sanity: it DOES observe real jobs, so the zero-jobs

@@ -64,7 +64,9 @@ class ScanCountGateSpec extends AnyFunSuite {
     // incremental arrival files that are separate scans at scale
     "q87_incremental_rollup" -> Map("events" -> 2),
     // full train tokenize pass + column-pruned (doc_id, source)
-    // count pass + ~1% eval-slice pass (see contaminationScreen doc)
+    // count pass + ~1% eval-slice pass (see contaminationScreen
+    // doc). The broadcast gate is plan-stats-only (round 11): no
+    // eager job outside this plan.
     "q92_contamination" -> Map("documents" -> 3),
     // composed funnel: flags pass (quality + md5-window) + training
     // shingle pass + ~1% eval-slice pass (see curationManifest doc —
