@@ -286,7 +286,7 @@ class NewOpsSpec extends AnyFunSuite {
     assert(perDoc.filter($"covered" =!= $"n" || $"first" =!= 0L).count() == 0,
       "doc token mass not exactly partitioned by its spans")
     // (b) per-window: every window except the last carries exactly 512 tokens
-    val lastW = packed.agg(max($"window_id")).head.getLong(0)
+    val lastW = packed.agg(max($"window_id")).head().getLong(0)
     val bad = packed.groupBy($"window_id").agg(sum($"tok_len").as("mass"))
       .filter($"window_id" < lastW && $"mass" =!= 512L)
     assert(bad.count() == 0, "a non-final window is not exactly full")
