@@ -55,6 +55,63 @@ class DataContractSpec extends AnyFunSuite {
     }
   }
 
+  // The column set each table must expose — these names are baked
+  // into every operator and every DuckDB oracle, so a regen that
+  // drops or renames one must go red HERE with the table named, not
+  // as a scatter of unresolved-column errors mid-suite.
+  private val canonicalCols: Map[String, Set[String]] = Map(
+    "region" -> Set("r_regionkey", "r_name"),
+    "nation" -> Set("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Set("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Set("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Set("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "orders" -> Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Set("event_id", "ts", "user_id", "event_type", "value",
+      "props"),
+    "documents" -> Set("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Set("vec_id", "embedding", "label"))
+
+  test("every canonical table loads non-empty with its full column set") {
+    for (d <- sfDirs; t <- Tables.names) {
+      val df = if (t == "events") Tables.events(spark, d)
+               else Tables.load(spark, d, t)
+      val missing = canonicalCols(t) -- df.columns.toSet
+      assert(missing.isEmpty,
+        s"$d/$t: regen dropped or renamed columns $missing")
+      assert(df.limit(1).count() == 1L, s"$d/$t: table is empty")
+    }
+  }
+
+  test("operator-critical dtypes hold in every SF dir") {
+    import org.apache.spark.sql.types._
+    for (d <- sfDirs) {
+      // Similarity/Dedup fold over Array[Float] — a regen that lands
+      // double-element vectors changes every cosine beyond parity
+      val emb = Tables.load(spark, d, "embeddings").schema("embedding")
+      assert(emb.dataType == ArrayType(FloatType, containsNull = true) ||
+        emb.dataType == ArrayType(FloatType, containsNull = false),
+        s"$d: embeddings.embedding is ${emb.dataType}, not array<float>")
+      val doc = Tables.load(spark, d, "documents").schema
+      assert(doc("doc_id").dataType == LongType &&
+        doc("text").dataType == StringType,
+        s"$d: documents key/text dtype drift " +
+          s"(${doc("doc_id").dataType}, ${doc("text").dataType})")
+      // the date-era contract: order/ship dates must CAST to
+      // session-TZ timestamp (the engine's unix_micros path) — both
+      // NTZ (current era) and plain timestamp satisfy this
+      val casted = Tables.orders(spark, d)
+        .select(org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("o_orderdate").cast("timestamp")))
+      casted.queryExecution.analyzed
+    }
+  }
+
   test("a not-yet-populated events source opens on the fallback schema") {
     val d = java.nio.file.Files.createTempDirectory("graft_empty_src").toString
     val wm = EventStream.readEventStream(spark, d)
