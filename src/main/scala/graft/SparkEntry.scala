@@ -207,6 +207,11 @@ object SparkEntry {
       Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "q105_bloom_screen" -> ((s, d) =>
       Dedup.bloomScreen(Tables.documents(s, d))),
+    // q27's occupancy-bounded form: blocking key from a coarse
+    // quantizer (seeded cells here; trained cells via
+    // embeddingNearDupCells) instead of the stored label
+    "q106_dedup_embedding_cells" -> ((s, d) =>
+      Dedup.embeddingNearDupSeeded(Tables.embeddings(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1472,5 +1477,35 @@ object SparkEntry {
         SELECT v.doc_id, v.source, v.flagged, (t.h IS NOT NULL) AS is_dup
         FROM verdict v LEFT JOIN truth t ON v.h = t.h
         ORDER BY v.doc_id""",
+    // cell-blocked embedding near-dup: q73's seeded argmin-d2
+    // assignment (ROW_NUMBER over (d2, cid) = min(struct(d2, cid)))
+    // as the blocking key, then q27's pairing kernel within cells
+    "q106_dedup_embedding_cells" ->
+      """WITH q AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 32),
+        scored AS (
+          SELECT q.vec_id, q.v, c.cid,
+            CAST(list_sum(list_transform(range(1, 65),
+              i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS d2
+          FROM q CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT vec_id, v, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM scored) t WHERE rn = 1),
+        n AS (
+          SELECT vec_id, v, cid,
+            sqrt(CAST(list_sum(list_transform(range(1, 65), i -> v[i]*v[i])) AS DOUBLE)) AS nrm
+          FROM assigned)
+        SELECT vec_a, vec_b, cell, cosine FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid AS cell,
+            CAST(list_sum(list_transform(range(1, 65), i -> a.v[i]*b.v[i])) AS DOUBLE)
+              / (a.nrm * b.nrm) AS cosine
+          FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id) t
+        WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""",
   )
 }

@@ -285,10 +285,15 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs, blocked on `label` (the
-    * cluster/partition key — at 100 TB the blocking key comes from a
-    * coarse quantizer, e.g. IVF cell or LSH bucket, so each block's
-    * pair space fits one executor).
+  /** Embedding-cosine near-dup pairs, blocked on the STORED `label`
+    * column. Candidate space is quadratic in label occupancy, so this
+    * form is only as scale-safe as the codebook that produced the
+    * labels: a label set that does not grow with the corpus (the
+    * round-11 probe measured pairs ×copies² on exactly that axis)
+    * concentrates the corpus into ever-fatter blocks. The
+    * occupancy-bounded form is [[embeddingNearDupCells]] — same
+    * pairing kernel, blocking key re-derived from a coarse quantizer
+    * whose cell count scales with the corpus.
     */
   def embeddingNearDup(embeddings: DataFrame, tau: Double = 0.4): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
@@ -303,6 +308,89 @@ object Dedup {
           (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter($"cosine" >= tau)
       .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Embedding-cosine near-dup pairs blocked on COARSE-QUANTIZER
+    * cells (q106) — the occupancy-bounded form of [[embeddingNearDup]]
+    * and the 100-TB plan its scaladoc used to carry as prose. The
+    * blocking key is each vector's nearest centroid
+    * ([[Similarity.assignCells]], the q73 assignment step) instead of
+    * a stored label, so block occupancy is a knob the operator owns:
+    * size the centroid frame ∝ corpus (constant target occupancy) and
+    * the in-cell pair space — Σ_cells occ²/2 — grows linearly with
+    * the data while the label-blocked form grows quadratically
+    * (both measured in ScaleTechniquesSpec at the 10× point). Recall
+    * is the trade: a pair split across a cell boundary is missed
+    * (spec-measured against the label-blocked pairs at the operating
+    * τ); production recovers boundary pairs the IVF way — assign to
+    * the nProbe nearest cells instead of 1 — at nProbe× candidate
+    * cost, same plan shape.
+    *
+    * `centroids` is a (cid, cv) frame: [[Similarity.seedCentroids]]
+    * for the k-means init, or [[Similarity.centroidsOf]] of a trained
+    * [[Similarity.kmeansStep]] round for real IVF cells. It is
+    * broadcast by the assignment, so the corpus is scanned once per
+    * self-join side and shuffled only on the cell key.
+    */
+  def embeddingNearDupCells(embeddings: DataFrame, centroids: DataFrame,
+                            tau: Double = 0.4): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    val n = Similarity.assignCells(q, centroids)
+      .withColumn("nrm", Vec.normQ($"v"))
+    n.as("a").join(n.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.cid").as("cell"),
+        (Vec.dotQ(col("a.v"), col("b.v")).cast("double") /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter($"cosine" >= tau)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Multi-probe form of [[embeddingNearDupCells]]: vectors are
+    * assigned to their `nProbe` nearest cells
+    * ([[Similarity.assignCellsProbed]]), candidates are pairs sharing
+    * ANY cell (dropDuplicates before scoring, the minhashLsh
+    * convention), so a pair split across one boundary is recovered
+    * once both sides probe ≥ 2. Measured at sf0.1 seeded cells,
+    * τ=0.4: nProbe=1 finds 140 of the 919 brute-force pairs on 32 k
+    * candidates, nProbe=2 finds 318 on 128 k — versus label-blocking's
+    * 88 on 200 k. Candidate cost scales ~nProbe², still linear in the
+    * corpus at fixed occupancy (ScaleTechniquesSpec pins both curves).
+    */
+  def embeddingNearDupCellsProbed(embeddings: DataFrame,
+                                  centroids: DataFrame, nProbe: Int,
+                                  tau: Double = 0.4): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    val a = Similarity.assignCellsProbed(q, centroids, nProbe)
+      .withColumn("nrm", Vec.normQ($"v"))
+    a.as("a").join(a.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select($"vec_a", $"vec_b",
+        (Vec.dotQ($"va", $"vb").cast("double") / ($"na" * $"nb")).as("cosine"))
+      .filter($"cosine" >= tau)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** [[embeddingNearDupCells]] with seed-initialized centroids (the
+    * first `nCells` vectors — the q73 init). The tiny centroid frame
+    * is checkpointed so each self-join side plans one corpus scan, not
+    * corpus + centroid-slice (the q45 precedent). This is the declared
+    * q106 shape; a production run passes trained centroids via
+    * [[embeddingNearDupCells]] directly.
+    */
+  def embeddingNearDupSeeded(embeddings: DataFrame, nCells: Int = 32,
+                             tau: Double = 0.4): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    val cents = Similarity.seedCentroids(q, nCells).localCheckpoint(true)
+    embeddingNearDupCells(embeddings, cents, tau)
   }
 
   /** Exact-substring duplication profile: per document, how many of

@@ -144,17 +144,73 @@ object Similarity {
     * tie-broken on the lower centroid id. Exposed separately so the
     * assignment invariant is testable on its own.
     */
-  def kmeansAssign(q: DataFrame, kCents: Int): DataFrame = {
-    val cents = q.filter($"vec_id" < kCents)
+  def kmeansAssign(q: DataFrame, kCents: Int): DataFrame =
+    assignCells(q, seedCentroids(q, kCents))
+
+  /** Seed centroids for [[assignCells]]: the first `kCents` vectors of
+    * a pre-quantized frame (the standard k-means init — production
+    * refines them with [[kmeansStep]] iterations before trusting the
+    * cells for anything occupancy-sensitive).
+    */
+  def seedCentroids(q: DataFrame, kCents: Int): DataFrame =
+    q.filter($"vec_id" < kCents)
       .select($"vec_id".as("cid"), $"v".as("cv"))
+
+  /** Nearest-centroid assignment against an explicit centroid frame
+    * (columns cid, cv — quantized `array<long>`): argmin squared-L2,
+    * tie-broken on the lower centroid id. The centroid frame is
+    * broadcast (k rows), so the corpus is scanned once and never
+    * shuffled by the assignment itself. This is the composition seam
+    * the coarse-quantizer consumers share: [[kmeansStep]] trains
+    * against it, and Dedup.embeddingNearDupCells blocks on its output
+    * so in-cell occupancy — not a stored label — bounds the pair
+    * space.
+    */
+  def assignCells(q: DataFrame, centroids: DataFrame): DataFrame = {
     val d2 = aggregate(zip_with($"v", $"cv", (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
-    q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(centroids))
       .select($"vec_id", $"v", struct(d2.as("d2"), $"cid").as("sc"))
       .groupBy($"vec_id")
       .agg(min($"sc").as("best"), first($"v").as("v"))
       .select($"vec_id", $"best.cid".as("cid"), $"v")
   }
+
+  /** Multi-probe cell assignment: each vector lands in its `nProbe`
+    * nearest cells (same argmin-d2 metric and (d2, cid) tie-break as
+    * [[assignCells]] — nProbe=1 reproduces it exactly). This is the
+    * IVF recall knob applied to blocking: a pair split across one
+    * cell boundary still shares a cell once both sides probe ≥2, at
+    * ~nProbe² candidate cost. The top-nProbe pick is a row_number
+    * window partitioned on vec_id — maximal-cardinality key, so no
+    * task ever sorts more than one vector's k centroid distances.
+    */
+  def assignCellsProbed(q: DataFrame, centroids: DataFrame,
+                        nProbe: Int): DataFrame = {
+    val d2 = aggregate(zip_with($"v", $"cv", (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
+    q.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"v", d2.as("d2"), $"cid")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= nProbe)
+      .select($"vec_id", $"cid", $"v")
+  }
+
+  /** Reshape [[kmeansStep]]'s long-form output (cid, dim, new_mean)
+    * into the (cid, cv) frame [[assignCells]] consumes — the bridge
+    * that makes TRAINED centroids usable as a blocking/assignment key:
+    * `assignCells(q, centroidsOf(kmeansStep(emb)))`. The double means
+    * are re-quantized onto the long grid (`floor(mean·1000)`) — cell
+    * assignment is a blocking decision, so grid rounding of the
+    * centroid costs at most a boundary flip, never correctness of
+    * what's computed inside a cell.
+    */
+  def centroidsOf(kmeansOut: DataFrame): DataFrame =
+    kmeansOut.groupBy($"cid")
+      .agg(array_sort(collect_list(struct($"dim", $"new_mean"))).as("dm"))
+      .select($"cid",
+        transform($"dm", x => floor(x("new_mean") * 1000).cast("long")).as("cv"))
 
   /** L2-normalization to unit vectors (the standard pre-ANN transform:
     * after it, cosine = dot). Long form (vec_id, dim, unit) so values

@@ -19,11 +19,14 @@ class PlanAuditSpec extends AnyFunSuite {
   // broadcast 1-row bounds/max-key frames. q94 crossJoins a broadcast
   // 1-row total-weight normalizer (same bounded shape as q74's
   // corpus-stats frame). q103 broadcasts a 1-row global min/max
-  // dim-stats frame for z-value scaling.
+  // dim-stats frame for z-value scaling. q106 broadcasts its 32-row
+  // checkpointed centroid frame for cell assignment (the q73/q45
+  // shape, once per self-join side).
   private val allowedNestedLoop =
     Set("q15_freshness", "q28_cosine_topk", "q29_ann_lsh", "q45_ann_ivf",
       "q73_kmeans_step", "q74_bm25_rank", "q75_merge_upsert",
-      "q94_source_mixture", "q103_zorder_layout")
+      "q94_source_mixture", "q103_zorder_layout",
+      "q106_dedup_embedding_cells")
 
   /** Every query's plan, built ONCE and shared by all audit tests —
     * operators with eager construction steps (q66's propagation

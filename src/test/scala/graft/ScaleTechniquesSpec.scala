@@ -233,12 +233,17 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .contains("ResolvedHint"), "auto pick should broadcast a tiny slice")
     // the round-10 gate ran an eager count() at construction time, so
     // merely EXPLAINing q101 scanned the eval slice — pin that
-    // building and optimizing the plan now launches ZERO jobs
+    // building and optimizing the plan now launches ZERO jobs.
+    // The listener bus dispatches asynchronously, so job-start events
+    // from this test's EARLIER collect()s can still be in flight and
+    // get delivered to a listener registered now — count only jobs
+    // submitted after this point (j.time is the submission clock).
+    val t0 = System.currentTimeMillis()
     @volatile var jobs = 0
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        if (j.time >= t0) jobs += 1
     }
     spark.sparkContext.addSparkListener(l)
     try {
@@ -254,6 +259,107 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       while (jobs == 0 && waited < 5000) { Thread.sleep(100); waited += 100 }
       assert(jobs > 0, "listener sanity check failed")
     } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  /** (vec_a, vec_b) set of a near-dup pairing result. */
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Σ_blocks C(occ, 2) — the candidate-pair space a blocking key
+    * induces, computed from occupancy alone (no pairing join).
+    */
+  private def candidateCount(assigned: org.apache.spark.sql.DataFrame,
+                             key: String): Long =
+    assigned.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2"))).head().getLong(0)
+
+  private def quantized(emb: org.apache.spark.sql.DataFrame) =
+    emb.select(col("vec_id"),
+      graft.functions.Vec.quantize(col("embedding")).as("v"))
+
+  test("q106 cell blocking: blocked pairings are subsets of the one-cell brute force") {
+    val emb = Tables.embeddings(spark, dir)
+    // nCells=1 assigns every vector to the single cell → the pairing
+    // kernel runs over ALL pairs: brute-force cos≥τ ground truth
+    val all = pairSet(operators.Dedup.embeddingNearDupSeeded(emb, nCells = 1))
+    val byLabel = pairSet(operators.Dedup.embeddingNearDup(emb))
+    val byCells = pairSet(operators.Dedup.embeddingNearDupSeeded(emb, nCells = 16))
+    assert(all.nonEmpty && byCells.nonEmpty, "spec vacuous: no pairs at τ")
+    assert(byLabel.subsetOf(all),
+      s"label-blocked pairs outside the brute force: ${(byLabel -- all).take(5)}")
+    assert(byCells.subsetOf(all),
+      s"cell-blocked pairs outside the brute force: ${(byCells -- all).take(5)}")
+  }
+
+  test("q106 composition: trained kmeansStep centroids drive the blocking") {
+    val emb = Tables.embeddings(spark, dir)
+    // one Lloyd round from the seeded init → (cid, cv) via the bridge:
+    // the exact composition the q27 scaladoc used to prescribe as prose
+    val trained = operators.Similarity.centroidsOf(
+      operators.Similarity.kmeansStep(emb, kCents = 8)).localCheckpoint(true)
+    val got = pairSet(operators.Dedup.embeddingNearDupCells(emb, trained))
+    val all = pairSet(operators.Dedup.embeddingNearDupSeeded(emb, nCells = 1))
+    assert(got.nonEmpty, "trained-cell blocking found no pairs at τ")
+    assert(got.subsetOf(all),
+      s"trained-cell pairs outside the brute force: ${(got -- all).take(5)}")
+  }
+
+  test("10×: cell-blocked candidates grow ~linearly, label-blocked ~copies²; cells out-recall label under budget") {
+    val dir10 = "/tmp/sf1"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir10/_MANIFEST.json")),
+      "10× scale point absent — python3 tools/gen_sf1.py")
+    val occ = 32 // target cell occupancy: nCells = n/occ at every scale
+    val e1 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val e10 = Tables.embeddings(spark, dir10)
+    val (n1, n10) = (e1.count(), e10.count())
+    val growthData = n10.toDouble / n1
+    assert(growthData >= 9.0, s"expected ~10× embeddings, got $growthData")
+    def cellCand(emb: org.apache.spark.sql.DataFrame, n: Long): Long =
+      candidateCount(operators.Similarity.kmeansAssign(
+        quantized(emb), (n / occ).toInt), "cid")
+    def labelCand(emb: org.apache.spark.sql.DataFrame): Long =
+      candidateCount(emb, "label")
+    val cellGrowth = cellCand(e10, n10).toDouble / cellCand(e1, n1)
+    val labelGrowth = labelCand(e10).toDouble / labelCand(e1)
+    info(f"candidate growth on ${growthData}%.1f× data: " +
+      f"cells ${cellGrowth}%.1f×, label ${labelGrowth}%.1f×")
+    // measured r12: cells 10.0× (exactly linear), label 100.4× (copies²)
+    assert(cellGrowth <= 2.0 * growthData,
+      f"cell-blocked candidates grew ${cellGrowth}%.1f× on " +
+        f"${growthData}%.1f× data — occupancy bounding regressed")
+    assert(labelGrowth >= 5.0 * growthData,
+      f"label-blocked candidates grew only ${labelGrowth}%.1f× — the " +
+        "quadratic contrast this spec documents has changed; re-measure")
+
+    // recall at the operating τ (sf0.1 point): blocked outputs are
+    // subsets of the cos≥τ pair space by construction, so set sizes
+    // compare true-pair recall directly. Measured r12: label 88 pairs
+    // on 200k candidates; cells nProbe=1 140 on 32k; nProbe=2 318 on
+    // 128k — cells dominate at a LOWER candidate budget.
+    val q1 = quantized(e1)
+    val cents = operators.Similarity.seedCentroids(q1, (n1 / occ).toInt)
+      .localCheckpoint(true)
+    val byLabel = pairSet(operators.Dedup.embeddingNearDup(e1))
+    val p1 = pairSet(operators.Dedup.embeddingNearDupCells(e1, cents))
+    val p2 = pairSet(operators.Dedup.embeddingNearDupCellsProbed(e1, cents, 2))
+    val cand2 = candidateCount(
+      operators.Similarity.assignCellsProbed(q1, cents, 2), "cid")
+    info(s"sf0.1 τ-pairs: label ${byLabel.size}, cells ${p1.size}, " +
+      s"2-probe ${p2.size} (on $cand2 candidates vs label ${labelCand(e1)})")
+    assert(p1.size >= byLabel.size,
+      s"single-probe cells (${p1.size}) under label blocking (${byLabel.size})")
+    assert(p2.size >= 2 * byLabel.size,
+      s"2-probe cells (${p2.size}) should find ≥2× label's true pairs")
+    assert(cand2 <= labelCand(e1),
+      s"2-probe candidates ($cand2) exceed the label budget (${labelCand(e1)})")
+    val r1 = (p1 & byLabel).size.toDouble / byLabel.size
+    val r2 = (p2 & byLabel).size.toDouble / byLabel.size
+    info(f"recall vs label-blocked pairs: nProbe=1 $r1%.2f, nProbe=2 $r2%.2f")
+    // measured r12 floors with margin: 0.18 / 0.375
+    assert(r1 >= 0.10 && r2 >= 0.25,
+      f"recall vs label pairs regressed: nProbe1 $r1%.2f, nProbe2 $r2%.2f")
   }
 
   test("schedule: catch-up backfills every complete interval, resume honors lastRun") {

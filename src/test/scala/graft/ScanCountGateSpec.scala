@@ -41,6 +41,10 @@ class ScanCountGateSpec extends AnyFunSuite {
     "q18_anomaly_zscore" -> Map("events" -> 2),
     // label-blocked self-join sides
     "q27_dedup_embedding" -> Map("embeddings" -> 2),
+    // cell-blocked self-join sides; the 32-row centroid frame is
+    // checkpointed (the q45 precedent), so each side plans one corpus
+    // scan, not corpus + centroid-slice
+    "q106_dedup_embedding_cells" -> Map("embeddings" -> 2),
     // corpus side + pushdown-pruned query slice (vec_id < nQueries)
     "q28_cosine_topk" -> Map("embeddings" -> 2),
     "q29_ann_lsh" -> Map("embeddings" -> 2),
