@@ -658,13 +658,19 @@ object SparkEntry {
         GROUP BY CUBE (day, event_type)
         ORDER BY gid, day NULLS FIRST, event_type NULLS FIRST""",
     "q52_unpivot" ->
-      s"""SELECT * FROM (
-          SELECT 'l_discount' AS measure, COUNT(*) AS n,
-            ${X.dsum("l_discount")} AS total FROM lineitem
+      // unpivot-then-GROUP-BY, NOT one global aggregate per measure:
+      // on an EMPTY lineitem a per-branch global COUNT(*) emits one
+      // row per branch (3 rows, n=0) where Spark's unpivot+groupBy
+      // emits none — a live semantic divergence the round-12 fuzz
+      // sweep caught on its single-row corpus (seed s2). The melted
+      // form has the operator's own shape, so empty input agrees.
+      s"""SELECT measure, COUNT(*) AS n, ${X.dsum("val")} AS total FROM (
+          SELECT 'l_discount' AS measure, l_discount AS val FROM lineitem
           UNION ALL
-          SELECT 'l_extendedprice', COUNT(*), ${X.dsum("l_extendedprice")} FROM lineitem
+          SELECT 'l_extendedprice', l_extendedprice FROM lineitem
           UNION ALL
-          SELECT 'l_quantity', COUNT(*), ${X.dsum("l_quantity")} FROM lineitem) t
+          SELECT 'l_quantity', l_quantity FROM lineitem) t
+        GROUP BY measure
         ORDER BY measure""",
     "q53_time_weighted_avg" ->
       """WITH x AS (

@@ -421,8 +421,10 @@ object Analytics {
     * or when auto-broadcast is disabled outright (threshold < 0).
     * The estimate errs large (plan stats assume no compression),
     * which errs toward the shuffle path — the safe direction at
-    * scale, and measured ≤1.4× of broadcast even where broadcast is
-    * available (SURVEY §7 round-8 probe).
+    * scale, and measured ≤1.8× of broadcast even where broadcast is
+    * available (current-era envelope 1.42×/1.73×/1.66× at 1×/10×/30×,
+    * SURVEY §7f round-11 re-measure; the round-8 archive's ≤1.4× was
+    * the pre-regen corpus).
     */
   def fuzzyDictLarge(part: DataFrame): Boolean = {
     val threshold =

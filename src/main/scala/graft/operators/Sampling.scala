@@ -339,6 +339,59 @@ object Sampling {
       .limit(topK)
   }
 
+  /** Stats-driven broadcast pick for an eval shingle set: true → the
+    * distinct word n-gram set of the `doc_id % mod == 0` slice fits
+    * the session's broadcast budget. Decided entirely from Catalyst's
+    * size estimate of the pruned text projection (driver-side plan
+    * stats — no job; the [[Analytics.fuzzyDictLarge]] precedent)
+    * scaled by the slice's deterministic 1/mod selectivity (the
+    * default stats visitor doesn't estimate filter selectivity, but
+    * this filter's is exact by construction), against
+    * `spark.sql.autoBroadcastJoinThreshold`: every word lands in at
+    * most n shingles, so raw shingle bytes are ≤ n× the slice's text
+    * bytes and distinct() only shrinks that — the flip fires when n×
+    * the estimated slice bytes exceeds the threshold, or when
+    * auto-broadcast is disabled outright (threshold < 0, the
+    * operator's scale intent respected).
+    *
+    * Parameter contract: `documents` must be the FULL corpus frame —
+    * the ÷ mod scaling assumes the `doc_id % mod == 0` slice filter
+    * has NOT been applied yet. A caller passing an already-pruned
+    * frame gets the 1/mod selectivity applied a second time; the pick
+    * can only misjudge the broadcast↔shuffle trade (never
+    * correctness), but the estimate's safe direction is lost.
+    *
+    * Compression (round 12): for parquet sources `stats.sizeInBytes`
+    * is compressed ON-DISK bytes, while the broadcast materializes
+    * deserialized shingle strings — text compresses ~3-4× under
+    * snappy, so the raw estimate can pass the gate yet blow the
+    * in-memory budget. The estimate is therefore inflated by
+    * max(`spark.sql.sources.fileCompressionFactor`,
+    * [[TextDecompressionFactor]]) so the heuristic errs toward the
+    * shuffle path — the same safe direction the fuzzyDictLarge
+    * argument relies on (a shuffled semi-join is mildly slower on a
+    * borderline holdout; an over-budget broadcast OOMs executors).
+    */
+  def evalSliceBroadcastable(documents: DataFrame, mod: Int,
+                             n: Int): Boolean = {
+    val conf = documents.sparkSession.sessionState.conf
+    val threshold = conf.autoBroadcastJoinThreshold
+    if (threshold < 0) false
+    else {
+      val textBytes = documents.select($"text")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val inflate = math.max(conf.fileCompressionFactor,
+        TextDecompressionFactor)
+      BigDecimal(textBytes) / mod * n * inflate <= BigDecimal(threshold)
+    }
+  }
+
+  /** Observed snappy-parquet compression ratio envelope for natural
+    * text (~3-4×): the deserialized-bytes multiplier
+    * [[evalSliceBroadcastable]] applies to on-disk size estimates.
+    */
+  val TextDecompressionFactor = 4.0
+
   /** End-to-end curation manifest (q101): the composed
     * quality-gate → exact-dedup → decontaminate flow every training
     * corpus runs before a data mix is cut, reported as the per-source
@@ -382,33 +435,6 @@ object Sampling {
     * `broadcastEval` forces a branch (the fuzzyPartNames `largeDict`
     * convention); `None` auto-picks.
     */
-  /** Stats-driven broadcast pick for an eval shingle set: true → the
-    * distinct word n-gram set of the `doc_id % mod == 0` slice fits
-    * the session's broadcast budget. Decided entirely from Catalyst's
-    * size estimate of the pruned text projection (driver-side plan
-    * stats — no job; the [[Analytics.fuzzyDictLarge]] precedent)
-    * scaled by the slice's deterministic 1/mod selectivity (the
-    * default stats visitor doesn't estimate filter selectivity, but
-    * this filter's is exact by construction), against
-    * `spark.sql.autoBroadcastJoinThreshold`: every word lands in at
-    * most n shingles, so raw shingle bytes are ≤ n× the slice's text
-    * bytes and distinct() only shrinks that — the flip fires when n×
-    * the estimated slice bytes exceeds the threshold, or when
-    * auto-broadcast is disabled outright (threshold < 0, the
-    * operator's scale intent respected).
-    */
-  def evalSliceBroadcastable(documents: DataFrame, mod: Int,
-                             n: Int): Boolean = {
-    val threshold =
-      documents.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    if (threshold < 0) false
-    else {
-      val textBytes = documents.select($"text")
-        .queryExecution.optimizedPlan.stats.sizeInBytes
-      (textBytes / mod) * n <= threshold
-    }
-  }
-
   def curationManifest(documents: DataFrame, qualityMin: Double = 0.5,
                        n: Int = 8, mod: Int = 97,
                        broadcastEval: Option[Boolean] = None): DataFrame = {

@@ -288,11 +288,11 @@ object TextAnalysis {
     * Scale shape: the corpus is scanned ONCE — BPE statistics live on
     * the word VOCABULARY (distinct word → count), which the first
     * groupBy collapses to ~10⁸ rows at 100 TB, orders of magnitude
-    * below the corpus. Every merge round then runs on that vocab
+    * below the corpus. Every merge ROUND then runs on that vocab
     * frame only: an adjacent-pair count whose keyspace is bounded by
     * symbols² (map-side combine shrinks it to almost nothing), a
-    * `limit(1)` argmax collect — ONE driver row per round, the same
-    * bounded-certificate pattern as [[Dedup.dupClusters]] — and an
+    * `limit(maxBatch+1)` ranked collect — a bounded driver
+    * certificate, the same pattern as [[Dedup.dupClusters]] — and an
     * `aggregate` left-fold that rewrites each word's symbol array in
     * place (greedy left-to-right, so "aaa" merges to ["aa","a"] like
     * the reference implementation). `localCheckpoint` per round
@@ -300,13 +300,40 @@ object TextAnalysis {
     * loop does. Determinism: ties break (freq DESC, left ASC,
     * right ASC), so the merge table is a pure function of the corpus.
     *
+    * MERGE BATCHING (round 12): the driver loop is the measured
+    * wall-clock floor (~0.14 s/round ⇒ ~25 min for a 10k-merge
+    * production train), so each round applies up to `maxBatch`
+    * NON-INTERACTING merges instead of one. The batch is the maximal
+    * prefix of the (freq DESC, left ASC, right ASC)-ranked pair list
+    * that stays pairwise disjoint over each pair's THREE symbols
+    * {l, r, l+r} (so no batched merge can consume or produce another
+    * batched merge's symbols), shrunk until the last selected count
+    * strictly exceeds the first excluded count. That prefix is
+    * provably the exact sequence sequential Sennrich training would
+    * pick: disjointness preserves every selected pair's own count
+    * under the earlier merges in the batch (merging never makes two
+    * previously non-adjacent symbols adjacent), and any pair NEWLY
+    * created by a batched merge is bounded by the count of a parent
+    * pair that shares a symbol with it — a pair that, being a sharer,
+    * ranks strictly below the selected prefix, so the strict count
+    * drop keeps every newborn below every selected count. A batch of
+    * size 1 is the plain argmax with no side condition. The k
+    * disjoint rewrites fuse into ONE `aggregate` pass (disjoint rules
+    * commute and cannot chain), so a round costs one collect + one
+    * checkpoint regardless of batch size — BpeMergeProbe measures the
+    * round-trip reduction (≥4× at 100 merges on the sf0.1 corpus).
+    * `maxBatch = 1` reproduces the pre-batching loop exactly; the
+    * batched≡unbatched table equality is spec-pinned (NewOpsSpec).
+    *
     * Iterative and therefore not SQL-expressible in one statement —
     * rows-only in the oracle gate, with planted-corpus specs pinning
     * the classic merge sequences.
     */
   def bpeTrain(documents: DataFrame, nMerges: Int = 10,
                vocabSizeProbe: Option[scala.collection.mutable.Buffer[Long]] =
-                 None): DataFrame = {
+                 None,
+               maxBatch: Int = 16): DataFrame = {
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     val spark = documents.sparkSession
     // only the Seq→DF conversion; the full implicits would shadow the
     // package-level $ column interpolator
@@ -318,39 +345,73 @@ object TextAnalysis {
       .select(split($"w", "").as("syms"), $"freq")
       .localCheckpoint(true)
     // test-only instrumentation: record the vocab-frame row count per
-    // round so the scale invariant (the loop runs on a frame that
-    // never grows — one row per distinct word, constant across
-    // merges) is assertable. None in production: zero extra jobs.
+    // ROUND (init + one per checkpointed rewrite) so the scale
+    // invariant (the loop runs on a frame that never grows — one row
+    // per distinct word, constant across merges) is assertable.
+    // None in production: zero extra jobs.
     vocabSizeProbe.foreach(_ += vocab.count())
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
-      val top = vocab
+      val ranked = vocab
         .filter(size($"syms") >= 2)
         .select($"freq", explode(transform(sequence(lit(1), size($"syms") - 1),
           i => struct(element_at($"syms", i).as("l"),
             element_at($"syms", i + 1).as("r")))).as("p"))
         .groupBy($"p.l", $"p.r").agg(sum($"freq").as("n"))
         .orderBy($"n".desc, $"l", $"r")
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+        .limit(maxBatch + 1).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      if (ranked.isEmpty) exhausted = true
       else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += ((step, l, r, l + r, n))
+        // maximal pairwise-disjoint prefix over {l, r, l+r}, capped by
+        // the remaining merge budget (see batching scaladoc)
+        val cap = math.min(maxBatch, nMerges - step + 1)
+        val used = scala.collection.mutable.Set.empty[String]
+        var k = 0
+        var blocked = false
+        while (!blocked && k < math.min(cap, ranked.length)) {
+          val (l, r, _) = ranked(k)
+          val syms = Seq(l, r, l + r)
+          if (syms.exists(used.contains)) blocked = true
+          else { used ++= syms; k += 1 }
+        }
+        // rank-safety: a pair NEWLY created by a batched merge is
+        // count-bounded by a symbol-sharing parent ranked below the
+        // prefix; shrink until the last selected count strictly
+        // exceeds the first excluded one so no newborn can tie or
+        // pass a selected merge. k == ranked.length (< limit) means
+        // the pair table is complete AND fully disjoint — then no
+        // sharer exists to parent a newborn, no condition needed.
+        if (k < ranked.length)
+          while (k > 1 && ranked(k - 1)._3 <= ranked(k)._3) k -= 1
+        val batch = ranked.take(k)
+        batch.foreach { case (l, r, n) =>
+          merges += ((step, l, r, l + r, n))
+          step += 1
+        }
         // greedy left-to-right merge: once (l,r) fuses, the fused
-        // symbol is l+r and cannot re-pair as l with a following r
+        // symbol is l+r and cannot re-pair as l with a following r.
+        // The k disjoint rules fold in ONE pass: rules share no
+        // symbols (and no rule's input is another's output), so the
+        // combined fold equals applying each rule's fold in rank
+        // order — one collect + one checkpoint per round, not per
+        // merge.
         vocab = vocab.select(
           aggregate($"syms", array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(x)))).as("syms"),
+            (acc, x) => {
+              val fused = batch.map { case (l, r, _) =>
+                when(size(acc) > 0 &&
+                    element_at(acc, -1) === lit(l) && x === lit(r),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(lit(l + r))))
+              }
+              coalesce(fused :+ concat(acc, array(x)): _*)
+            }).as("syms"),
           $"freq")
           .localCheckpoint(true)
         vocabSizeProbe.foreach(_ += vocab.count())
-        step += 1
       }
     }
     merges.toSeq.toDF("step", "left", "right", "merged", "freq")

@@ -82,20 +82,26 @@ object EventStream {
     // reads — batch reads expand globs, so sniff and stream always
     // see the same files (a literal `events.parquet` path would miss
     // glob-only layouts like `events.parquet_a/_b`). Only a
-    // not-yet-populated source (glob matches nothing — checked via
-    // the Hadoop FS API, NOT by catching AnalysisException) falls
-    // back to the declared current-era schema so the stream can
-    // still start; any other open-time failure (corrupt footer,
-    // conflicting schemas across files) propagates HERE, where it
-    // names the bad source, instead of surfacing mid-stream as an
-    // opaque batch error against the fallback schema.
+    // not-yet-populated source falls back to the declared current-era
+    // schema so the stream can still start; any other open-time
+    // failure (corrupt footer, conflicting schemas across files)
+    // propagates HERE, where it names the bad source, instead of
+    // surfacing mid-stream as an opaque batch error against the
+    // fallback schema. "Not yet populated" is checked via the Hadoop
+    // FS API, NOT by catching AnalysisException, and covers (round
+    // 12) BOTH open-before-first-write shapes: the glob matching
+    // nothing, and the glob matching a directory the producer has
+    // created but not yet committed data into — only `_temporary`,
+    // `_SUCCESS`/dot-hidden entries, or still-zero-length part files
+    // (Spark's schema inference would throw "Unable to infer schema"
+    // on those, turning a benign startup race into an open failure).
     val glob = s"$dir/events.parque*"
     val globPath = new org.apache.hadoop.fs.Path(glob)
-    val matched = globPath
-      .getFileSystem(spark.sessionState.newHadoopConf())
-      .globStatus(globPath) // null when the parent dir doesn't exist
+    val fs = globPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val matched = fs.globStatus(globPath) // null when parent dir absent
     val onDisk =
-      if (matched == null || matched.isEmpty) rawSchema
+      if (matched == null || matched.isEmpty ||
+          !matched.exists(st => hasCommittedData(fs, st))) rawSchema
       else spark.read.parquet(glob).schema
     fromRaw(
       spark.readStream.schema(onDisk)
@@ -104,6 +110,32 @@ object EventStream {
         // partition inference in getBatch
         .option("basePath", dir)
         .parquet(glob))
+  }
+
+  /** True when a glob-matched source entry holds at least one
+    * committed data file: a non-empty file whose path below the match
+    * root has no hidden component (leading `_` or `.` — `_temporary`
+    * spill dirs, `_SUCCESS` markers, dot-files). A match with none is
+    * a producer-created-but-unwritten source; [[readEventStream]]
+    * treats it like an unmatched glob and opens against the declared
+    * schema instead of failing the "open stream, then files land"
+    * startup race.
+    */
+  private def hasCommittedData(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.FileStatus): Boolean = {
+    def hidden(name: String) = name.startsWith("_") || name.startsWith(".")
+    if (root.isFile) !hidden(root.getPath.getName) && root.getLen > 0
+    else {
+      val rootUri = root.getPath.toUri.getPath
+      val it = fs.listFiles(root.getPath, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toUri.getPath.stripPrefix(rootUri)
+        found = f.getLen > 0 && !rel.split("/").exists(hidden)
+      }
+      found
+    }
   }
 
   /** Checkpointed ingestion into a parquet sink: the durable

@@ -19,11 +19,22 @@ object BpeMergeProbe {
     spark.sparkContext.setLogLevel("ERROR")
     for (dir <- dirs) {
       val docs = Tables.documents(spark, dir)
+      // batched path (production default): rounds counted via the
+      // per-round vocab probe (init entry + one per round)
+      val probe = scala.collection.mutable.ArrayBuffer.empty[Long]
       val t0 = System.nanoTime()
-      val n = TextAnalysis.bpeTrain(docs, nMerges).count()
+      val n = TextAnalysis.bpeTrain(docs, nMerges,
+        vocabSizeProbe = Some(probe)).count()
       val sec = (System.nanoTime() - t0) / 1e9
+      val rounds = probe.length - 1
+      // sequential baseline: one driver round-trip pair per merge
+      val t1 = System.nanoTime()
+      val nSeq = TextAnalysis.bpeTrain(docs, nMerges, maxBatch = 1).count()
+      val secSeq = (System.nanoTime() - t1) / 1e9
       println(f"[bpe-probe] $dir merges=$n total=$sec%.2f s " +
-        f"mergesPerSec=${n / sec}%.2f perRound=${sec / n}%.3f s")
+        f"rounds=$rounds roundTripReduction=${nSeq.toDouble / rounds}%.1fx " +
+        f"seqTotal=$secSeq%.2f s speedup=${secSeq / sec}%.2fx " +
+        f"mergesPerSec=${n / sec}%.2f perRound=${sec / rounds}%.3f s")
     }
     spark.stop()
   }

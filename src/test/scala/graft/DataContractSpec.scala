@@ -119,6 +119,27 @@ class DataContractSpec extends AnyFunSuite {
     assert(wm.isStreaming && wm.schema("ts").dataType == TimestampType)
   }
 
+  test("a matched-but-uncommitted events source opens on the fallback schema") {
+    // the startup race the round-11 narrowing reintroduced: the
+    // producer has CREATED events.parquet (so the glob matches) but
+    // committed no data yet — only a _temporary spill, a _SUCCESS
+    // marker, and a still-zero-length part file. Schema inference
+    // would throw "Unable to infer schema"; open must treat this like
+    // an unmatched glob and start the stream on the declared schema.
+    val d = java.nio.file.Files.createTempDirectory("graft_midwrite_src")
+    val src = d.resolve("events.parquet")
+    java.nio.file.Files.createDirectories(src.resolve("_temporary").resolve("0"))
+    java.nio.file.Files.write(
+      src.resolve("_temporary").resolve("0").resolve("part-00000"),
+      "in-flight bytes".getBytes)
+    java.nio.file.Files.write(src.resolve("_SUCCESS"), Array.empty[Byte])
+    java.nio.file.Files.write(
+      src.resolve("part-00000-open.snappy.parquet"), Array.empty[Byte])
+    val wm = EventStream.readEventStream(spark, d.toString)
+      .withWatermark("ts", "10 minutes")
+    assert(wm.isStreaming && wm.schema("ts").dataType == TimestampType)
+  }
+
   test("a corrupt events source fails at open, not at stream runtime") {
     val d = java.nio.file.Files.createTempDirectory("graft_corrupt_src")
     java.nio.file.Files.write(d.resolve("events.parquet"),

@@ -410,15 +410,42 @@ class NewOpsSpec extends AnyFunSuite {
     // word, so the frame cannot grow as merges accumulate (it stays
     // exactly constant — merges rewrite symbol arrays in place).
     // Asserting monotone non-increase pins the invariant the 100-TB
-    // claim rests on.
+    // claim rests on. The probe records once per ROUND (since the
+    // round-12 merge batching, a round can carry several merges), so
+    // the entry count is init + rounds, bounded by init + nMerges.
     val docs = Tables.documents(spark, dir)
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
     TextAnalysis.bpeTrain(docs, nMerges = 5, vocabSizeProbe = Some(sizes))
-    assert(sizes.length == 6, s"expected init + 5 rounds, got $sizes")
+    assert(sizes.length >= 2 && sizes.length <= 6,
+      s"expected init + 1..5 rounds, got $sizes")
     assert(sizes.sliding(2).forall(p => p(1) <= p(0)),
       s"vocab frame grew across merge rounds: $sizes")
     assert(sizes.distinct.length == 1,
       s"vocab rows should be constant (one per distinct word): $sizes")
+  }
+
+  test("bpe train: batched rounds produce the exact unbatched Sennrich table") {
+    // the round-12 batching claim is EXACT equivalence, not
+    // approximation: the disjoint-prefix + strict-count-drop rule
+    // must yield the same merge table, in the same order with the
+    // same recorded frequencies, as the one-merge-per-round loop —
+    // on the real corpus (ties, shared symbols, newborn pairs all
+    // occur) and on the planted corpora above.
+    val docs = Tables.documents(spark, dir)
+    val batched = TextAnalysis.bpeTrain(docs, nMerges = 20, maxBatch = 16)
+      .collect().toSeq
+    val sequential = TextAnalysis.bpeTrain(docs, nMerges = 20, maxBatch = 1)
+      .collect().toSeq
+    assert(batched == sequential,
+      s"batched merge table drifted from sequential:\n$batched\n$sequential")
+    // and batching must actually engage on real text — otherwise this
+    // test pins nothing (k=1 every round would equal trivially)
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    TextAnalysis.bpeTrain(docs, nMerges = 20, vocabSizeProbe = Some(rounds),
+      maxBatch = 16)
+    assert(rounds.length - 1 < 20,
+      s"batching never selected more than one merge per round " +
+        s"(${rounds.length - 1} rounds for 20 merges)")
   }
 
   test("bpe train: merge table is invariant to doc order and partitioning") {
