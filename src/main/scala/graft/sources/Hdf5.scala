@@ -25,8 +25,15 @@ import scala.collection.mutable.ArrayBuffer
   *  - compact Link messages (small new-style groups)
   *  - datatypes: fixed-point (1/2/4/8 B, either endianness, signed
   *    or not), IEEE float (4/8 B), fixed-size strings
-  *  - dataspace v1/v2; layout v3 compact / contiguous / chunked
-  *  - chunk index: v1 B-tree (`TREE` type 1), any nesting level
+  *  - dataspace v1/v2; layout v3 AND v4 compact / contiguous /
+  *    chunked (v4 = libver-latest encodings)
+  *  - chunk indexes: v1 B-tree (`TREE` type 1, any nesting level)
+  *    plus the full v4 family — Single Chunk (filtered or not),
+  *    Implicit, Fixed Array (`FAHD`/`FADB`, inline or paged data
+  *    blocks, clients 0/1), Extensible Array (`EAHD`/`EAIB`/`EASB`/
+  *    `EADB`, non-paged data blocks — the append-grown unlimited-dim
+  *    shape), and v2 B-tree records types 10/11; v4 flag bit 0
+  *    (partial boundary chunks stored unfiltered) honored
   *  - filters: deflate (1), shuffle (2), fletcher32 (3) in any
   *    pipeline order, applied write-reverse on read
   *  - compact attribute messages v1/v3 (numeric + string values) —
@@ -34,11 +41,12 @@ import scala.collection.mutable.ArrayBuffer
   *    `_FillValue`
   *
   * Out of scope, by design (throws with a precise message rather
-  * than misreading): layout v4 chunk indexes (libver-latest files),
-  * B-tree v2 depth > 1 and multi-level indirect fractal-heap blocks
-  * (groups with ~100k+ links), variable-length and compound
-  * datatypes, dense attribute storage (compact attributes cover the
-  * netCDF-4 per-variable metadata the ETL reads).
+  * than misreading): paged Extensible Array data blocks and
+  * non-dim-0 unlimited dimensions (swizzled chunk order), B-tree v2
+  * depth > 1 and multi-level indirect fractal-heap blocks (groups
+  * with ~100k+ links), variable-length and compound datatypes, dense
+  * attribute storage (compact attributes cover the netCDF-4
+  * per-variable metadata the ETL reads).
   *
   * Scale shape: identical to [[NetCdf]] — one file is one task; the
   * byte array arrives via Spark's `binaryFile` source and is parsed
@@ -51,11 +59,22 @@ object Hdf5 {
 
   final case class Dtype(cls: Int, size: Int, littleEndian: Boolean, signed: Boolean)
   final case class Attr(name: String, num: Seq[Double], str: String)
+  /** Version-4 chunked-layout index description (libver-latest files).
+    * `flags` bit 0 = partial boundary chunks stored unfiltered; bit 1
+    * = the Single Chunk is filtered (then `singleSize`/`singleMask`
+    * carry its stored size and filter mask). `indexType` is the
+    * spec's chunk-indexing-type code: 1 Single Chunk, 2 Implicit,
+    * 3 Fixed Array, 4 Extensible Array, 5 v2 B-tree.
+    */
+  final case class V4Index(flags: Int, indexType: Int,
+                           singleSize: Long, singleMask: Int)
   final case class Layout(kind: String, addr: Long, size: Long,
-                          chunkDims: Seq[Int], compact: Array[Byte])
+                          chunkDims: Seq[Int], compact: Array[Byte],
+                          v4: Option[V4Index] = None)
   final case class Filter(id: Int, clientData: Seq[Int])
   final case class H5Var(name: String, dtype: Dtype, dims: Seq[Long],
-                         layout: Layout, filters: Seq[Filter], attrs: Seq[Attr]) {
+                         layout: Layout, filters: Seq[Filter], attrs: Seq[Attr],
+                         maxDims: Seq[Long] = Seq.empty) {
     def elemCount: Long = if (dims.isEmpty) 1L else dims.product
   }
   final case class H5File(vars: Seq[H5Var]) {
@@ -212,19 +231,20 @@ object Hdf5 {
   private def buildVar(b: Buf, name: String, msgs: Seq[(Int, Long, Int)]): H5Var = {
     var dtype: Dtype = null
     var dims: Seq[Long] = Seq.empty
+    var maxDims: Seq[Long] = Seq.empty
     var layout: Layout = null
     var filters: Seq[Filter] = Seq.empty
     val attrs = ArrayBuffer.empty[Attr]
     msgs.foreach {
       case (3, p, _) => dtype = parseDtype(b, p)
-      case (1, p, _) => dims = parseDims(b, p)
+      case (1, p, _) => dims = parseDims(b, p); maxDims = parseMaxDims(b, p)
       case (8, p, _) => layout = parseLayout(b, p)
       case (11, p, _) => filters = parseFilters(b, p)
       case (12, p, sz) => parseAttr(b, p, sz).foreach(attrs += _)
       case _ => ()
     }
     require(dtype != null && layout != null, s"dataset $name missing datatype/layout")
-    H5Var(name, dtype, dims, layout, filters, attrs.toSeq)
+    H5Var(name, dtype, dims, layout, filters, attrs.toSeq, maxDims)
   }
 
   // ---------------------------------------------------------------
@@ -316,8 +336,11 @@ object Hdf5 {
     }
   }
 
-  private def denseLinks(b: Buf, fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
-    val heap = new FractalHeap(b, fheapAddr)
+  /** Byte offsets of every record in a v2 B-tree (depth ≤ 1), plus
+    * the record size from the header — shared by the dense-link name
+    * index (record type 5) and v4 chunk indexes (types 10/11).
+    */
+  private def btreeV2Records(b: Buf, btreeAddr: Long): (Int, Seq[Long]) = {
     b.requireSig(btreeAddr, "BTHD")
     val nodeSize = b.u32(btreeAddr + 6)
     val recSize = b.u16(btreeAddr + 10)
@@ -326,23 +349,23 @@ object Hdf5 {
     val nrecRoot = b.u16(btreeAddr + 24)
     val leafMax = ((nodeSize - 10) / recSize).toInt
     def bytesFor(n: Int): Int = { var v = n; var c = 0; while (v > 0) { v >>= 8; c += 1 }; math.max(c, 1) }
-    val heapIds = ArrayBuffer.empty[Array[Byte]]
+    val recs = ArrayBuffer.empty[Long]
     def leaf(addr: Long, n: Int): Unit = {
       b.requireSig(addr, "BTLF")
       var q = addr + 6
       var i = 0
-      while (i < n) { heapIds += b.slice(q + 4, recSize - 4); q += recSize; i += 1 }
+      while (i < n) { recs += q; q += recSize; i += 1 }
     }
     if (depth == 0) leaf(rootAddr, nrecRoot)
     else {
-      require(depth == 1, s"v2 B-tree depth $depth unsupported (≫10⁵-link group)")
+      require(depth == 1, s"v2 B-tree depth $depth unsupported (≫10⁵-record index)")
       b.requireSig(rootAddr, "BTIN")
       val childNrecSz = bytesFor(leafMax)
       var q = rootAddr + 6
-      // internal records are also real records pointing into the heap
-      val internalIds = ArrayBuffer.empty[Array[Byte]]
+      // internal records are also real records
+      val internal = ArrayBuffer.empty[Long]
       var i = 0
-      while (i < nrecRoot) { internalIds += b.slice(q + 4, recSize - 4); q += recSize; i += 1 }
+      while (i < nrecRoot) { internal += q; q += recSize; i += 1 }
       i = 0
       while (i <= nrecRoot) {
         val child = b.u64(q); q += 8
@@ -350,10 +373,17 @@ object Hdf5 {
         leaf(child, n)
         i += 1
       }
-      heapIds ++= internalIds
+      recs ++= internal
     }
-    heapIds.toSeq.flatMap { id =>
-      val (addr, len) = heap.get(id)
+    (recSize, recs.toSeq)
+  }
+
+  private def denseLinks(b: Buf, fheapAddr: Long, btreeAddr: Long): Seq[(String, Long)] = {
+    val heap = new FractalHeap(b, fheapAddr)
+    val (recSize, recs) = btreeV2Records(b, btreeAddr)
+    // name-index records are hash(4) + heap ID
+    recs.flatMap { q =>
+      val (addr, len) = heap.get(b.slice(q + 4, recSize - 4))
       // the heap object IS a serialized Link message
       parseLink(b, addr)
     }
@@ -381,20 +411,56 @@ object Hdf5 {
     (0 until rank).map(i => b.u64(base + 8L * i))
   }
 
+  /** Max dims when the dataspace carries them (flags bit 0) — `Undef`
+    * marks an unlimited dimension (the Extensible Array trigger).
+    */
+  private def parseMaxDims(b: Buf, p: Long): Seq[Long] = {
+    val ver = b.u8(p); val rank = b.u8(p + 1); val flags = b.u8(p + 2)
+    if ((flags & 0x1) == 0) Seq.empty
+    else {
+      val base = (if (ver == 1) p + 8 else p + 4) + 8L * rank
+      (0 until rank).map(i => b.u64(base + 8L * i))
+    }
+  }
+
   private def parseLayout(b: Buf, p: Long): Layout = {
     val ver = b.u8(p)
-    require(ver == 3, s"data layout version $ver unsupported (v4 libver-latest chunk indexes out of scope)")
+    require(ver == 3 || ver == 4,
+      s"data layout version $ver unsupported (only v3 and v4 in scope)")
     b.u8(p + 1) match {
       case 0 =>
         val sz = b.u16(p + 2)
         Layout("compact", Undef, sz, Seq.empty, b.slice(p + 4, sz))
       case 1 =>
         Layout("contiguous", b.u64(p + 2), b.u64(p + 10), Seq.empty, null)
-      case 2 =>
+      case 2 if ver == 3 =>
         val rank = b.u8(p + 2) // rank includes the trailing element-size dim
         val addr = b.u64(p + 3)
         val cdims = (0 until rank).map(i => b.u32(p + 11 + 4L * i).toInt)
         Layout("chunked", addr, 0, cdims, null)
+      case 2 => // v4 chunked (libver-latest): variable-width dims + index type
+        val flags = b.u8(p + 2)
+        val rank = b.u8(p + 3) // includes the trailing element-size dim (as v3)
+        val encLen = b.u8(p + 4)
+        require(encLen >= 1 && encLen <= 8, s"bad v4 chunk-dim width $encLen")
+        val cdims = (0 until rank).map(i => b.uN(p + 5 + encLen.toLong * i, encLen).toInt)
+        var q = p + 5 + encLen.toLong * rank
+        val idxType = b.u8(q); q += 1
+        var singleSize = 0L; var singleMask = 0
+        idxType match {
+          case 1 => // Single Chunk: filtered size + mask iff flags bit 1
+            if ((flags & 0x2) != 0) {
+              singleSize = b.u64(q); singleMask = b.u32(q + 8).toInt; q += 12
+            }
+          case 2 => () // Implicit: no index parameters
+          case 3 => q += 1 // Fixed Array: page bits (re-read from FAHD)
+          case 4 => q += 5 // Extensible Array: 5 creation-parameter bytes
+          case 5 => q += 6 // v2 B-tree: node size(4) + split(1) + merge(1)
+          case t => sys.error(s"unknown v4 chunk indexing type $t")
+        }
+        val addr = b.u64(q)
+        Layout("chunked", addr, 0, cdims, null,
+          Some(V4Index(flags, idxType, singleSize, singleMask)))
     }
   }
 
@@ -515,7 +581,51 @@ object Hdf5 {
         var s = 1L
         var i = rank - 1
         while (i >= 0) { strides(i) = s; s *= dims(i); i -= 1 }
-        def walk(addr: Long): Unit = {
+        val chunkBytes = cdims.product
+
+        // scatter one decoded chunk into `out` a contiguous row at a
+        // time: the innermost chunk dim (the byte dim) is contiguous.
+        // `offs` are element offsets (with the trailing byte-dim 0).
+        def scatter(data: Array[Byte], offs: Seq[Long]): Unit = {
+          val rowBytes = cdims(rank - 1)
+          val nRows = (chunkBytes / rowBytes).toInt
+          var r = 0
+          while (r < nRows) {
+            // decompose r into chunk-local coords over dims 0..rank-2
+            var rem = r.toLong
+            var dst = 0L
+            var inBounds = true
+            var d = rank - 2
+            while (d >= 0) {
+              val c = rem % cdims(d); rem /= cdims(d)
+              val g = offs(d) + c
+              if (g >= dims(d)) inBounds = false
+              dst += g * strides(d)
+              d -= 1
+            }
+            if (inBounds) {
+              val copy = math.min(rowBytes, dims(rank - 1) - offs(rank - 1)).toInt
+              val srcOff = r * rowBytes
+              if (srcOff + copy <= data.length)
+                System.arraycopy(data, srcOff.toInt, out, dst.toInt, copy)
+            }
+            r += 1
+          }
+        }
+
+        // `stored < 0` means unfiltered-at-exact-chunk-size; flags
+        // bit 0 (v4) stores partial boundary chunks unfiltered.
+        def place(addr: Long, stored: Long, mask: Int, offs: Seq[Long],
+                  edgeUnfiltered: Boolean): Unit = {
+          val isPartial = (0 until rank - 1).exists(d => offs(d) + cdims(d) > dims(d))
+          val raw = b.slice(addr, if (stored < 0) chunkBytes else stored)
+          val data =
+            if (stored < 0 || (edgeUnfiltered && isPartial)) raw
+            else defilter(raw, v.filters, mask)
+          scatter(data, offs)
+        }
+
+        def walkV1(addr: Long): Unit = {
           b.requireSig(addr, "TREE")
           require(b.u8(addr + 4) == 1, "not a raw-data chunk B-tree")
           val level = b.u8(addr + 5); val used = b.u16(addr + 6)
@@ -528,42 +638,234 @@ object Hdf5 {
             val offs = (0 until rank).map(d => b.u64(q + 8 + 8L * d))
             q += 8 + 8L * rank
             val child = b.u64(q); q += 8
-            if (level > 0) walk(child)
-            else {
-              val data = defilter(b.slice(child, csize), v.filters, mask)
-              // scatter the chunk into `out` one contiguous row at a time:
-              // the innermost chunk dim (the byte dim) is contiguous
-              val rowBytes = cdims(rank - 1)
-              val nRows = (cdims.product / rowBytes).toInt
-              var r = 0
-              while (r < nRows) {
-                // decompose r into chunk-local coords over dims 0..rank-2
-                var rem = r.toLong
-                var dst = 0L
-                var inBounds = true
-                var d = rank - 2
-                while (d >= 0) {
-                  val c = rem % cdims(d); rem /= cdims(d)
-                  val g = offs(d) + c
-                  if (g >= dims(d)) inBounds = false
-                  dst += g * strides(d)
-                  d -= 1
-                }
-                if (inBounds) {
-                  val copy = math.min(rowBytes, dims(rank - 1) - offs(rank - 1)).toInt
-                  val srcOff = r * rowBytes
-                  if (srcOff + copy <= data.length)
-                    System.arraycopy(data, srcOff.toInt, out, dst.toInt, copy)
-                }
-                r += 1
-              }
-            }
+            if (level > 0) walkV1(child)
+            else place(child, csize, mask, offs, edgeUnfiltered = false)
             k += 1
           }
         }
-        walk(v.layout.addr)
+
+        // chunk-grid extents per dataspace dim; linear index is
+        // row-major over the grid (slowest dim first) — the canonical
+        // order of Implicit storage and Fixed Array entries
+        def gridDims: Seq[Long] =
+          (0 until rank - 1).map(d => (dims(d) + cdims(d) - 1) / cdims(d))
+        def gridOffs(linear: Long): Seq[Long] = {
+          val g = gridDims
+          val offs = new Array[Long](rank)
+          var rem = linear
+          var d = rank - 2
+          while (d >= 0) { offs(d) = (rem % g(d)) * cdims(d); rem /= g(d); d -= 1 }
+          require(rem == 0, s"chunk index $linear outside the ${g.mkString("x")} grid")
+          offs.toSeq
+        }
+
+        v.layout.v4 match {
+          case None => walkV1(v.layout.addr)
+          case Some(ix) =>
+            val edgeUnfiltered = (ix.flags & 0x1) != 0 && v.filters.nonEmpty
+            ix.indexType match {
+              case 1 => // Single Chunk: layout address IS the chunk
+                val filtered = (ix.flags & 0x2) != 0
+                place(v.layout.addr,
+                  if (filtered) ix.singleSize else -1L,
+                  ix.singleMask, Seq.fill(rank)(0L), edgeUnfiltered = false)
+              case 2 => // Implicit: unfiltered chunks, contiguous in grid order
+                require(v.filters.isEmpty, "implicit chunk index with filters")
+                val n = gridDims.product
+                var c = 0L
+                while (c < n) {
+                  place(v.layout.addr + c * chunkBytes, -1L, 0, gridOffs(c),
+                    edgeUnfiltered = false)
+                  c += 1
+                }
+              case 3 => // Fixed Array
+                readFixedArray(b, v.layout.addr).foreach {
+                  case (linear, addr, stored, mask) =>
+                    if (addr != Undef)
+                      place(addr, stored, mask, gridOffs(linear), edgeUnfiltered)
+                }
+              case 5 => // v2 B-tree, record types 10/11
+                val (recSize, recs) = btreeV2Records(b, v.layout.addr)
+                // type 10: addr(8) + scaled offsets (8 × dataspace rank);
+                // type 11 adds size(recSize-derived width) + mask(4)
+                val nOffs = rank - 1
+                val csLen = recSize - 8 - 8 * nOffs match {
+                  case 0 => 0 // unfiltered record
+                  case extra =>
+                    require(extra > 4 && extra <= 12,
+                      s"unrecognized v2 B-tree chunk record size $recSize for rank $nOffs")
+                    extra - 4
+                }
+                recs.foreach { q =>
+                  val addr = b.u64(q)
+                  var p2 = q + 8
+                  var stored = -1L; var mask = 0
+                  if (csLen > 0) {
+                    stored = b.uN(p2, csLen); p2 += csLen
+                    mask = b.u32(p2).toInt; p2 += 4
+                  }
+                  val offs = (0 until nOffs).map(d => b.u64(p2 + 8L * d) * cdims(d)) :+ 0L
+                  place(addr, stored, mask, offs, edgeUnfiltered)
+                }
+              case 4 => // Extensible Array (one unlimited dimension)
+                // the EA linear order swizzles the unlimited dim to
+                // position 0; support the identity case (unlimited dim
+                // IS dim 0 — the netCDF time-major layout) and reject
+                // the genuinely-permuted one precisely
+                val unlim = v.maxDims.zipWithIndex.collect { case (Undef, d) => d }
+                require(unlim.forall(_ == 0),
+                  s"extensible-array index with unlimited dim ${unlim.mkString(",")} != 0 unsupported (swizzled chunk order)")
+                readExtensibleArray(b, v.layout.addr).foreach {
+                  case (linear, addr, stored, mask) =>
+                    if (addr != Undef)
+                      place(addr, stored, mask, gridOffs(linear), edgeUnfiltered)
+                }
+              case t => sys.error(s"unknown v4 chunk indexing type $t")
+            }
+        }
         out
     }
+  }
+
+  /** Entries of a Fixed Array chunk index: (linear grid index, chunk
+    * address, stored size or -1 for unfiltered, filter mask). Handles
+    * both inline-element and paged data blocks; uninitialized pages
+    * and undefined addresses are skipped by the caller (fill-value
+    * regions). Client 0 = unfiltered (8-byte address elements);
+    * client 1 = filtered (address + size + 4-byte mask).
+    */
+  private def readFixedArray(b: Buf, hdrAddr: Long): Seq[(Long, Long, Long, Int)] = {
+    b.requireSig(hdrAddr, "FAHD")
+    val client = b.u8(hdrAddr + 5)
+    val entrySize = b.u8(hdrAddr + 6)
+    val pageBits = b.u8(hdrAddr + 7)
+    val maxEntries = b.u64(hdrAddr + 8)
+    val dblkAddr = b.u64(hdrAddr + 16)
+    require(client == 0 || client == 1, s"unknown Fixed Array client $client")
+    val csLen = if (client == 1) entrySize - 8 - 4 else 0
+    require(if (client == 0) entrySize == 8 else csLen >= 1 && csLen <= 8,
+      s"unexpected Fixed Array entry size $entrySize for client $client")
+    val out = ArrayBuffer.empty[(Long, Long, Long, Int)]
+    if (dblkAddr == Undef) return out.toSeq
+    b.requireSig(dblkAddr, "FADB")
+    def readElem(p: Long, linear: Long): Unit = {
+      val addr = b.u64(p)
+      if (client == 1)
+        out += ((linear, addr, b.uN(p + 8, csLen), b.u32(p + 8 + csLen).toInt))
+      else out += ((linear, addr, -1L, 0))
+    }
+    val pageElems = 1L << pageBits
+    val body = dblkAddr + 4 + 1 + 1 + 8 // sig + version + client + header address
+    if (maxEntries <= pageElems) {
+      var i = 0L
+      while (i < maxEntries) { readElem(body + i * entrySize, i); i += 1 }
+    } else {
+      // paged: bitmap of initialized pages + checksum, then the pages
+      // (each page = elements + 4-byte checksum) follow the block
+      val nPages = (maxEntries + pageElems - 1) / pageElems
+      val bitmapBytes = (nPages + 7) / 8
+      var pageStart = body + bitmapBytes + 4
+      var pg = 0L
+      while (pg < nPages) {
+        val inPage = math.min(pageElems, maxEntries - pg * pageElems)
+        val initialized = (b.u8(body + pg / 8) & (1 << (pg % 8).toInt)) != 0
+        if (initialized) {
+          var i = 0L
+          while (i < inPage) { readElem(pageStart + i * entrySize, pg * pageElems + i); i += 1 }
+        }
+        pageStart += inPage * entrySize + 4
+        pg += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Entries of an Extensible Array chunk index, same tuple shape as
+    * [[readFixedArray]]. Geometry per the public spec: the index
+    * block (`EAIB`) holds the first `idxBlkElmts` elements inline,
+    * then direct addresses for the data blocks of the first
+    * `2*log2(supBlkMinPtrs)` super blocks, then super-block (`EASB`)
+    * addresses; super block u holds 2^(u/2) data blocks (`EADB`) of
+    * 2^((u+1)/2)*dataBlkMinElmts elements each. Undefined addresses
+    * (not-yet-appended regions) are skipped. Paged data blocks
+    * (element count beyond 2^maxDblkPageNelmtsBits — ≫10⁴ chunks per
+    * block) are rejected precisely rather than misread.
+    */
+  private def readExtensibleArray(b: Buf, hdrAddr: Long): Seq[(Long, Long, Long, Int)] = {
+    b.requireSig(hdrAddr, "EAHD")
+    val client = b.u8(hdrAddr + 5)
+    val elemSize = b.u8(hdrAddr + 6)
+    val maxBits = b.u8(hdrAddr + 7)
+    val idxElmts = b.u8(hdrAddr + 8)
+    val dblkMin = b.u8(hdrAddr + 9)
+    val sblkMinPtrs = b.u8(hdrAddr + 10)
+    val pageBits = b.u8(hdrAddr + 11)
+    val idxBlkAddr = b.u64(hdrAddr + 12 + 48) // after the six 8-byte statistics
+    require(client == 0 || client == 1, s"unknown Extensible Array client $client")
+    val csLen = if (client == 1) elemSize - 8 - 4 else 0
+    require(if (client == 0) elemSize == 8 else csLen >= 1 && csLen <= 8,
+      s"unexpected Extensible Array element size $elemSize for client $client")
+    require(Integer.bitCount(dblkMin) == 1 && Integer.bitCount(sblkMinPtrs) == 1,
+      s"non-power-of-two Extensible Array geometry ($dblkMin/$sblkMinPtrs)")
+    def log2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+    val nsblks = 1 + (maxBits - log2(dblkMin))
+    val iblockNsblks = 2 * log2(sblkMinPtrs)
+    val offSize = (maxBits + 7) / 8
+    val pageElems = 1L << pageBits
+    def ndblks(u: Int): Int = 1 << (u / 2)
+    def dblkNelmts(u: Int): Long = (1L << ((u + 1) / 2)) * dblkMin
+    val out = ArrayBuffer.empty[(Long, Long, Long, Int)]
+    if (idxBlkAddr == Undef) return out.toSeq
+    def readElem(p: Long, linear: Long): Unit = {
+      val addr = b.u64(p)
+      if (client == 1)
+        out += ((linear, addr, b.uN(p + 8, csLen), b.u32(p + 8 + csLen).toInt))
+      else out += ((linear, addr, -1L, 0))
+    }
+    def readDataBlock(addr: Long, start: Long, n: Long): Unit = {
+      b.requireSig(addr, "EADB")
+      var q = addr + 4 + 1 + 1 + 8 + offSize // sig, ver, client, hdr addr, block offset
+      var i = 0L
+      while (i < n) { readElem(q, start + i); q += elemSize; i += 1 }
+    }
+    b.requireSig(idxBlkAddr, "EAIB")
+    var p = idxBlkAddr + 4 + 1 + 1 + 8
+    var linear = 0L
+    var i = 0
+    while (i < idxElmts) { readElem(p, linear); p += elemSize; linear += 1; i += 1 }
+    var u = 0
+    while (u < iblockNsblks) { // direct data blocks, one list entry per block
+      val n = dblkNelmts(u)
+      var k = 0
+      while (k < ndblks(u)) {
+        val addr = b.u64(p); p += 8
+        if (addr != Undef) {
+          require(n <= pageElems, s"paged Extensible Array data block ($n elements) unsupported")
+          readDataBlock(addr, linear, n)
+        }
+        linear += n
+        k += 1
+      }
+      u += 1
+    }
+    while (u < nsblks) { // super blocks
+      val sbAddr = b.u64(p); p += 8
+      val n = dblkNelmts(u)
+      if (sbAddr != Undef) {
+        require(n <= pageElems, s"paged Extensible Array data block ($n elements) unsupported")
+        b.requireSig(sbAddr, "EASB")
+        var q = sbAddr + 4 + 1 + 1 + 8 + offSize
+        var k = 0
+        while (k < ndblks(u)) {
+          val dbAddr = b.u64(q); q += 8
+          if (dbAddr != Undef) readDataBlock(dbAddr, linear + k * n, n)
+          k += 1
+        }
+      }
+      linear += ndblks(u).toLong * n
+      u += 1
+    }
+    out.toSeq
   }
 
   /** Flattened numeric values of one dataset as doubles, row-major —

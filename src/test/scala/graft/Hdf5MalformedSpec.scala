@@ -82,11 +82,11 @@ class Hdf5MalformedSpec extends AnyFunSuite {
       e.getMessage)
   }
 
-  test("v4-style data layout version is rejected, not misread") {
+  test("future data layout version is rejected, not misread") {
     // locate a dataset's v3 layout message in the raw bytes by its
     // (version=3, class, ...) prefix derived from the parsed layout,
-    // then bump the version byte to 4 (the libver-latest encoding the
-    // reader documents as out of scope)
+    // then bump the version byte to 5 (one past the supported v3/v4
+    // range — v4 itself now parses, see Hdf5V4Spec)
     val h5 = Hdf5.parse(real)
     val patched = h5.vars.flatMap { v =>
       val prefix = v.layout.kind match {
@@ -103,9 +103,9 @@ class Hdf5MalformedSpec extends AnyFunSuite {
     assert(patched.nonEmpty,
       "could not locate any v3 layout message in the raw bytes")
     val bad = real.clone()
-    patched.foreach(idx => bad(idx) = 4.toByte)
+    patched.foreach(idx => bad(idx) = 5.toByte)
     val e = intercept[RuntimeException](readEverything(bad))
-    assert(e.getMessage.contains("data layout version 4 unsupported"),
+    assert(e.getMessage.contains("data layout version 5 unsupported"),
       e.getMessage)
   }
 

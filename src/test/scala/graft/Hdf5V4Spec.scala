@@ -1,0 +1,567 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Hdf5
+import scala.collection.mutable.ArrayBuffer
+
+/** Spec for the version-4 data-layout chunk indexes (libver-latest
+  * HDF5 encodings): Single Chunk (plain + filtered), Implicit, Fixed
+  * Array (inline + paged data blocks, clients 0/1, partial-edge and
+  * missing chunks), and v2 B-tree record types 10/11.
+  *
+  * No HDF5 writer exists in this zero-egress container, so the
+  * fixtures are written BYTE-BY-BYTE from the public HDF5 File Format
+  * Specification (same approach as NetCdfSpec's classic fixtures):
+  * superblock v3 → root v1 object header with hard Link messages →
+  * per-dataset v1 object headers carrying dataspace v1 / datatype v1
+  * / layout v4 / filter-pipeline v1 messages → index structures
+  * (`FAHD`/`FADB`, `BTHD`/`BTLF`) and raw chunks. Out-of-bounds
+  * positions inside partial edge chunks are filled with a sentinel
+  * value so a scatter that ignores chunk/dataset bounds fails loudly.
+  */
+class Hdf5V4Spec extends AnyFunSuite {
+
+  private val Undef = -1L
+
+  // ----------------------------------------------------------------
+  // byte-level writer
+  // ----------------------------------------------------------------
+
+  private final class W {
+    private val buf = ArrayBuffer.empty[Byte]
+    def pos: Long = buf.length.toLong
+    def u8(v: Int): Unit = buf += (v & 0xff).toByte
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
+    def u64(v: Long): Unit = { u32(v & 0xffffffffL); u32(v >>> 32) }
+    def uN(v: Long, n: Int): Unit = (0 until n).foreach(i => u8(((v >>> (8 * i)) & 0xff).toInt))
+    def bytes(a: Array[Byte]): Unit = buf ++= a
+    def ascii(s: String): Unit = bytes(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def pad(n: Int): Unit = (0 until n).foreach(_ => u8(0))
+    def patchU64(at: Long, v: Long): Unit =
+      (0 until 8).foreach(i => buf(at.toInt + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    def result: Array[Byte] = buf.toArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------------
+  // message builders (bodies only; the v1 header writer pads to 8)
+  // ----------------------------------------------------------------
+
+  private def msgBytes(f: W => Unit): Array[Byte] = { val w = new W; f(w); w.result }
+
+  /** dataspace v1: ver, rank, flags, 5 reserved, dims [+ maxdims] */
+  private def dataspaceMsg(dims: Seq[Long], maxDims: Seq[Long] = Seq.empty): Array[Byte] =
+    msgBytes { w =>
+      w.u8(1); w.u8(dims.length); w.u8(if (maxDims.nonEmpty) 1 else 0); w.pad(5)
+      dims.foreach(w.u64)
+      maxDims.foreach(w.u64)
+    }
+
+  /** datatype v1 fixed-point int32 LE signed */
+  private def int32Msg: Array[Byte] = msgBytes { w =>
+    w.u8(0x10); w.u8(0x08); w.u8(0); w.u8(0) // class 0 v1; signed LE
+    w.u32(4)                                  // size
+    w.u16(0); w.u16(32)                       // bit offset / precision
+  }
+
+  /** datatype v1 IEEE float64 LE */
+  private def f64Msg: Array[Byte] = msgBytes { w =>
+    w.u8(0x11); w.u8(0x20); w.u8(0x3f); w.u8(0) // class 1 v1; LE, canonical bit fields
+    w.u32(8)
+    w.u16(0); w.u16(64)  // bit offset / precision
+    w.u8(52); w.u8(11)   // exponent location / size
+    w.u8(0); w.u8(52)    // mantissa location / size
+    w.u32(1023)          // exponent bias
+  }
+
+  /** filter pipeline v1 with a single deflate(level 6) stage */
+  private def deflateFilterMsg: Array[Byte] = msgBytes { w =>
+    w.u8(1); w.u8(1); w.pad(6)        // version, nfilters, reserved
+    w.u16(1); w.u16(0); w.u16(0); w.u16(1) // id=deflate, no name, flags, 1 cd value
+    w.u32(6)                          // aggression
+    w.pad(4)                          // odd cd count pad
+  }
+
+  /** data layout v4, class 2 (chunked). `cdims` includes the trailing
+    * element-size dim. `extra` is the per-index-type information.
+    */
+  private def layoutV4Msg(flags: Int, cdims: Seq[Int], idxType: Int,
+                          addr: Long, extra: Array[Byte] = Array.empty): Array[Byte] =
+    msgBytes { w =>
+      w.u8(4); w.u8(2); w.u8(flags)
+      w.u8(cdims.length); w.u8(4)     // 4-byte encoded dim sizes
+      cdims.foreach(d => w.u32(d.toLong))
+      w.u8(idxType); w.bytes(extra)
+      w.u64(addr)
+    }
+
+  /** hard Link message v1, no optional fields */
+  private def linkMsg(name: String, addr: Long): Array[Byte] = msgBytes { w =>
+    w.u8(1); w.u8(0); w.u8(name.length)
+    w.ascii(name); w.u64(addr)
+  }
+
+  /** v1 object header: 12-byte prefix + 4 pad, then 8-byte-aligned
+    * (type, size, flags, 3 reserved) message records.
+    */
+  private def v1Header(w: W, msgs: Seq[(Int, Array[Byte])]): Long = {
+    val start = w.pos
+    val padded = msgs.map { case (t, b) =>
+      (t, b ++ Array.fill((8 - b.length % 8) % 8)(0.toByte))
+    }
+    val hdrSize = padded.map(8 + _._2.length).sum
+    w.u8(1); w.u8(0); w.u16(msgs.length); w.u32(1); w.u32(hdrSize.toLong); w.pad(4)
+    padded.foreach { case (t, b) =>
+      w.u16(t); w.u16(b.length); w.u8(0); w.pad(3); w.bytes(b)
+    }
+    start
+  }
+
+  /** superblock v3 shell; returns the file with root address patched. */
+  private def file(build: W => Long): Array[Byte] = {
+    val w = new W
+    w.bytes(Array(0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+    w.u8(3); w.u8(8); w.u8(8); w.u8(0) // version, offsets, lengths, flags
+    w.u64(0)                           // base address
+    w.u64(Undef)                       // superblock extension
+    w.u64(Undef)                       // EOF (patched below)
+    w.u64(Undef)                       // root header (patched below)
+    w.u32(0)                           // checksum (unverified by the reader)
+    val root = build(w)
+    w.patchU64(36, root)
+    w.patchU64(28, w.pos)
+    w.result
+  }
+
+  // ----------------------------------------------------------------
+  // chunk-data helpers: int32 value grid v(i,j) = 100*i + j, with a
+  // sentinel in out-of-bounds positions of partial edge chunks
+  // ----------------------------------------------------------------
+
+  private val Sentinel = 999999
+
+  private def chunkData(rows: Int, cols: Int, oi: Int, oj: Int,
+                        ci: Int, cj: Int): Array[Byte] = {
+    val w = new W
+    (0 until ci).foreach { r =>
+      (0 until cj).foreach { c =>
+        val (i, j) = (oi + r, oj + c)
+        w.u32(if (i < rows && j < cols) (100 * i + j).toLong else Sentinel.toLong)
+      }
+    }
+    w.result
+  }
+
+  private def expected(rows: Int, cols: Int,
+                       holes: Set[(Int, Int)] = Set.empty): Array[Double] =
+    (0 until rows).flatMap { i =>
+      (0 until cols).map { j =>
+        val (gi, gj) = (i / 2, j / 3) // grid coords under 2x3 chunks
+        if (holes((gi, gj))) 0.0 else (100 * i + j).toDouble
+      }
+    }.toArray
+
+  private def readVar(bytes: Array[Byte], name: String = "d"): Array[Double] = {
+    val h5 = Hdf5.parse(bytes)
+    Hdf5.readDoubles(bytes, h5(name))
+  }
+
+  private def dsetHeader(w: W, dims: Seq[Long], layout: Array[Byte],
+                         filtered: Boolean, dtype: Array[Byte] = int32Msg,
+                         maxDims: Seq[Long] = Seq.empty): Long =
+    v1Header(w,
+      Seq((1, dataspaceMsg(dims, maxDims)), (3, dtype)) ++
+        (if (filtered) Seq((11, deflateFilterMsg)) else Nil) ++
+        Seq((8, layout)))
+
+  private def rootFor(w: W, links: (String, Long)*): Long =
+    v1Header(w, links.map { case (n, a) => (6, linkMsg(n, a)) })
+
+  // ----------------------------------------------------------------
+  // Single Chunk
+  // ----------------------------------------------------------------
+
+  test("v4 Single Chunk index reads (unfiltered)") {
+    val bytes = file { w =>
+      val chunk = w.pos
+      w.bytes(chunkData(4, 3, 0, 0, 4, 3))
+      val d = dsetHeader(w, Seq(4, 3), layoutV4Msg(0, Seq(4, 3, 4), 1, chunk), filtered = false)
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == expected(4, 3).toSeq)
+  }
+
+  test("v4 Single Chunk index reads (deflate-filtered, flags bit 1)") {
+    val raw = chunkData(4, 3, 0, 0, 4, 3)
+    val comp = deflate(raw)
+    val bytes = file { w =>
+      val chunk = w.pos
+      w.bytes(comp)
+      val extra = msgBytes { x => x.u64(comp.length.toLong); x.u32(0) }
+      val d = dsetHeader(w, Seq(4, 3),
+        layoutV4Msg(0x2, Seq(4, 3, 4), 1, chunk, extra), filtered = true)
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == expected(4, 3).toSeq)
+  }
+
+  // ----------------------------------------------------------------
+  // Implicit
+  // ----------------------------------------------------------------
+
+  test("v4 Implicit index reads contiguous chunks in grid order, edge chunks clipped") {
+    val (rows, cols) = (5, 6) // 2x3 chunks -> 3x2 grid, partial last row
+    val bytes = file { w =>
+      val base = w.pos
+      for (gi <- 0 until 3; gj <- 0 until 2)
+        w.bytes(chunkData(rows, cols, gi * 2, gj * 3, 2, 3))
+      val d = dsetHeader(w, Seq(rows, cols),
+        layoutV4Msg(0, Seq(2, 3, 4), 2, base), filtered = false)
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == expected(rows, cols).toSeq)
+  }
+
+  // ----------------------------------------------------------------
+  // Fixed Array
+  // ----------------------------------------------------------------
+
+  /** FAHD + inline or paged FADB for a client-0/1 element list.
+    * elems = (addr, storedSize, mask); addr Undef = unallocated.
+    */
+  private def fixedArray(w: W, client: Int, csLen: Int, pageBits: Int,
+                         elems: Seq[(Long, Long, Int)],
+                         uninitPages: Set[Int] = Set.empty): Long = {
+    val entrySize = if (client == 0) 8 else 8 + csLen + 4
+    val hdr = w.pos
+    w.ascii("FAHD"); w.u8(0); w.u8(client); w.u8(entrySize); w.u8(pageBits)
+    w.u64(elems.length.toLong)
+    val dblkAddrAt = w.pos
+    w.u64(Undef); w.u32(0)
+    val dblk = w.pos
+    w.patchU64(dblkAddrAt, dblk)
+    w.ascii("FADB"); w.u8(0); w.u8(client); w.u64(hdr)
+    def elem(e: (Long, Long, Int)): Unit = {
+      w.u64(e._1)
+      if (client == 1) { w.uN(e._2, csLen); w.u32(e._3.toLong) }
+    }
+    val pageElems = 1 << pageBits
+    if (elems.length <= pageElems) { elems.foreach(elem); w.u32(0) }
+    else {
+      val nPages = (elems.length + pageElems - 1) / pageElems
+      val bitmap = new Array[Int]((nPages + 7) / 8)
+      (0 until nPages).filterNot(uninitPages).foreach(p => bitmap(p / 8) |= 1 << (p % 8))
+      bitmap.foreach(w.u8); w.u32(0) // bitmap + data-block checksum
+      elems.grouped(pageElems).foreach { pg => pg.foreach(elem); w.u32(0) }
+    }
+    hdr
+  }
+
+  test("v4 Fixed Array index reads (inline elements, missing chunk zero-fills)") {
+    val (rows, cols) = (5, 7) // 2x3 chunks -> 3x3 grid, partial edges
+    val bytes = file { w =>
+      val addrs = for (gi <- 0 until 3; gj <- 0 until 3) yield {
+        if ((gi, gj) == (1, 1)) Undef // unallocated chunk -> fill value
+        else { val a = w.pos; w.bytes(chunkData(rows, cols, gi * 2, gj * 3, 2, 3)); a }
+      }
+      val fa = fixedArray(w, client = 0, csLen = 0, pageBits = 10,
+        addrs.map(a => (a, -1L, 0)))
+      val d = dsetHeader(w, Seq(rows, cols),
+        layoutV4Msg(0, Seq(2, 3, 4), 3, fa, extra = Array(10.toByte)), filtered = false)
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == expected(rows, cols, holes = Set((1, 1))).toSeq)
+  }
+
+  test("v4 Fixed Array paged data block reads; uninitialized page zero-fills") {
+    val (rows, cols) = (5, 7) // 3x3 grid = 9 chunks; pageBits=2 -> pages of 4,4,1
+    val bytes = file { w =>
+      val addrs = for (gi <- 0 until 3; gj <- 0 until 3) yield {
+        val a = w.pos; w.bytes(chunkData(rows, cols, gi * 2, gj * 3, 2, 3)); a
+      }
+      val fa = fixedArray(w, client = 0, csLen = 0, pageBits = 2,
+        addrs.map(a => (a, -1L, 0)), uninitPages = Set(2))
+      val d = dsetHeader(w, Seq(rows, cols),
+        layoutV4Msg(0, Seq(2, 3, 4), 3, fa, extra = Array(2.toByte)), filtered = false)
+      rootFor(w, "d" -> d)
+    }
+    // page 2 holds only linear chunk 8 = grid (2,2)
+    assert(readVar(bytes).toSeq == expected(rows, cols, holes = Set((2, 2))).toSeq)
+  }
+
+  test("v4 Fixed Array client 1: deflated chunks, partial edges stored raw (flag bit 0)") {
+    val (rows, cols) = (5, 7)
+    val bytes = file { w =>
+      val elems = for (gi <- 0 until 3; gj <- 0 until 3) yield {
+        val raw = chunkData(rows, cols, gi * 2, gj * 3, 2, 3)
+        val partial = gi == 2 || gj == 2
+        val stored = if (partial) raw else deflate(raw)
+        val a = w.pos; w.bytes(stored)
+        (a, stored.length.toLong, 0)
+      }
+      val fa = fixedArray(w, client = 1, csLen = 3, pageBits = 10, elems)
+      val d = dsetHeader(w, Seq(rows, cols),
+        layoutV4Msg(0x1, Seq(2, 3, 4), 3, fa, extra = Array(10.toByte)), filtered = true)
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == expected(rows, cols).toSeq)
+  }
+
+  // ----------------------------------------------------------------
+  // v2 B-tree chunk records
+  // ----------------------------------------------------------------
+
+  /** depth-0 BTHD + BTLF with raw `records` of `recSize` bytes */
+  private def btreeV2(w: W, btype: Int, recSize: Int,
+                      records: Seq[Array[Byte]]): Long = {
+    val hdr = w.pos
+    w.ascii("BTHD"); w.u8(0); w.u8(btype)
+    w.u32(512); w.u16(recSize); w.u16(0) // node size, record size, depth
+    w.u8(100); w.u8(10)                  // split / merge percent
+    val rootAt = w.pos
+    w.u64(Undef); w.u16(records.length)
+    w.u64(records.length.toLong)         // total records
+    w.u32(0)                             // checksum
+    val leaf = w.pos
+    w.patchU64(rootAt, leaf)
+    w.ascii("BTLF"); w.u8(0); w.u8(btype)
+    records.foreach { r => assert(r.length == recSize); w.bytes(r) }
+    w.u32(0)
+    hdr
+  }
+
+  test("v4 v2 B-tree index reads (type 10, unfiltered, scaled offsets)") {
+    val (rows, cols) = (6, 4) // 2x3 chunks -> 3x2 grid (exact)
+    val bytes = file { w =>
+      val recs = for (gi <- 0 until 3; gj <- 0 until 2) yield {
+        val a = w.pos; w.bytes(chunkData(rows, cols, gi * 2, gj * 3, 2, 3))
+        msgBytes { r => r.u64(a); r.u64(gi.toLong); r.u64(gj.toLong) }
+      }
+      val bt = btreeV2(w, btype = 10, recSize = 24, recs)
+      val d = dsetHeader(w, Seq(rows, cols),
+        layoutV4Msg(0, Seq(2, 3, 4), 5, bt,
+          extra = msgBytes { x => x.u32(512); x.u8(100); x.u8(10) }),
+        filtered = false)
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == expected(rows, cols).toSeq)
+  }
+
+  test("v4 v2 B-tree index reads (type 11, deflate-filtered records)") {
+    val (rows, cols) = (5, 7) // 3x3 grid with partial edges, all filtered
+    val csLen = 2
+    val bytes = file { w =>
+      val recs = for (gi <- 0 until 3; gj <- 0 until 3) yield {
+        val comp = deflate(chunkData(rows, cols, gi * 2, gj * 3, 2, 3))
+        val a = w.pos; w.bytes(comp)
+        msgBytes { r =>
+          r.u64(a); r.uN(comp.length.toLong, csLen); r.u32(0)
+          r.u64(gi.toLong); r.u64(gj.toLong)
+        }
+      }
+      val bt = btreeV2(w, btype = 11, recSize = 8 + csLen + 4 + 16, recs)
+      val d = dsetHeader(w, Seq(rows, cols),
+        layoutV4Msg(0, Seq(2, 3, 4), 5, bt,
+          extra = msgBytes { x => x.u32(512); x.u8(100); x.u8(10) }),
+        filtered = true)
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == expected(rows, cols).toSeq)
+  }
+
+  // ----------------------------------------------------------------
+  // float64 through the same path + the one documented rejection
+  // ----------------------------------------------------------------
+
+  test("v4 Fixed Array reads float64 data end-to-end") {
+    val (rows, cols) = (4, 6) // 2x3 chunks -> 2x2 grid, exact
+    def f64Chunk(oi: Int, oj: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(2 * 3 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until 2; c <- 0 until 3) bb.putDouble((oi + r) * 0.5 + (oj + c) * 0.25)
+      bb.array()
+    }
+    val bytes = file { w =>
+      val addrs = for (gi <- 0 until 2; gj <- 0 until 2) yield {
+        val a = w.pos; w.bytes(f64Chunk(gi * 2, gj * 3)); a
+      }
+      val fa = fixedArray(w, client = 0, csLen = 0, pageBits = 10,
+        addrs.map(a => (a, -1L, 0)))
+      val d = dsetHeader(w, Seq(rows, cols),
+        layoutV4Msg(0, Seq(2, 3, 8), 3, fa, extra = Array(10.toByte)),
+        filtered = false, dtype = f64Msg)
+      rootFor(w, "d" -> d)
+    }
+    val got = readVar(bytes)
+    val want = (0 until rows).flatMap(i => (0 until cols).map(j => i * 0.5 + j * 0.25))
+    assert(got.toSeq == want)
+  }
+
+  // ----------------------------------------------------------------
+  // Extensible Array (unlimited dim 0, 1x2 chunks over rows x 2)
+  // ----------------------------------------------------------------
+
+  /** EA geometry used below: maxBits=16 (2-byte block offsets),
+    * idxBlkElmts=2, dataBlkMinElmts=2, supBlkMinDataPtrs=2 →
+    * nsblks=16, the first 2 super blocks' data blocks direct from
+    * the index block. Per-super-block doubling: sblk0 = 1 block x 2
+    * elements (slots 2-3), sblk1 = 1 block x 4 (slots 4-7), sblk2 =
+    * 2 blocks x 4 (slots 8-15). `elems` = (addr, storedSize, mask)
+    * per linear chunk; missing tail slots become Undef addresses
+    * (not-yet-appended region).
+    */
+  private def extensibleArray(w: W, client: Int, csLen: Int,
+                              elems: Seq[(Long, Long, Int)],
+                              pageBits: Int = 10): Long = {
+    val elemSize = if (client == 0) 8 else 8 + csLen + 4
+    val (maxBits, idxElmts, dblkMin, sblkMinPtrs) = (16, 2, 2, 2)
+    val nsblks = 1 + (maxBits - 1) // log2(dblkMin) = 1
+    val iblockNsblks = 2           // 2 * log2(sblkMinPtrs)
+    val hdr = w.pos
+    w.ascii("EAHD"); w.u8(0); w.u8(client)
+    w.u8(elemSize); w.u8(maxBits); w.u8(idxElmts); w.u8(dblkMin)
+    w.u8(sblkMinPtrs); w.u8(pageBits)
+    (0 until 6).foreach(_ => w.u64(0)) // statistics (unread)
+    val idxAddrAt = w.pos
+    w.u64(Undef); w.u32(0)
+    def at(i: Int): (Long, Long, Int) =
+      if (i < elems.length) elems(i) else (Undef, -1L, 0)
+    def elem(e: (Long, Long, Int)): Unit = {
+      w.u64(e._1)
+      if (client == 1) { w.uN(e._2, csLen); w.u32(e._3.toLong) }
+    }
+    // data blocks first (addresses needed by the index block)
+    def dataBlock(start: Int, n: Int): Long =
+      if ((start until start + n).forall(at(_)._1 == Undef)) Undef
+      else {
+        val a = w.pos
+        w.ascii("EADB"); w.u8(0); w.u8(client); w.u64(hdr)
+        w.uN(start.toLong, 2) // block offset (maxBits/8 bytes)
+        (start until start + n).foreach(i => elem(at(i)))
+        w.u32(0)
+        a
+      }
+    val directA = dataBlock(2, 2) // sblk0: 1 block x 2
+    val directB = dataBlock(4, 4) // sblk1: 1 block x 4
+    // super block 2: 2 data blocks x 4 elements (slots 8..15)
+    val sblk2 =
+      if ((8 until 16).forall(at(_)._1 == Undef)) Undef
+      else {
+        val d0 = dataBlock(8, 4)
+        val d1 = dataBlock(12, 4)
+        val a = w.pos
+        w.ascii("EASB"); w.u8(0); w.u8(client); w.u64(hdr)
+        w.uN(8L, 2) // block offset
+        w.u64(d0); w.u64(d1)
+        w.u32(0)
+        a
+      }
+    require(elems.length <= 16, "fixture geometry covers 16 slots")
+    val iblk = w.pos
+    w.ascii("EAIB"); w.u8(0); w.u8(client); w.u64(hdr)
+    (0 until idxElmts).foreach(i => elem(at(i)))
+    w.u64(directA); w.u64(directB)
+    w.u64(sblk2)
+    (iblockNsblks + 1 until nsblks).foreach(_ => w.u64(Undef))
+    w.u32(0)
+    w.patchU64(idxAddrAt, iblk)
+    hdr
+  }
+
+  /** 1x2 chunks over a rows x 2 grid: chunk i covers row i. */
+  private def eaExpected(rows: Int, holes: Set[Int] = Set.empty): Seq[Double] =
+    (0 until rows).flatMap(i => Seq(0, 1).map(j =>
+      if (holes(i)) 0.0 else (100 * i + j).toDouble))
+
+  private def eaLayoutExtra: Array[Byte] =
+    msgBytes { x => x.u8(16); x.u8(2); x.u8(2); x.u8(2); x.u8(10) }
+
+  test("v4 Extensible Array reads: inline, direct and super-block data blocks") {
+    val rows = 9 // 2 inline + 2 (sblk0) + 4 (sblk1 direct) + 1 in sblk2-dblk0
+    val bytes = file { w =>
+      val chunks = (0 until rows).map { i =>
+        val a = w.pos; w.bytes(chunkData(rows, 2, i, 0, 1, 2)); (a, -1L, 0)
+      }
+      val ea = extensibleArray(w, client = 0, csLen = 0, chunks)
+      val d = dsetHeader(w, Seq(rows, 2),
+        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra),
+        filtered = false, maxDims = Seq(Undef, 2))
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == eaExpected(rows))
+  }
+
+  test("v4 Extensible Array: undefined slots and absent blocks zero-fill") {
+    val rows = 7 // chunks 3, 5, 6 missing -> Undef elements inside blocks; sblk2 absent
+    val bytes = file { w =>
+      val chunks = (0 until rows).map { i =>
+        if (i == 3 || i >= 5) (Undef, -1L, 0)
+        else { val a = w.pos; w.bytes(chunkData(rows, 2, i, 0, 1, 2)); (a, -1L, 0) }
+      }
+      val ea = extensibleArray(w, client = 0, csLen = 0, chunks)
+      val d = dsetHeader(w, Seq(rows, 2),
+        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra),
+        filtered = false, maxDims = Seq(Undef, 2))
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == eaExpected(rows, holes = Set(3, 5, 6)))
+  }
+
+  test("v4 Extensible Array client 1 reads deflate-filtered chunks") {
+    val rows = 8
+    val csLen = 2
+    val bytes = file { w =>
+      val chunks = (0 until rows).map { i =>
+        val comp = deflate(chunkData(rows, 2, i, 0, 1, 2))
+        val a = w.pos; w.bytes(comp); (a, comp.length.toLong, 0)
+      }
+      val ea = extensibleArray(w, client = 1, csLen = csLen, chunks)
+      val d = dsetHeader(w, Seq(rows, 2),
+        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra),
+        filtered = true, maxDims = Seq(Undef, 2))
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == eaExpected(rows))
+  }
+
+  test("v4 Extensible Array with a non-dim-0 unlimited dim is rejected precisely") {
+    val bytes = file { w =>
+      val chunk = w.pos; w.bytes(chunkData(2, 2, 0, 0, 1, 2))
+      val ea = extensibleArray(w, client = 0, csLen = 0, Seq((chunk, -1L, 0)))
+      val d = dsetHeader(w, Seq(2, 2),
+        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra),
+        filtered = false, maxDims = Seq(2, Undef)) // unlimited dim 1
+      rootFor(w, "d" -> d)
+    }
+    val h5 = Hdf5.parse(bytes)
+    val e = intercept[RuntimeException](Hdf5.readDoubles(bytes, h5("d")))
+    assert(e.getMessage.contains("swizzled chunk order"), e.getMessage)
+  }
+
+  test("v4 Extensible Array paged data blocks are rejected precisely") {
+    val rows = 9 // needs sblk1's 4-element direct block > pageElems=2
+    val bytes = file { w =>
+      val chunks = (0 until rows).map { i =>
+        val a = w.pos; w.bytes(chunkData(rows, 2, i, 0, 1, 2)); (a, -1L, 0)
+      }
+      val ea = extensibleArray(w, client = 0, csLen = 0, chunks, pageBits = 1)
+      val d = dsetHeader(w, Seq(rows, 2),
+        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra),
+        filtered = false, maxDims = Seq(Undef, 2))
+      rootFor(w, "d" -> d)
+    }
+    val h5 = Hdf5.parse(bytes)
+    val e = intercept[RuntimeException](Hdf5.readDoubles(bytes, h5("d")))
+    assert(e.getMessage.contains("paged Extensible Array data block"), e.getMessage)
+  }
+}
