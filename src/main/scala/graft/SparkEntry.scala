@@ -212,6 +212,10 @@ object SparkEntry {
     // embeddingNearDupCells) instead of the stored label
     "q106_dedup_embedding_cells" -> ((s, d) =>
       Dedup.embeddingNearDupSeeded(Tables.embeddings(s, d))),
+    // SemDeDup-style pruning over q106's cells: keep a vector iff no
+    // smaller-id cell-mate is cosine-similar at τ
+    "q107_semdedup_prune" -> ((s, d) =>
+      Dedup.semdedupPrune(Tables.embeddings(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1513,5 +1517,36 @@ object SparkEntry {
               / (a.nrm * b.nrm) AS cosine
           FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id) t
         WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""",
+    // SemDeDup pruning: q106's cell assignment, keeper = no
+    // smaller-id cell-mate with cosine >= tau
+    "q107_semdedup_prune" ->
+      """WITH q AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 32),
+        scored AS (
+          SELECT q.vec_id, q.v, c.cid,
+            CAST(list_sum(list_transform(range(1, 65),
+              i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS d2
+          FROM q CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT vec_id, v, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM scored) t WHERE rn = 1),
+        n AS (
+          SELECT vec_id, v, cid,
+            sqrt(CAST(list_sum(list_transform(range(1, 65), i -> v[i]*v[i])) AS DOUBLE)) AS nrm
+          FROM assigned),
+        dominated AS (
+          SELECT DISTINCT b.vec_id FROM n a JOIN n b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.v[i]*b.v[i])) AS DOUBLE)
+              / (a.nrm * b.nrm) >= 0.4)
+        SELECT n.vec_id, n.cid AS cell FROM n
+        ANTI JOIN dominated d ON n.vec_id = d.vec_id
+        ORDER BY n.vec_id""",
   )
 }

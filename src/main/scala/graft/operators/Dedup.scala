@@ -393,6 +393,43 @@ object Dedup {
     embeddingNearDupCells(embeddings, cents, tau)
   }
 
+  /** Semantic-dedup pruning (q107) — the SemDeDup curation move
+    * (Abbas et al. 2023, arXiv:2303.09540) on the cell-blocked
+    * kernel: KEEP a vector iff no smaller-id vector in its
+    * coarse-quantizer cell is cosine-≥ τ similar. "Dominated by a
+    * smaller id" (not greedy max-independent-set) is deliberate: the
+    * rule is decided per-pair with no sequential dependence, so it is
+    * one self-join + one anti-join and every engine computes the same
+    * keeper set — a chain A~B~C with A≁C keeps only A, pruning
+    * MORE aggressively than greedy (which would re-keep C), the safe
+    * direction for a training-mix budget.
+    *
+    * Plan shape: the corpus is scanned once per self-join side and
+    * once for the anti-join probe (embeddings rows are 64 floats —
+    * ~300 B — so three scans beat materializing), pairs stay blocked
+    * within cells (linear at constant occupancy, the q106 argument),
+    * and the anti-join shuffles only the DISTINCT dominated-id set —
+    * at most one row per dropped vector, ≤ corpus, no pair
+    * amplification past the filter. τ=-1 degenerates to
+    * keep-min-id-per-cell (the q23 exact-dedup shape); τ>1 keeps
+    * everything.
+    */
+  def semdedupPrune(embeddings: DataFrame, nCells: Int = 32,
+                    tau: Double = 0.4): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    val cents = Similarity.seedCentroids(q, nCells).localCheckpoint(true)
+    val n = Similarity.assignCells(q, cents).withColumn("nrm", Vec.normQ($"v"))
+    val dominated = n.as("a").join(n.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter((Vec.dotQ(col("a.v"), col("b.v")).cast("double") /
+        (col("a.nrm") * col("b.nrm"))) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    n.join(dominated, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cid".as("cell"))
+      .orderBy($"vec_id")
+  }
+
   /** Exact-substring duplication profile: per document, how many of
     * its rolling k-token windows also appear verbatim in ANOTHER
     * document. This is the screen behind suffix-array-style "remove

@@ -142,6 +142,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall@5 below measured floor: $recall")
   }
 
+  test("semdedup prune: keepers complement q106's dominated set; tau extremes degenerate") {
+    import org.apache.spark.sql.functions.min
+    val emb = Tables.embeddings(spark, dir)
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    // the dominated rule IS "appears as vec_b in a >=tau cell pair":
+    // keepers must be exactly the complement of q106's vec_b set at
+    // the same (nCells, tau) operating point
+    val dominated = Dedup.embeddingNearDupSeeded(emb)
+      .select("vec_b").collect().map(_.getLong(0)).toSet
+    val keep = Dedup.semdedupPrune(emb)
+      .collect().map(_.getLong(0)).toSet
+    assert(keep == all -- dominated,
+      s"keeper set diverges from q106 complement: ${(keep -- (all -- dominated)).take(5)}")
+    // tau > 1: nothing is cosine-similar, everything survives
+    val keepEverything = Dedup.semdedupPrune(emb, tau = 1.01)
+      .collect().map(_.getLong(0)).toSet
+    assert(keepEverything == all)
+    // tau <= -1: every cell-mate dominates, only the min id per cell
+    // survives (the q23 keep-min-id shape)
+    graft.functions.Registry.ensure(spark)
+    val q = emb.select(col("vec_id"), graft.functions.Vec.quantize(col("embedding")).as("v"))
+    val minPerCell = Similarity.assignCells(q, Similarity.seedCentroids(q, 32))
+      .groupBy("cid").agg(min("vec_id").as("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val keepMin = Dedup.semdedupPrune(emb, tau = -1.01)
+      .collect().map(_.getLong(0)).toSet
+    assert(keepMin == minPerCell,
+      s"tau=-1 keepers are not the per-cell min ids: ${(keepMin -- minPerCell).take(5)}")
+  }
+
   test("recall holds at the 10× scale point: q25 prod-K LSH, q29 ANN, q45 IVF") {
     // bucket occupancy — LSH band collisions, hyperplane buckets, IVF
     // cell sizes — changes with corpus size, so the small-SF recall

@@ -21,12 +21,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // corpus-stats frame). q103 broadcasts a 1-row global min/max
   // dim-stats frame for z-value scaling. q106 broadcasts its 32-row
   // checkpointed centroid frame for cell assignment (the q73/q45
-  // shape, once per self-join side).
+  // shape, once per self-join side). q107 reuses q106's assignment,
+  // so the same 32-row broadcast appears on each of its three sides.
   private val allowedNestedLoop =
     Set("q15_freshness", "q28_cosine_topk", "q29_ann_lsh", "q45_ann_ivf",
       "q73_kmeans_step", "q74_bm25_rank", "q75_merge_upsert",
       "q94_source_mixture", "q103_zorder_layout",
-      "q106_dedup_embedding_cells")
+      "q106_dedup_embedding_cells", "q107_semdedup_prune")
 
   /** Every query's plan, built ONCE and shared by all audit tests —
     * operators with eager construction steps (q66's propagation

@@ -45,6 +45,9 @@ class ScanCountGateSpec extends AnyFunSuite {
     // checkpointed (the q45 precedent), so each side plans one corpus
     // scan, not corpus + centroid-slice
     "q106_dedup_embedding_cells" -> Map("embeddings" -> 2),
+    // q106's two self-join sides + the anti-join probe side (~300 B
+    // rows: three scans beat materializing the corpus)
+    "q107_semdedup_prune" -> Map("embeddings" -> 3),
     // corpus side + pushdown-pruned query slice (vec_id < nQueries)
     "q28_cosine_topk" -> Map("embeddings" -> 2),
     "q29_ann_lsh" -> Map("embeddings" -> 2),
