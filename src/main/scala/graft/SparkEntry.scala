@@ -216,6 +216,14 @@ object SparkEntry {
     // smaller-id cell-mate is cosine-similar at τ
     "q107_semdedup_prune" -> ((s, d) =>
       Dedup.semdedupPrune(Tables.embeddings(s, d))),
+    // full Lloyd loop (rows-only: iterative) — trained centroids in
+    // long form, the q106/q107 codebook producer
+    "q108_kmeans_train" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, posexplode}
+      Similarity.kmeansTrain(Tables.embeddings(s, d), kCents = 8, iters = 3)
+        .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "c_q")))
+        .orderBy("cid", "dim")
+    }),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented

@@ -239,6 +239,51 @@ object Similarity {
       .orderBy($"cid", $"dim")
   }
 
+  /** Full Lloyd training loop (q108): iterate assign → mean-update
+    * `iters` times from the [[seedCentroids]] init, feeding each
+    * round's means back through [[centroidsOf]], and return the
+    * trained (cid, cv) centroid frame [[assignCells]] consumes — the
+    * producer that makes q106/q107's "size the codebook to the
+    * corpus" prescription a one-call composition
+    * (`embeddingNearDupCells(emb, kmeansTrain(emb, k))`).
+    *
+    * Scale shape per round: ONE corpus scan (the k-row centroid frame
+    * is broadcast by the assignment — the corpus is never shuffled)
+    * plus a (k × dim)-row partial-sum shuffle, independent of corpus
+    * size; the new centroid frame is eagerly localCheckpointed so
+    * lineage stays flat across rounds (the q66 discipline) and each
+    * round is exactly one job. `iters` is a bounded driver loop —
+    * k-means converges in a handful of Lloyd rounds at IVF codebook
+    * granularity, and production stops on a movement threshold the
+    * same way. Cells that lose all members keep their previous
+    * centroid (the standard Lloyd fallback), so k never silently
+    * shrinks. Objective descent is spec-pinned with a 1% per-round
+    * tolerance: [[centroidsOf]] re-quantizes means onto the 1/1000
+    * grid, so each update can sit a hair off the true argmin — a
+    * blocking-grade, not geometry-grade, approximation (same argument
+    * as its scaladoc).
+    */
+  def kmeansTrain(embeddings: DataFrame, kCents: Int = 8,
+                  iters: Int = 5): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    var cents = seedCentroids(q, kCents).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val means = assignCells(q, cents)
+        .select($"cid", posexplode($"v").as(Seq("dim", "q")))
+        .groupBy($"cid", $"dim")
+        .agg(sum($"q").as("sum_q"), count(lit(1)).as("n"))
+        .withColumn("new_mean", $"sum_q" * 1.0 / 1000.0 / $"n")
+      cents = cents.as("old")
+        .join(centroidsOf(means).as("upd"), Seq("cid"), "left_outer")
+        .select($"cid", coalesce(col("upd.cv"), col("old.cv")).as("cv"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    cents
+  }
+
   /** Per-vector symmetric int8 quantization (q104) — the storage/
     * bandwidth lever under every production ANN deployment: codes are
     * 1 byte per dimension against float32's 4, so a 100-TB embedding

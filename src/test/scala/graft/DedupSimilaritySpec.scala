@@ -238,6 +238,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(expect.subsetOf(sim),
         s"simhash blocking lost exact-dup pairs at 10×: ${(expect -- sim).take(5)}")
     }
+    // q107: the keeper/dominated complement must hold where the
+    // anti-join actually shuffles (32 cells over 10× occupancy)
+    val all10 = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val dominated10 = Dedup.embeddingNearDupSeeded(emb)
+      .select("vec_b").collect().map(_.getLong(0)).toSet
+    val keep10 = Dedup.semdedupPrune(emb)
+      .collect().map(_.getLong(0)).toSet
+    assert(keep10 == all10 -- dominated10,
+      "q107 keeper set diverges from the q106 complement at 10×")
   }
 
   test("substring dedup: xxhash64 fingerprints match the md5 path") {

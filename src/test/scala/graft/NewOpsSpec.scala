@@ -114,6 +114,41 @@ class NewOpsSpec extends AnyFunSuite {
     assert(got == want, s"vec 42 assigned to $got, nearest is $want")
   }
 
+  test("kmeans train: objective descends per round (1% grid slack), iters=0 is the seed") {
+    import graft.functions.Vec
+    import org.apache.spark.sql.functions.{aggregate, broadcast, lit, min, zip_with}
+    val emb = Tables.embeddings(spark, dir)
+    graft.functions.Registry.ensure(spark)
+    val q = emb.select(col("vec_id"), Vec.quantize(col("embedding")).as("v"))
+    def objective(cents: org.apache.spark.sql.DataFrame): Double = {
+      val d2 = aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+      q.crossJoin(broadcast(cents)).select(col("vec_id"), d2.as("d2"))
+        .groupBy("vec_id").agg(min("d2").as("best"))
+        .agg(sum(col("best"))).head().getLong(0).toDouble
+    }
+    // iters=0 must BE the seed init, bit-for-bit
+    val seed = Similarity.seedCentroids(q, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val zero = Similarity.kmeansTrain(emb, kCents = 8, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(zero == seed, "iters=0 is not the seed centroid frame")
+    // Lloyd descent: each extra round may only lower the objective,
+    // up to the 1/1000-grid re-quantization slack documented on
+    // kmeansTrain (centroid means are re-gridded between rounds)
+    val objs = (0 to 3).map(i =>
+      objective(Similarity.kmeansTrain(emb, kCents = 8, iters = i)))
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * 1.01, s"objective rose past grid slack: $objs")
+    }
+    assert(objs.last < objs.head, s"training never improved on the seed: $objs")
+    // trained centroids drive the cell-blocked dedup directly
+    val pairs = Dedup.embeddingNearDupCells(emb,
+      Similarity.kmeansTrain(emb, kCents = 8, iters = 2))
+    assert(pairs.columns.toSeq == Seq("vec_a", "vec_b", "cell", "cosine"))
+    assert(pairs.collect().forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
   test("bm25: zero-hit docs score zero; ranks strictly ordered") {
     val docs = Tables.documents(spark, dir)
     val top = TextAnalysis.bm25Rank(docs, Seq("data", "query", "spark"))
