@@ -35,7 +35,9 @@ import scala.collection.mutable.ArrayBuffer
   *    shape), and v2 B-tree records types 10/11; v4 flag bit 0
   *    (partial boundary chunks stored unfiltered) honored
   *  - filters: deflate (1), shuffle (2), fletcher32 (3) in any
-  *    pipeline order, applied write-reverse on read
+  *    pipeline order, applied write-reverse on read; fletcher32
+  *    checksums are VERIFIED (round 12) — a corrupt chunk is a
+  *    precise error, not silently-wrong data
   *  - compact attribute messages v1/v3 (numeric + string values) —
   *    enough for `units` / `scale_factor` / `add_offset` /
   *    `_FillValue`
@@ -516,6 +518,37 @@ object Hdf5 {
     }
   }
 
+  /** HDF5's Fletcher-32 over the first `n` bytes: 16-bit big-endian
+    * words accumulated into two mod-65535 sums with the reference
+    * implementation's 360-word overflow-deferral blocks, a final
+    * odd-byte term padded with a zero low byte, and double folding.
+    */
+  private def fletcher32(data: Array[Byte], n: Int): Long = {
+    var sum1 = 0L; var sum2 = 0L
+    var i = 0
+    var words = n / 2
+    while (words > 0) {
+      var t = math.min(words, 360)
+      words -= t
+      while (t > 0) {
+        sum1 += ((data(i) & 0xffL) << 8) | (data(i + 1) & 0xffL)
+        sum2 += sum1
+        i += 2; t -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (n % 2 == 1) {
+      sum1 += (data(n - 1) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    (sum2 << 16) | sum1
+  }
+
   private def defilter(raw: Array[Byte], filters: Seq[Filter], mask: Int): Array[Byte] = {
     // write order is pipeline order; decode applies the reverse, and
     // bit i of the chunk's filter mask means filter i was SKIPPED
@@ -548,8 +581,17 @@ object Hdf5 {
               }
               data = out
             }
-          case 3 => // fletcher32: 4-byte checksum appended; strip
-            data = java.util.Arrays.copyOfRange(data, 0, data.length - 4)
+          case 3 => // fletcher32: verify the appended 4-byte checksum, then strip
+            val n = data.length - 4
+            val stored = (data(n) & 0xffL) | (data(n + 1) & 0xffL) << 8 |
+              (data(n + 2) & 0xffL) << 16 | (data(n + 3) & 0xffL) << 24
+            val sum = fletcher32(data, n)
+            // the pre-1.6.3 library wrote the byte-swapped form; both
+            // are accepted on read, like the reference implementation
+            val swapped = java.lang.Integer.reverseBytes(sum.toInt).toLong & 0xffffffffL
+            require(stored == sum || stored == swapped,
+              f"fletcher32 mismatch: stored 0x$stored%08x, computed 0x$sum%08x (corrupt chunk)")
+            data = java.util.Arrays.copyOfRange(data, 0, n)
           case id => sys.error(s"unsupported HDF5 filter $id (szip/nbit out of scope)")
         }
       case _ => ()
