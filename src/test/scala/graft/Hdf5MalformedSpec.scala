@@ -104,9 +104,41 @@ class Hdf5MalformedSpec extends AnyFunSuite {
       "could not locate any v3 layout message in the raw bytes")
     val bad = real.clone()
     patched.foreach(idx => bad(idx) = 5.toByte)
+    // layout messages live inside object headers, whose lookup3
+    // checksums are now verified — rewrite them so the targeted
+    // version error (not the checksum gate) is what fires
+    Hdf5.fixHeaderChecksums(bad)
     val e = intercept[RuntimeException](readEverything(bad))
     assert(e.getMessage.contains("data layout version 5 unsupported"),
       e.getMessage)
+  }
+
+  test("corrupted object-header bytes fail the lookup3 checksum, never misparse") {
+    // the same patch WITHOUT repairing checksums must be caught by
+    // the header checksum gate (this is exactly the corruption class
+    // the format stores lookup3 values to detect)
+    val h5 = Hdf5.parse(real)
+    val idx = h5.vars.flatMap { v =>
+      val prefix = v.layout.kind match {
+        case "chunked" =>
+          Array[Byte](3, 2, v.layout.chunkDims.length.toByte) ++ le64(v.layout.addr)
+        case _ => Array.empty[Byte]
+      }
+      if (prefix.isEmpty) None else Some(indexOf(real, prefix)).filter(_ >= 0)
+    }
+    assume(idx.nonEmpty, "no chunked v3 layout message found in raw bytes")
+    val bad = real.clone()
+    idx.foreach(i => bad(i) = 5.toByte)
+    val e = intercept[RuntimeException](readEverything(bad))
+    assert(e.getMessage.contains("object header checksum mismatch"),
+      e.getMessage)
+  }
+
+  test("fixHeaderChecksums on a pristine file is a checksum-preserving no-op") {
+    val copy = real.clone()
+    Hdf5.fixHeaderChecksums(copy)
+    assert(java.util.Arrays.equals(copy, real),
+      "recomputed checksums differ from the library-written ones")
   }
 
   test("corrupted chunk B-tree signature is the documented signature error") {
