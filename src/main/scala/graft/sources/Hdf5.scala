@@ -15,8 +15,13 @@ import scala.collection.mutable.ArrayBuffer
   *
   *  - superblock v0 and v2/v3 (8-byte offsets/lengths)
   *  - object headers v1 (unsigned, 8-byte aligned messages) and v2
-  *    (`OHDR`, with `OCHK` continuation blocks) — v2 header and
-  *    continuation lookup3 checksums VERIFIED (round 12)
+  *    (`OHDR`, with `OCHK` continuation blocks)
+  *  - lookup3 checksums VERIFIED on every v2-era structure read
+  *    (round 12): superblock v2/v3, OHDR/OCHK, v2 B-tree header/
+  *    internal/leaf nodes, fractal heap header + direct blocks
+  *    (whole-block, checksum field zeroed, when FRHP flags it),
+  *    Fixed/Extensible Array headers and blocks — corrupted
+  *    metadata is a precise error, never a misparse
   *  - old-style groups: symbol-table message → v1 B-tree (`TREE`
   *    type 0) → `SNOD` symbol nodes + local heap (`HEAP`) names
   *  - new-style dense groups: Link Info message → fractal heap
@@ -138,6 +143,7 @@ object Hdf5 {
       case 2 | 3 =>
         require(b.u8(9) == 8 && b.u8(10) == 8,
           s"unsupported offset/length sizes ${b.u8(9)}/${b.u8(10)}")
+        blockChecksum(b, 0, 44, "superblock") // v0/v1 carry none
         b.u64(12 + 24)
       case v => sys.error(s"unsupported HDF5 superblock version $v")
     }
@@ -176,6 +182,24 @@ object Hdf5 {
     } else require(b.u32(end) == want,
       f"object header checksum mismatch at offset $start (stored 0x${b.u32(end)}%08x, computed 0x$want%08x)")
   }
+
+  /** Verify the lookup3 checksum stored at `end` over `[start, end)`
+    * for a named index/metadata structure (v2 B-tree nodes, fractal
+    * heap, Fixed/Extensible Array blocks, superblock v2/v3).
+    */
+  private def blockChecksum(b: Buf, start: Long, end: Long, what: String): Unit = {
+    val want = lookup3(b.bytes, start, (end - start).toInt).toLong & 0xffffffffL
+    require(b.u32(end) == want,
+      f"$what checksum mismatch at offset $start (stored 0x${b.u32(end)}%08x, computed 0x$want%08x)")
+  }
+
+  /** Fixture seam: the checksum value the verifiers above expect for
+    * a block's byte range — lets spec-built files carry REAL
+    * checksums (the algorithm itself is pinned against library-
+    * written bytes by the GOES pristine-no-op spec).
+    */
+  private[graft] def checksumOf(bytes: Array[Byte]): Long =
+    lookup3(bytes, 0L, bytes.length).toLong & 0xffffffffL
 
   /** All (messageType, bodyOffset, bodySize) of an object header,
     * v1 or v2, with continuation blocks spliced in. v2 (`OHDR`)
@@ -339,21 +363,47 @@ object Hdf5 {
     b.requireSig(hdr, "FRHP")
     val idLen: Int = b.u16(hdr + 5)
     private val ioFilterLen = b.u16(hdr + 7)
+    private val flags = b.u8(hdr + 9)
     // fixed header: sig(4) ver(1) idLen(2) ioLen(2) flags(1) maxMan(4)
     // = 14 bytes, then twelve 8-byte statistics fields → width at +110
     private val width = b.u16(hdr + 110)
+    private val startBlkSize = b.u64(hdr + 112)
     private val maxHeapBits = b.u16(hdr + 110 + 2 + 8 + 8) // after startBlk, maxDirect
     val offSz: Int = (maxHeapBits + 7) / 8
     val lenSz: Int = idLen - 1 - offSz
     private val rootBlk = b.u64(hdr + 128 + 2 + 2) // after maxHeapBits, startRows
     private val curRows = b.u16(hdr + 132 + 8)
+    // header checksum right after curRows (plus the filtered-root
+    // fields when the heap carries an I/O filter pipeline)
+    blockChecksum(b, hdr,
+      hdr + 142 + (if (ioFilterLen > 0) 12L + ioFilterLen else 0L),
+      "fractal heap header")
+
+    /** Direct blocks carry a checksum (flags bit 1) computed over the
+      * WHOLE block with the checksum field itself zeroed — the row's
+      * doubling-table size for indirect-pointed blocks, the starting
+      * block size for a direct root.
+      */
+    private def verifyDirect(addr: Long, size: Long): Unit =
+      if ((flags & 0x2) != 0 && ioFilterLen == 0) {
+        val img = b.slice(addr, size)
+        val cp = 4 + 1 + 8 + offSz
+        val stored = (img(cp) & 0xffL) | (img(cp + 1) & 0xffL) << 8 |
+          (img(cp + 2) & 0xffL) << 16 | (img(cp + 3) & 0xffL) << 24
+        java.util.Arrays.fill(img, cp, cp + 4, 0.toByte)
+        val want = lookup3(img, 0L, img.length).toLong & 0xffffffffL
+        require(stored == want,
+          f"fractal heap direct-block checksum mismatch at offset $addr (stored 0x$stored%08x, computed 0x$want%08x)")
+      }
 
     private val blocks: Array[(Long, Long)] = { // (heapOff, fileAddr) sorted
       val dhdrOff = 4 + 1 + 8 // sig + version + heap-header address
       val acc = ArrayBuffer.empty[(Long, Long)]
-      def direct(addr: Long): Unit =
+      def direct(addr: Long, size: Long): Unit = {
+        verifyDirect(addr, size)
         acc += ((b.uN(addr + dhdrOff, offSz), addr))
-      if (b.sig(rootBlk, "FHDB")) direct(rootBlk)
+      }
+      if (b.sig(rootBlk, "FHDB")) direct(rootBlk, startBlkSize)
       else {
         b.requireSig(rootBlk, "FHIB")
         var q = rootBlk + 4 + 1 + 8 + offSz
@@ -364,7 +414,8 @@ object Hdf5 {
           if (a != Undef) {
             require(b.sig(a, "FHDB"),
               "multi-level indirect fractal-heap blocks unsupported (≫10⁵-link group)")
-            direct(a)
+            val row = i / width
+            direct(a, if (row < 2) startBlkSize else startBlkSize << (row - 1))
           }
           q += entrySz; i += 1
         }
@@ -388,6 +439,7 @@ object Hdf5 {
     */
   private def btreeV2Records(b: Buf, btreeAddr: Long): (Int, Seq[Long]) = {
     b.requireSig(btreeAddr, "BTHD")
+    blockChecksum(b, btreeAddr, btreeAddr + 34, "v2 B-tree header")
     val nodeSize = b.u32(btreeAddr + 6)
     val recSize = b.u16(btreeAddr + 10)
     val depth = b.u16(btreeAddr + 12)
@@ -398,6 +450,7 @@ object Hdf5 {
     val recs = ArrayBuffer.empty[Long]
     def leaf(addr: Long, n: Int): Unit = {
       b.requireSig(addr, "BTLF")
+      blockChecksum(b, addr, addr + 6 + n.toLong * recSize, "v2 B-tree leaf")
       var q = addr + 6
       var i = 0
       while (i < n) { recs += q; q += recSize; i += 1 }
@@ -407,6 +460,9 @@ object Hdf5 {
       require(depth == 1, s"v2 B-tree depth $depth unsupported (≫10⁵-record index)")
       b.requireSig(rootAddr, "BTIN")
       val childNrecSz = bytesFor(leafMax)
+      blockChecksum(b, rootAddr,
+        rootAddr + 6 + nrecRoot.toLong * recSize +
+          (nrecRoot + 1).toLong * (8 + childNrecSz), "v2 B-tree internal node")
       var q = rootAddr + 6
       // internal records are also real records
       val internal = ArrayBuffer.empty[Long]
@@ -869,6 +925,7 @@ object Hdf5 {
     */
   private def readFixedArray(b: Buf, hdrAddr: Long): Seq[(Long, Long, Long, Int)] = {
     b.requireSig(hdrAddr, "FAHD")
+    blockChecksum(b, hdrAddr, hdrAddr + 24, "Fixed Array header")
     val client = b.u8(hdrAddr + 5)
     val entrySize = b.u8(hdrAddr + 6)
     val pageBits = b.u8(hdrAddr + 7)
@@ -890,6 +947,7 @@ object Hdf5 {
     val pageElems = 1L << pageBits
     val body = dblkAddr + 4 + 1 + 1 + 8 // sig + version + client + header address
     if (maxEntries <= pageElems) {
+      blockChecksum(b, dblkAddr, body + maxEntries * entrySize, "Fixed Array data block")
       var i = 0L
       while (i < maxEntries) { readElem(body + i * entrySize, i); i += 1 }
     } else {
@@ -897,12 +955,15 @@ object Hdf5 {
       // (each page = elements + 4-byte checksum) follow the block
       val nPages = (maxEntries + pageElems - 1) / pageElems
       val bitmapBytes = (nPages + 7) / 8
+      blockChecksum(b, dblkAddr, body + bitmapBytes, "Fixed Array data block")
       var pageStart = body + bitmapBytes + 4
       var pg = 0L
       while (pg < nPages) {
         val inPage = math.min(pageElems, maxEntries - pg * pageElems)
         val initialized = (b.u8(body + pg / 8) & (1 << (pg % 8).toInt)) != 0
         if (initialized) {
+          blockChecksum(b, pageStart, pageStart + inPage * entrySize,
+            "Fixed Array data block page")
           var i = 0L
           while (i < inPage) { readElem(pageStart + i * entrySize, pg * pageElems + i); i += 1 }
         }
@@ -926,6 +987,7 @@ object Hdf5 {
     */
   private def readExtensibleArray(b: Buf, hdrAddr: Long): Seq[(Long, Long, Long, Int)] = {
     b.requireSig(hdrAddr, "EAHD")
+    blockChecksum(b, hdrAddr, hdrAddr + 68, "Extensible Array header")
     val client = b.u8(hdrAddr + 5)
     val elemSize = b.u8(hdrAddr + 6)
     val maxBits = b.u8(hdrAddr + 7)
@@ -958,10 +1020,14 @@ object Hdf5 {
     def readDataBlock(addr: Long, start: Long, n: Long): Unit = {
       b.requireSig(addr, "EADB")
       var q = addr + 4 + 1 + 1 + 8 + offSize // sig, ver, client, hdr addr, block offset
+      blockChecksum(b, addr, q + n * elemSize, "Extensible Array data block")
       var i = 0L
       while (i < n) { readElem(q, start + i); q += elemSize; i += 1 }
     }
     b.requireSig(idxBlkAddr, "EAIB")
+    val iblkEnd = idxBlkAddr + 14 + idxElmts.toLong * elemSize +
+      (2L * (sblkMinPtrs - 1) + (nsblks - iblockNsblks)) * 8
+    blockChecksum(b, idxBlkAddr, iblkEnd, "Extensible Array index block")
     var p = idxBlkAddr + 4 + 1 + 1 + 8
     var linear = 0L
     var i = 0
@@ -988,6 +1054,7 @@ object Hdf5 {
         require(n <= pageElems, s"paged Extensible Array data block ($n elements) unsupported")
         b.requireSig(sbAddr, "EASB")
         var q = sbAddr + 4 + 1 + 1 + 8 + offSize
+        blockChecksum(b, sbAddr, q + ndblks(u).toLong * 8, "Extensible Array super block")
         var k = 0
         while (k < ndblks(u)) {
           val dbAddr = b.u64(q); q += 8

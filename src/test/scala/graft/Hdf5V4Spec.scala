@@ -40,6 +40,14 @@ class Hdf5V4Spec extends AnyFunSuite {
     def pad(n: Int): Unit = (0 until n).foreach(_ => u8(0))
     def patchU64(at: Long, v: Long): Unit =
       (0 until 8).foreach(i => buf(at.toInt + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    def patchU32(at: Long, v: Long): Unit =
+      (0 until 4).foreach(i => buf(at.toInt + i) = ((v >>> (8 * i)) & 0xff).toByte)
+    /** real lookup3 checksum of an already-written span — index
+      * structure checksums are verified on read (round 12), and the
+      * hash itself is pinned against library-written bytes by the
+      * GOES pristine-no-op spec */
+    def cksum(from: Long, until: Long): Long =
+      Hdf5.checksumOf(buf.slice(from.toInt, until.toInt).toArray)
     def result: Array[Byte] = buf.toArray
   }
 
@@ -136,10 +144,11 @@ class Hdf5V4Spec extends AnyFunSuite {
     w.u64(Undef)                       // superblock extension
     w.u64(Undef)                       // EOF (patched below)
     w.u64(Undef)                       // root header (patched below)
-    w.u32(0)                           // checksum (unverified by the reader)
+    w.u32(0)                           // checksum (patched once fields settle)
     val root = build(w)
     w.patchU64(36, root)
     w.patchU64(28, w.pos)
+    w.patchU32(44, w.cksum(0, 44))
     w.result
   }
 
@@ -250,19 +259,24 @@ class Hdf5V4Spec extends AnyFunSuite {
     w.u64(Undef); w.u32(0)
     val dblk = w.pos
     w.patchU64(dblkAddrAt, dblk)
+    w.patchU32(hdr + 24, w.cksum(hdr, hdr + 24))
     w.ascii("FADB"); w.u8(0); w.u8(client); w.u64(hdr)
     def elem(e: (Long, Long, Int)): Unit = {
       w.u64(e._1)
       if (client == 1) { w.uN(e._2, csLen); w.u32(e._3.toLong) }
     }
     val pageElems = 1 << pageBits
-    if (elems.length <= pageElems) { elems.foreach(elem); w.u32(0) }
-    else {
+    if (elems.length <= pageElems) {
+      elems.foreach(elem); w.u32(w.cksum(dblk, w.pos))
+    } else {
       val nPages = (elems.length + pageElems - 1) / pageElems
       val bitmap = new Array[Int]((nPages + 7) / 8)
       (0 until nPages).filterNot(uninitPages).foreach(p => bitmap(p / 8) |= 1 << (p % 8))
-      bitmap.foreach(w.u8); w.u32(0) // bitmap + data-block checksum
-      elems.grouped(pageElems).foreach { pg => pg.foreach(elem); w.u32(0) }
+      bitmap.foreach(w.u8); w.u32(w.cksum(dblk, w.pos)) // bitmap + data-block checksum
+      elems.grouped(pageElems).foreach { pg =>
+        val pageStart = w.pos
+        pg.foreach(elem); w.u32(w.cksum(pageStart, w.pos))
+      }
     }
     hdr
   }
@@ -331,12 +345,13 @@ class Hdf5V4Spec extends AnyFunSuite {
     val rootAt = w.pos
     w.u64(Undef); w.u16(records.length)
     w.u64(records.length.toLong)         // total records
-    w.u32(0)                             // checksum
+    w.u32(0)                             // checksum (patched below)
     val leaf = w.pos
     w.patchU64(rootAt, leaf)
+    w.patchU32(hdr + 34, w.cksum(hdr, hdr + 34))
     w.ascii("BTLF"); w.u8(0); w.u8(btype)
     records.foreach { r => assert(r.length == recSize); w.bytes(r) }
-    w.u32(0)
+    w.u32(w.cksum(leaf, w.pos))
     hdr
   }
 
@@ -448,7 +463,7 @@ class Hdf5V4Spec extends AnyFunSuite {
         w.ascii("EADB"); w.u8(0); w.u8(client); w.u64(hdr)
         w.uN(start.toLong, 2) // block offset (maxBits/8 bytes)
         (start until start + n).foreach(i => elem(at(i)))
-        w.u32(0)
+        w.u32(w.cksum(a, w.pos))
         a
       }
     val directA = dataBlock(2, 2) // sblk0: 1 block x 2
@@ -463,7 +478,7 @@ class Hdf5V4Spec extends AnyFunSuite {
         w.ascii("EASB"); w.u8(0); w.u8(client); w.u64(hdr)
         w.uN(8L, 2) // block offset
         w.u64(d0); w.u64(d1)
-        w.u32(0)
+        w.u32(w.cksum(a, w.pos))
         a
       }
     require(elems.length <= 16, "fixture geometry covers 16 slots")
@@ -473,8 +488,9 @@ class Hdf5V4Spec extends AnyFunSuite {
     w.u64(directA); w.u64(directB)
     w.u64(sblk2)
     (iblockNsblks + 1 until nsblks).foreach(_ => w.u64(Undef))
-    w.u32(0)
+    w.u32(w.cksum(iblk, w.pos))
     w.patchU64(idxAddrAt, iblk)
+    w.patchU32(hdr + 68, w.cksum(hdr, hdr + 68))
     hdr
   }
 
