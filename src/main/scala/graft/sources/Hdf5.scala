@@ -50,11 +50,12 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Out of scope, by design (throws with a precise message rather
   * than misreading): paged Extensible Array data blocks and
-  * non-dim-0 unlimited dimensions (swizzled chunk order), B-tree v2
-  * depth > 1 and multi-level indirect fractal-heap blocks (groups
-  * with ~100k+ links), variable-length and compound datatypes, dense
-  * attribute storage (compact attributes cover the netCDF-4
-  * per-variable metadata the ETL reads).
+  * non-dim-0 unlimited dimensions (swizzled chunk order), virtual
+  * storage (layout class 3), B-tree v2 depth > 1 and multi-level
+  * indirect fractal-heap blocks (groups with ~100k+ links),
+  * variable-length and compound datatypes, dense attribute storage
+  * (compact attributes cover the netCDF-4 per-variable metadata the
+  * ETL reads).
   *
   * Scale shape: identical to [[NetCdf]] — one file is one task; the
   * byte array arrives via Spark's `binaryFile` source and is parsed
@@ -563,6 +564,8 @@ object Hdf5 {
         val addr = b.u64(q)
         Layout("chunked", addr, 0, cdims, null,
           Some(V4Index(flags, idxType, singleSize, singleMask)))
+      case c => sys.error(
+        s"unsupported data layout class $c (virtual storage out of scope)")
     }
   }
 
@@ -729,6 +732,8 @@ object Hdf5 {
               data = out
             }
           case 3 => // fletcher32: verify the appended 4-byte checksum, then strip
+            require(data.length >= 4,
+              s"fletcher32-filtered chunk of ${data.length} bytes cannot carry its checksum (corrupt size)")
             val n = data.length - 4
             val stored = (data(n) & 0xffL) | (data(n + 1) & 0xffL) << 8 |
               (data(n + 2) & 0xffL) << 16 | (data(n + 3) & 0xffL) << 24
@@ -835,9 +840,18 @@ object Hdf5 {
 
         // chunk-grid extents per dataspace dim; linear index is
         // row-major over the grid (slowest dim first) — the canonical
-        // order of Implicit storage and Fixed Array entries
+        // order of Implicit storage and Fixed Array entries. The grid
+        // is sized by the MAX dims where defined (HDF5 linearizes all
+        // non-B-tree v4 indexes over the max-extent chunk grid, so an
+        // extendable-but-below-max dataset still addresses correctly);
+        // an unlimited max (Undef) falls back to the current extent.
         def gridDims: Seq[Long] =
-          (0 until rank - 1).map(d => (dims(d) + cdims(d) - 1) / cdims(d))
+          (0 until rank - 1).map { d =>
+            val extent =
+              if (d < v.maxDims.length && v.maxDims(d) != Undef) v.maxDims(d)
+              else dims(d)
+            (extent + cdims(d) - 1) / cdims(d)
+          }
         def gridOffs(linear: Long): Seq[Long] = {
           val g = gridDims
           val offs = new Array[Long](rank)
@@ -857,7 +871,7 @@ object Hdf5 {
                 val filtered = (ix.flags & 0x2) != 0
                 place(v.layout.addr,
                   if (filtered) ix.singleSize else -1L,
-                  ix.singleMask, Seq.fill(rank)(0L), edgeUnfiltered = false)
+                  ix.singleMask, Seq.fill(rank)(0L), edgeUnfiltered)
               case 2 => // Implicit: unfiltered chunks, contiguous in grid order
                 require(v.filters.isEmpty, "implicit chunk index with filters")
                 val n = gridDims.product

@@ -564,6 +564,43 @@ class Hdf5V4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("swizzled chunk order"), e.getMessage)
   }
 
+  test("v4 Fixed Array over an extendable dataset linearizes on the MAX-dims grid") {
+    // dims 8x3 but maxDims 8x6: the FA is sized for the 4x2 max grid,
+    // so the chunk covering rows 2-3 sits at linear index 2, not 1 —
+    // a current-dims linearization scatters it into the wrong rows
+    val (rows, cols) = (8, 3)
+    val bytes = file { w =>
+      val elems = (0 until 8).map { linear =>
+        val (gi, gj) = (linear / 2, linear % 2)
+        if (gj == 1) (Undef, -1L, 0) // cols 3-5: beyond current extent
+        else { val a = w.pos; w.bytes(chunkData(rows, cols, gi * 2, 0, 2, 3)); (a, -1L, 0) }
+      }
+      val fa = fixedArray(w, client = 0, csLen = 0, pageBits = 10, elems)
+      val d = dsetHeader(w, Seq(rows, cols),
+        layoutV4Msg(0, Seq(2, 3, 4), 3, fa, extra = Array(10.toByte)),
+        filtered = false, maxDims = Seq(8, 6))
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == expected(rows, cols).toSeq)
+  }
+
+  test("v4 Single Chunk honors flag bit 0: partial chunk stored raw despite filters") {
+    // dataset 3x2 inside a 4x3 chunk (partial) with a deflate pipeline
+    // and DONT_FILTER_PARTIAL_BOUND_CHUNKS set: payload is raw
+    val raw = chunkData(3, 2, 0, 0, 4, 3)
+    val bytes = file { w =>
+      val chunk = w.pos
+      w.bytes(raw)
+      val extra = msgBytes { x => x.u64(raw.length.toLong); x.u32(0) }
+      val d = dsetHeader(w, Seq(3, 2),
+        layoutV4Msg(0x3, Seq(4, 3, 4), 1, chunk, extra), filtered = true,
+        maxDims = Seq(4, 3))
+      rootFor(w, "d" -> d)
+    }
+    val want = (0 until 3).flatMap(i => (0 until 2).map(j => (100 * i + j).toDouble))
+    assert(readVar(bytes).toSeq == want)
+  }
+
   // ----------------------------------------------------------------
   // fletcher32 verification (round 12: verified, not just stripped)
   // ----------------------------------------------------------------
@@ -614,6 +651,35 @@ class Hdf5V4Spec extends AnyFunSuite {
   test("corrupted fletcher32 checksum is a precise error, not misread data") {
     val e = intercept[IllegalArgumentException](readVar(fletcherFile(corruptChecksum = true)))
     assert(e.getMessage.contains("fletcher32 mismatch"), e.getMessage)
+  }
+
+  test("fletcher32 chunk too small for its checksum is a precise error") {
+    // a (corrupt) stored size of 2 bytes cannot carry the 4-byte
+    // checksum — must not index out of bounds
+    val bytes = file { w =>
+      val chunk = w.pos
+      w.u16(0xbeef)
+      val extra = msgBytes { x => x.u64(2L); x.u32(0) }
+      val d = v1Header(w,
+        Seq((1, dataspaceMsg(Seq(4, 3))), (3, int32Msg),
+          (11, fletcherFilterMsg),
+          (8, layoutV4Msg(0x2, Seq(4, 3, 4), 1, chunk, extra))))
+      rootFor(w, "d" -> d)
+    }
+    val e = intercept[IllegalArgumentException](readVar(bytes))
+    assert(e.getMessage.contains("cannot carry its checksum"), e.getMessage)
+  }
+
+  test("v4 virtual-storage layout class is the documented precise rejection") {
+    val e = intercept[RuntimeException] {
+      file { w =>
+        val d = v1Header(w,
+          Seq((1, dataspaceMsg(Seq(4, 3))), (3, int32Msg),
+            (8, msgBytes { x => x.u8(4); x.u8(3); x.u64(0); x.u32(0) })))
+        rootFor(w, "d" -> d)
+      } match { case bytes => Hdf5.parse(bytes) }
+    }
+    assert(e.getMessage.contains("unsupported data layout class 3"), e.getMessage)
   }
 
   test("v4 Extensible Array paged data blocks are rejected precisely") {
