@@ -216,6 +216,10 @@ object SparkEntry {
     // smaller-id cell-mate is cosine-similar at τ
     "q107_semdedup_prune" -> ((s, d) =>
       Dedup.semdedupPrune(Tables.embeddings(s, d))),
+    // canonical text normalization: whitespace collapse + trim + NFC
+    // (native graft_nfc), the standard pre-dedup canonicalization
+    "q109_text_normalize" -> ((s, d) =>
+      TextAnalysis.normalizeText(Tables.documents(s, d))),
     // full Lloyd loop (rows-only: iterative) — trained centroids in
     // long form, the q106/q107 codebook producer
     "q108_kmeans_train" -> ((s, d) => {
@@ -1556,5 +1560,12 @@ object SparkEntry {
         SELECT n.vec_id, n.cid AS cell FROM n
         ANTI JOIN dominated d ON n.vec_id = d.vec_id
         ORDER BY n.vec_id""",
+    // whitespace-collapse + trim + NFC; the explicit ASCII whitespace
+    // class keeps Java-regex and RE2 semantics identical
+    "q109_text_normalize" ->
+      """SELECT doc_id,
+          nfc_normalize(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS norm_text,
+          (nfc_normalize(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) != text) AS changed
+        FROM documents ORDER BY doc_id""",
   )
 }

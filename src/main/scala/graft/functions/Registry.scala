@@ -27,7 +27,9 @@ object Registry {
     ("graft_regexp_groups", "graft.functions.RegexpGroups",
       exprs => RegexpGroups.fromExprs(exprs)),
     ("graft_pii_scan", "graft.functions.PiiScan",
-      exprs => PiiScan.fromExprs(exprs)))
+      exprs => PiiScan.fromExprs(exprs)),
+    ("graft_nfc", "graft.functions.NfcNormalize",
+      exprs => NfcNormalize(exprs.head)))
 
   /** Idempotently register graft functions in the session's registry.
     * Skips names already present: re-registering emits a "function

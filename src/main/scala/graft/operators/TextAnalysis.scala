@@ -24,6 +24,30 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** Canonical text normalization (q109) — the standard pre-dedup
+    * canonicalization stage: collapse whitespace runs (the explicit
+    * ASCII class `[ \t\n\r\f]` so Java-regex and RE2 `\s` dialect
+    * differences can't diverge the engines), trim, then Unicode NFC
+    * via the native [[graft.functions.NfcNormalize]] expression — so
+    * `e + COMBINING ACUTE` and precomposed `é` dedup/shingle/hash
+    * identically downstream, and two crawls of the same page that
+    * differ only in whitespace or composition form collapse in q23.
+    *
+    * One map-only scan (no shuffle, no UDF — everything stays in
+    * whole-stage codegen); at 100 TB this runs at I/O speed as a
+    * rewrite or as an inline stage fused into whatever consumes it.
+    * `changed` flags rows the canonicalization actually touched (the
+    * usual monitoring signal for "how dirty is this crawl").
+    */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    graft.functions.Registry.ensure(docs.sparkSession)
+    val norm = call_function("graft_nfc",
+      trim(regexp_replace(col("text"), "[ \t\n\r\f]+", " ")))
+    docs.select(col("doc_id"), norm.as("norm_text"),
+        (norm =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Count tokens belonging to a word set — native codegen'd
     * [[graft.functions.CountInSet]] (same semantics as
     * `size(filter(arr, t -> t IN set))`, ~3× faster).

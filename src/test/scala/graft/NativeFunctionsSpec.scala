@@ -95,6 +95,32 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(got == Seq(Seq("abc", "42"), Seq("", "")))
   }
 
+  test("graft_nfc: composes decompositions, identity on normalized text, idempotent") {
+    import spark.implicits._
+    val decomposed = "Cafe\u0301 au lait" // e + COMBINING ACUTE ACCENT
+    val composed = "Caf\u00e9 au lait"     // precomposed e-acute
+    bothPaths {
+      Seq((1, decomposed), (2, composed), (3, "plain ascii"), (4, ""),
+          (5, "日本語 🙂 עברית"))
+        .toDF("id", "s")
+        .select($"id", call_function("graft_nfc", $"s").as("n"))
+        .orderBy($"id")
+    }
+    Registry.ensure(spark)
+    val got = Seq((1, decomposed), (2, composed))
+      .toDF("id", "s")
+      .select(call_function("graft_nfc", $"s").as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == composed, "decomposed form not composed to NFC")
+    assert(got(1) == composed, "already-NFC text changed")
+    // idempotency: nfc(nfc(x)) == nfc(x)
+    val twice = Seq(Tuple1(decomposed)).toDF("s")
+      .select(call_function("graft_nfc",
+        call_function("graft_nfc", $"s")).as("n"))
+      .collect()(0).getString(0)
+    assert(twice == composed)
+  }
+
   test("native expressions propagate null inputs as null") {
     Registry.ensure(spark)
     import spark.implicits._
@@ -103,5 +129,7 @@ class NativeFunctionsSpec extends AnyFunSuite {
       split($"s", " "), lit("x"))).collect()(0).isNullAt(0))
     assert(df.select(call_function("graft_regexp_groups",
       $"s", lit("(x)"))).collect()(0).isNullAt(0))
+    assert(df.select(call_function("graft_nfc", $"s"))
+      .collect()(0).isNullAt(0))
   }
 }
