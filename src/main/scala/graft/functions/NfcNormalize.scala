@@ -47,6 +47,14 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 object NfcNormalize {
+  /** Registry builder: exactly one string argument. */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"graft_nfc expects 1 argument (string), got ${exprs.length}")
+    NfcNormalize(exprs.head)
+  }
+
   /** Shared by the interpreted and generated paths (the generated
     * code calls this directly, so both are literally the same body).
     */

@@ -29,7 +29,7 @@ object Registry {
     ("graft_pii_scan", "graft.functions.PiiScan",
       exprs => PiiScan.fromExprs(exprs)),
     ("graft_nfc", "graft.functions.NfcNormalize",
-      exprs => NfcNormalize(exprs.head)))
+      exprs => NfcNormalize.fromExprs(exprs)))
 
   /** Idempotently register graft functions in the session's registry.
     * Skips names already present: re-registering emits a "function

@@ -169,11 +169,14 @@ object Hdf5 {
   private final val ChecksumVerify = 0
   private final val ChecksumFix = 1
 
-  /** Verify (or, in fix mode, rewrite) the lookup3 checksum stored at
-    * `end` over the block `[start, end)` — the layout of both OHDR
-    * chunk 0 and OCHK continuation blocks.
+  /** Verify — or, in fix mode, rewrite — the lookup3 checksum stored
+    * at `end` over the block `[start, end)`: the shared layout of
+    * OHDR chunk 0, OCHK continuations, v2 B-tree nodes, fractal heap
+    * header/indirect blocks, Fixed/Extensible Array blocks, and
+    * superblock v2/v3.
     */
-  private def headerChecksum(b: Buf, start: Long, end: Long, mode: Int): Unit = {
+  private def blockChecksum(b: Buf, start: Long, end: Long, what: String,
+                            mode: Int = ChecksumVerify): Unit = {
     val want = lookup3(b.bytes, start, (end - start).toInt).toLong & 0xffffffffL
     if (mode == ChecksumFix) {
       var i = 0
@@ -181,18 +184,11 @@ object Hdf5 {
         b.bytes((end + i).toInt) = ((want >>> (8 * i)) & 0xff).toByte; i += 1
       }
     } else require(b.u32(end) == want,
-      f"object header checksum mismatch at offset $start (stored 0x${b.u32(end)}%08x, computed 0x$want%08x)")
-  }
-
-  /** Verify the lookup3 checksum stored at `end` over `[start, end)`
-    * for a named index/metadata structure (v2 B-tree nodes, fractal
-    * heap, Fixed/Extensible Array blocks, superblock v2/v3).
-    */
-  private def blockChecksum(b: Buf, start: Long, end: Long, what: String): Unit = {
-    val want = lookup3(b.bytes, start, (end - start).toInt).toLong & 0xffffffffL
-    require(b.u32(end) == want,
       f"$what checksum mismatch at offset $start (stored 0x${b.u32(end)}%08x, computed 0x$want%08x)")
   }
+
+  private def headerChecksum(b: Buf, start: Long, end: Long, mode: Int): Unit =
+    blockChecksum(b, start, end, "object header", mode)
 
   /** Fixture seam: the checksum value the verifiers above expect for
     * a block's byte range — lets spec-built files carry REAL
@@ -374,11 +370,13 @@ object Hdf5 {
     val lenSz: Int = idLen - 1 - offSz
     private val rootBlk = b.u64(hdr + 128 + 2 + 2) // after maxHeapBits, startRows
     private val curRows = b.u16(hdr + 132 + 8)
-    // header checksum right after curRows (plus the filtered-root
-    // fields when the heap carries an I/O filter pipeline)
-    blockChecksum(b, hdr,
-      hdr + 142 + (if (ioFilterLen > 0) 12L + ioFilterLen else 0L),
-      "fractal heap header")
+    // filtered heap blocks are stored compressed — the raw block
+    // parse AND the whole-block checksum rule below would both
+    // misread them, so reject precisely (netCDF-4 link heaps are
+    // unfiltered; this is a deep-corner libver feature)
+    require(ioFilterLen == 0,
+      s"fractal heap with an I/O filter pipeline unsupported ($ioFilterLen-byte filter info)")
+    blockChecksum(b, hdr, hdr + 142, "fractal heap header")
 
     /** Direct blocks carry a checksum (flags bit 1) computed over the
       * WHOLE block with the checksum field itself zeroed — the row's
@@ -386,7 +384,7 @@ object Hdf5 {
       * block size for a direct root.
       */
     private def verifyDirect(addr: Long, size: Long): Unit =
-      if ((flags & 0x2) != 0 && ioFilterLen == 0) {
+      if ((flags & 0x2) != 0) {
         val img = b.slice(addr, size)
         val cp = 4 + 1 + 8 + offSz
         val stored = (img(cp) & 0xffL) | (img(cp + 1) & 0xffL) << 8 |
@@ -408,7 +406,11 @@ object Hdf5 {
       else {
         b.requireSig(rootBlk, "FHIB")
         var q = rootBlk + 4 + 1 + 8 + offSz
-        val entrySz = 8 + (if (ioFilterLen > 0) 12 else 0)
+        // indirect block checksum: trailing field over the header +
+        // the curRows*width direct-block entries (8 bytes each when
+        // unfiltered, which the constructor guarantees)
+        blockChecksum(b, rootBlk, q + curRows.toLong * width * 8,
+          "fractal heap indirect block")
         var i = 0
         while (i < curRows * width) {
           val a = b.u64(q)
@@ -418,7 +420,7 @@ object Hdf5 {
             val row = i / width
             direct(a, if (row < 2) startBlkSize else startBlkSize << (row - 1))
           }
-          q += entrySz; i += 1
+          q += 8; i += 1
         }
       }
       acc.sortBy(_._1).toArray
