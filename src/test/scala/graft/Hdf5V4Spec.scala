@@ -653,6 +653,34 @@ class Hdf5V4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("fletcher32 mismatch"), e.getMessage)
   }
 
+  test("fletcher32 block folding: large and odd-length chunks verify (>720-byte path)") {
+    // the reader's 360-word overflow-deferral blocks only engage past
+    // 720 bytes, and the odd-byte tail needs its own term — exercise
+    // both with a 1-byte dtype so the total byte count can be odd
+    val u8Msg = msgBytes { w =>
+      w.u8(0x10); w.u8(0x08); w.u8(0); w.u8(0) // class 0 v1, unsigned-off LE
+      w.u32(1)
+      w.u16(0); w.u16(8)
+    }
+    for (n <- Seq(1441, 2000)) { // odd > 2x360 words, and even
+      val raw = (0 until n).map(i => (i % 100).toByte).toArray
+      val sum = fletcherRef(raw)
+      val bytes = file { w =>
+        val chunk = w.pos
+        w.bytes(raw); w.u32(sum)
+        val extra = msgBytes { x => x.u64(raw.length + 4L); x.u32(0) }
+        val d = v1Header(w,
+          Seq((1, dataspaceMsg(Seq(n))), (3, u8Msg),
+            (11, fletcherFilterMsg),
+            (8, layoutV4Msg(0x2, Seq(n, 1), 1, chunk, extra))))
+        rootFor(w, "d" -> d)
+      }
+      val got = readVar(bytes)
+      assert(got.length == n && got(7) == 7.0 && got(n - 1) == ((n - 1) % 100).toDouble,
+        s"large fletcher32 chunk misread at n=$n")
+    }
+  }
+
   test("fletcher32 chunk too small for its checksum is a precise error") {
     // a (corrupt) stored size of 2 bytes cannot carry the 4-byte
     // checksum — must not index out of bounds
