@@ -141,6 +141,24 @@ class Hdf5MalformedSpec extends AnyFunSuite {
       "recomputed checksums differ from the library-written ones")
   }
 
+  test("corrupted fractal-heap direct-block bytes fail the block checksum") {
+    // flip a byte in the payload region of every FHDB (link names live
+    // here) — the whole-block checksum must catch it before any link
+    // is parsed from the damaged block
+    val sig = "FHDB".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val bad = real.clone()
+    var found = 0
+    var i = indexOf(bad, sig)
+    while (i >= 0) {
+      bad(i + 24) = (bad(i + 24) ^ 0x5a).toByte; found += 1
+      val next = indexOf(java.util.Arrays.copyOfRange(bad, i + 4, bad.length), sig)
+      i = if (next < 0) -1 else i + 4 + next
+    }
+    assert(found > 0, "no FHDB signatures in the GOES sample?")
+    val e = intercept[RuntimeException](readEverything(bad))
+    assert(e.getMessage.contains("direct-block checksum mismatch"), e.getMessage)
+  }
+
   test("corrupted chunk B-tree signature is the documented signature error") {
     val tree = "TREE".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     var found = 0
