@@ -41,13 +41,16 @@ object Multimodal {
     final case class PpmImage(width: Int, height: Int, maxval: Int,
                               pixels: Array[Byte])
 
-    /** Parse a PPM P6 payload (public Netpbm spec): magic `P6`, then
-      * three whitespace-separated decimal fields (width, height,
+    /** Parse a PPM P6 / PGM P5 payload (public Netpbm spec): magic,
+      * then three whitespace-separated decimal fields (width, height,
       * maxval) with `#`-to-end-of-line comments allowed anywhere in
       * the header, then EXACTLY ONE whitespace byte, then w·h packed
-      * RGB triples. Returns None for anything malformed — wrong
-      * magic, maxval outside [1,255] (2-byte samples are out of
-      * scope), or a truncated pixel section — never a misread image.
+      * RGB triples (P6) or single gray bytes (P5 — expanded to
+      * r=g=b on decode, so downstream pooling is channel-uniform and
+      * luma equals the gray value exactly). Returns None for
+      * anything malformed — wrong magic, maxval outside [1,255]
+      * (2-byte samples are out of scope), or a truncated pixel
+      * section — never a misread image.
       */
     def decodePpm(payload: Array[Byte]): Option[PpmImage] = {
       var pos = 0
@@ -70,18 +73,34 @@ object Multimodal {
         if (s.nonEmpty && s.forall(c => c >= '0' && c <= '9') &&
             s.length <= 9) Some(s.toInt) else None
       for {
-        magic <- token() if magic == "P6"
+        magic <- token() if magic == "P6" || magic == "P5"
         w <- token().flatMap(int) if w > 0
         h <- token().flatMap(int) if h > 0
         mv <- token().flatMap(int) if mv >= 1 && mv <= 255
         // the spec demands a single whitespace byte after maxval
         _ <- if (pos < payload.length && isWs(payload(pos))) Some(())
              else None
-        npix = w.toLong * h * 3
-        _ <- if (payload.length - (pos + 1) >= npix && npix <= Int.MaxValue)
+        perPx = if (magic == "P6") 3 else 1
+        nbytes = w.toLong * h * perPx
+        _ <- if (payload.length - (pos + 1) >= nbytes && w.toLong * h * 3 <= Int.MaxValue)
                Some(()) else None
-      } yield PpmImage(w, h, mv,
-        java.util.Arrays.copyOfRange(payload, pos + 1, pos + 1 + npix.toInt))
+      } yield {
+        val stored = java.util.Arrays.copyOfRange(
+          payload, pos + 1, pos + 1 + nbytes.toInt)
+        val pixels =
+          if (perPx == 3) stored
+          else { // P5: gray v -> (v, v, v)
+            val out = new Array[Byte](stored.length * 3)
+            var k = 0
+            while (k < stored.length) {
+              out(3 * k) = stored(k); out(3 * k + 1) = stored(k)
+              out(3 * k + 2) = stored(k)
+              k += 1
+            }
+            out
+          }
+        PpmImage(w, h, mv, pixels)
+      }
     }
 
     /** Mean-pool a decoded raster: global per-channel means plus the

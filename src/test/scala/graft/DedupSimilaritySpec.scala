@@ -348,12 +348,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"pooled features drifted: ${f.toSeq}")
   }
 
+  test("pgm P5 decode: gray expands to uniform channels, luma equals gray") {
+    // P5 "40 50" 2x1 grayscale: decode must yield r=g=b per pixel and
+    // a truncated pixel section must still be a clean None
+    val p5 = ("P5\n2 1\n255\n".getBytes("US-ASCII") :+ 40.toByte) :+ 50.toByte
+    val img = Multimodal.MediaDecoder.decodePpm(p5).get
+    assert((img.width, img.height, img.maxval) == ((2, 1, 255)))
+    assert(img.pixels.toSeq == Seq[Byte](40, 40, 40, 50, 50, 50))
+    val f = Multimodal.MediaDecoder.poolFeatures(img)
+    assert(f(2) == 45.0 && f(3) == 45.0 && f(4) == 45.0,
+      s"gray means not channel-uniform: ${f.toSeq}")
+    assert(Multimodal.MediaDecoder.decodePpm(
+      p5.dropRight(1)).isEmpty, "truncated P5 decoded")
+  }
+
   test("ppm decode: malformed payloads decode to None, never a misread") {
     val d = Multimodal.MediaDecoder
     val good = ppm(2, 2, 255, Seq.fill(4)((1, 2, 3)))
     assert(d.decodePpm(good).isDefined)
-    // wrong magic (P5 is grayscale, out of scope)
-    assert(d.decodePpm("P5\n2 2\n255\n".getBytes ++ good.drop(12)).isEmpty)
+    // wrong magic (P4 bitmap stays out of scope; P5 now decodes)
+    assert(d.decodePpm("P4\n2 2\n255\n".getBytes ++ good.drop(12)).isEmpty)
     // truncated pixel section
     assert(d.decodePpm(good.dropRight(1)).isEmpty)
     // 2-byte samples (maxval > 255) are out of scope even with ample bytes
