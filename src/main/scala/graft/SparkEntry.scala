@@ -220,6 +220,10 @@ object SparkEntry {
     // (native graft_nfc), the standard pre-dedup canonicalization
     "q109_text_normalize" -> ((s, d) =>
       TextAnalysis.normalizeText(Tables.documents(s, d))),
+    // Druid-style two-level HLL sketch rollup (rows-only: sketch
+    // estimates are engine-specific; invariants spec-pinned)
+    "q110_sketch_rollup" -> ((s, d) =>
+      TimeSeries.sketchRollup(Tables.events(s, d))),
     // full Lloyd loop (rows-only: iterative) — trained centroids in
     // long form, the q106/q107 codebook producer
     "q108_kmeans_train" -> ((s, d) => {

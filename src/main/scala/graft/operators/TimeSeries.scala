@@ -204,6 +204,35 @@ object TimeSeries {
     pairs.orderBy($"user_id", $"event_a", $"event_b")
   }
 
+  /** Druid-style sketch rollup (q110): per-(source, day) HLL user
+    * sketches at ingest grain, then coarser distinct-user rollups as
+    * sketch UNIONS — the two-level pattern behind Druid's
+    * HLLSketchBuild/HLLSketchMerge metric pair, and THE reason a
+    * sketch column beats re-scanning raw events at 100 TB: the
+    * ingest-grain aggregation runs once and materializes ~bytes per
+    * (source, day); every later rollup (any window, any grouping
+    * coarsening) unions those fixed-size sketches — work proportional
+    * to the number of GRAINS, not events. Spark's native datasketches
+    * HLL functions keep it codegen-friendly and mergeable across
+    * partitions (union is associative+commutative, so the two-phase
+    * distributed aggregate is exact over sketch state — the
+    * one-level/two-level equality is spec-pinned, as is the estimate
+    * error against exact distinct counts).
+    */
+  def sketchRollup(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"),
+        count(lit(1)).as("events"))
+    daily
+      .groupBy($"event_type")
+      .agg(
+        hll_sketch_estimate(hll_union_agg($"sk")).as("distinct_users"),
+        count(lit(1)).as("days"),
+        sum($"events").as("events"))
+      .orderBy($"event_type")
+  }
+
   /** Storage-growth projections — goes_satellite_etl.py:415-489:
     * total/average payload size and extrapolated daily/weekly/monthly
     * growth assuming one source batch per minute (the reference's

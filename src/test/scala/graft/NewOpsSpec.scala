@@ -149,6 +149,35 @@ class NewOpsSpec extends AnyFunSuite {
     assert(pairs.collect().forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("sketch rollup: two-level union equals one-level sketch; estimate near exact") {
+    import graft.sources.Tables
+    import graft.operators.TimeSeries
+    val events = Tables.events(spark, dir)
+    val got = TimeSeries.sketchRollup(events)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // two-level (day sketches unioned) must EQUAL the one-level
+    // direct sketch — HLL union is a lossless merge of sketch state
+    val oneLevel = events.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == oneLevel.keySet && got.nonEmpty)
+    got.foreach { case (src, (est, _, _)) =>
+      assert(est == oneLevel(src),
+        s"$src: two-level union $est != one-level sketch ${oneLevel(src)}")
+    }
+    // estimates track the exact distinct counts (lgk=12 default: the
+    // relative-error envelope is well under 5% at these cardinalities)
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    exact.foreach { case (src, d, n) =>
+      val (est, _, evs) = got(src)
+      assert(math.abs(est.toDouble - d) <= math.max(1.0, 0.05 * d),
+        s"$src: sketch estimate $est vs exact $d")
+      assert(evs == n, s"$src: event count pass-through broke")
+    }
+  }
+
   test("bm25: zero-hit docs score zero; ranks strictly ordered") {
     val docs = Tables.documents(spark, dir)
     val top = TextAnalysis.bm25Rank(docs, Seq("data", "query", "spark"))
