@@ -224,6 +224,32 @@ object SparkEntry {
     // estimates are engine-specific; invariants spec-pinned)
     "q110_sketch_rollup" -> ((s, d) =>
       TimeSeries.sketchRollup(Tables.events(s, d))),
+    // product-quantization ADC search (rows-only: iterative per-
+    // subspace Lloyd training; recall + ADC reconstruction identity
+    // pinned in NewOpsSpec)
+    "q111_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d))),
+    // two-pass heavy hitters: mergeable Misra-Gries candidates +
+    // exact recount — final output deterministic, hash-oracled
+    "q113_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    // CCNet-style bigram-LM fluency score; per-doc float sum made
+    // order-deterministic (sorted fold), so it hash-oracles exactly
+    "q112_lm_fluency" -> ((s, d) =>
+      TextAnalysis.lmFluency(Tables.documents(s, d))),
+    // JL ±1 random projection — map-only, integer-exact, sign matrix
+    // shared with the oracle via the same seeded generator
+    "q114_random_projection" -> ((s, d) =>
+      Similarity.randomProjection(Tables.embeddings(s, d))),
+    // greedy k-center diversity sample — integer-exact pick sequence,
+    // replayed by a recursive-CTE oracle
+    "q115_kcenter_sample" -> ((s, d) =>
+      Similarity.kcenterSample(Tables.embeddings(s, d))),
+    // KMV theta-sketch distinct-user intersection per event-type pair
+    // (rows-only: xxhash64 has no DuckDB twin; error bound + lossless
+    // small-union collapse spec-pinned)
+    "q116_kmv_intersect" -> ((s, d) =>
+      TimeSeries.kmvIntersect(Tables.events(s, d))),
     // full Lloyd loop (rows-only: iterative) — trained centroids in
     // long form, the q106/q107 codebook producer
     "q108_kmeans_train" -> ((s, d) => {
@@ -1571,5 +1597,105 @@ object SparkEntry {
           nfc_normalize(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) AS norm_text,
           (nfc_normalize(trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))) != text) AS changed
         FROM documents ORDER BY doc_id""",
+    // two-pass heavy hitters: the Misra-Gries candidate pass is a
+    // strict superset of everything above the n/128 gate (capacity
+    // 256 > denom 128), so the exact-recount output equals plain
+    // GROUP BY / HAVING — all-integer, hash-exact
+    "q113_heavy_hitters" ->
+      """WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents),
+        t AS (SELECT w FROM toks WHERE w <> ''),
+        tot AS (SELECT COUNT(*) AS n_tokens FROM t)
+        SELECT w AS term, COUNT(*) AS n, n_tokens
+        FROM t CROSS JOIN tot
+        GROUP BY 1, 3
+        HAVING COUNT(*) * 128 > n_tokens
+        ORDER BY n DESC, term""",
+    // bigram-LM fluency: every probability is integer math + ONE
+    // double division; the per-doc sum folds the position-sorted
+    // probability list so both engines add identical doubles in
+    // identical order (mirrors sort_array(collect_list) + aggregate)
+    "q112_lm_fluency" ->
+      """WITH toks AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+              x -> x <> '') AS arr
+          FROM documents),
+        t2 AS (SELECT doc_id, arr FROM toks WHERE len(arr) > 0),
+        bi AS (
+          SELECT doc_id, arr, generate_subscripts(arr, 1) AS i,
+            unnest(arr) AS w
+          FROM t2),
+        bi2 AS (
+          SELECT doc_id, i - 1 AS pos, w,
+            CASE WHEN i = 1 THEN '<s>' ELSE arr[i - 1] END AS prev
+          FROM bi),
+        c2 AS (SELECT prev, w, COUNT(*) AS c2 FROM bi2 GROUP BY 1, 2),
+        c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        voc AS (SELECT COUNT(DISTINCT w) AS vsz FROM c2),
+        scored AS (
+          SELECT b.doc_id, b.pos,
+            CAST(c.c2 + 1 AS DOUBLE) / CAST(p.c1 + v.vsz AS DOUBLE) AS p
+          FROM bi2 b
+          JOIN c2 c ON b.prev = c.prev AND b.w = c.w
+          JOIN c1 p ON b.prev = p.prev
+          CROSS JOIN voc v),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+            list_reduce(
+              list_transform(
+                list_sort(list(struct_pack(i := pos, x := p))), s -> s.x),
+              (a, b) -> a + b) AS ssum
+          FROM scored GROUP BY 1)
+        SELECT doc_id, n_bigrams, ssum / CAST(n_bigrams AS DOUBLE) AS avg_p
+        FROM agg ORDER BY doc_id""",
+    // JL projection: the ±1 sign matrix is interpolated from the SAME
+    // seeded generator the Spark side inlines (Similarity.jlSigns),
+    // so both engines multiply identical integers
+    "q114_random_projection" -> {
+      val values = operators.Similarity.jlSigns().zipWithIndex.flatMap {
+        case (row, j) =>
+          row.zipWithIndex.map { case (s, i0) => s"($j,${i0 + 1},$s)" }
+      }.mkString(",")
+      s"""WITH q AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings),
+        expl AS (
+          SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS qv
+          FROM q),
+        s(j, i, sgn) AS (VALUES $values)
+        SELECT e.vec_id, s.j AS out_dim, CAST(SUM(s.sgn * e.qv) AS BIGINT) AS proj
+        FROM expl e JOIN s ON e.i = s.i
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+    // greedy k-center replay: same seed (lowest vec_id), same argmax
+    // min-d2 pick with (md DESC, vec_id) tie-break; d2 via the
+    // dot-product identity a·a - 2a·b + b·b (exact — all values are
+    // integer-valued doubles far below 2^53)
+    "q115_kcenter_sample" ->
+      """WITH RECURSIVE q AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings),
+        sel(iter, chosen, picked, md) AS (
+          (SELECT 1, [vec_id], vec_id, CAST(0 AS BIGINT) FROM q
+           ORDER BY vec_id LIMIT 1)
+          UNION ALL
+          SELECT s.iter + 1, list_append(s.chosen, w.vec_id), w.vec_id, w.md
+          FROM sel s, LATERAL (
+            SELECT e.vec_id,
+              (SELECT MIN(CAST(list_dot_product(e.v, e.v)
+                  - 2 * list_dot_product(e.v, c.v)
+                  + list_dot_product(c.v, c.v) AS BIGINT))
+               FROM q c WHERE list_contains(s.chosen, c.vec_id)) AS md
+            FROM q e WHERE NOT list_contains(s.chosen, e.vec_id)
+            ORDER BY md DESC, e.vec_id LIMIT 1) w
+          WHERE s.iter < 8)
+        SELECT iter AS round, picked AS vec_id, md AS maxmin_d2
+        FROM sel ORDER BY round""",
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vec
@@ -267,7 +267,7 @@ object Similarity {
                   iters: Int = 5): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
     val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
-    var cents = seedCentroids(q, kCents).localCheckpoint(true)
+    var cents = seedCentroids(q, kCents).coalesce(1).localCheckpoint(true)
     var i = 0
     while (i < iters) {
       val means = assignCells(q, cents)
@@ -278,7 +278,7 @@ object Similarity {
       cents = cents.as("old")
         .join(centroidsOf(means).as("upd"), Seq("cid"), "left_outer")
         .select($"cid", coalesce(col("upd.cv"), col("old.cv")).as("cv"))
-        .localCheckpoint(true)
+        .coalesce(1).localCheckpoint(true)
       i += 1
     }
     cents
@@ -313,6 +313,344 @@ object Similarity {
           .cast("long").as("code"),
         $"maxabs")
       .orderBy($"vec_id", $"dim")
+  }
+
+  /** PQ training loop, driver-resident codebooks (q111): split the
+    * dim-64 embedding into `nSub` contiguous subspaces and Lloyd-train
+    * an independent `kCodes`-centroid codebook in each — the PQ
+    * construction of Jégou/Douze/Schmid 2011 ("Product quantization
+    * for nearest neighbor search").
+    *
+    * The codebooks live on the DRIVER between rounds (nSub × kCodes ×
+    * subDim longs — ~4 KB), the same bounded-certificate discipline as
+    * the BPE merge table and exactly how Spark MLlib's KMeans carries
+    * cluster centers: assignment is then a LITERAL expression (argmin
+    * over an inlined centroid array via array_min(transform(...)) —
+    * codegen'd, no join, no shuffle), so each Lloyd round is ONE
+    * corpus scan feeding one (nSub × kCodes × subDim)-row partial-sum
+    * shuffle that collects back to the driver. iters × 1 jobs total,
+    * versus the 3-shuffle + checkpoint pipeline a DataFrame-resident
+    * centroid frame costs per round. Per-subspace semantics match
+    * [[kmeansTrain]]: first-kCodes seed, argmin-d2 with (d2, cid)
+    * tie-break, 1/1000-grid re-quantized means, empty cells keep
+    * their previous centroid.
+    */
+  private[operators] def pqTrainDriver(
+      embeddings: DataFrame, nSub: Int, kCodes: Int,
+      iters: Int): IndexedSeq[IndexedSeq[Seq[Long]]] = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val subDim = 64 / nSub
+    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    val seedRows = q.filter($"vec_id" < kCodes).orderBy($"vec_id").collect()
+    var cents: IndexedSeq[IndexedSeq[Seq[Long]]] =
+      IndexedSeq.tabulate(nSub) { m =>
+        seedRows.toIndexedSeq.map(r =>
+          r.getSeq[Long](1).slice(m * subDim, (m + 1) * subDim))
+      }
+    if (cents.head.isEmpty) return cents
+    var i = 0
+    while (i < iters) {
+      val assigned = q.select($"vec_id" +:
+        (0 until nSub).map { m =>
+          bestCode(slice($"v", m * subDim + 1, subDim),
+            typedlit(cents(m).map(_.toSeq)), cents(m).size).as(s"c$m")
+        } :+ $"v": _*)
+      val means = assigned
+        .select(explode(array((0 until nSub).map { m =>
+          struct(lit(m).as("sub"), col(s"c$m").as("code"),
+            slice($"v", m * subDim + 1, subDim).as("sv"))
+        }: _*)).as("s"))
+        .select($"s.sub".as("sub"), $"s.code".as("code"),
+          posexplode($"s.sv").as(Seq("dim", "qv")))
+        .groupBy($"sub", $"code", $"dim")
+        .agg(sum($"qv").as("sum_q"), count(lit(1)).as("n"))
+        .collect()
+      val upd = means.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+      cents = IndexedSeq.tabulate(nSub) { m =>
+        IndexedSeq.tabulate(cents(m).size) { c =>
+          val dims = (0 until subDim).map(d => upd.get((m, c, d)))
+          if (dims.exists(_.isEmpty)) cents(m)(c)
+          else dims.map { case Some((s, n)) =>
+            // same double tree as kmeansStep/centroidsOf:
+            // floor((sum_q * 1.0 / 1000.0 / n) * 1000)
+            math.floor(s * 1.0 / 1000.0 / n * 1000).toLong
+          case None => 0L }
+        }
+      }
+      i += 1
+    }
+    cents
+  }
+
+  /** Argmin sub-codebook centroid for one subspace slice against an
+    * inlined array<array<long>> centroid literal — min(struct(d2,
+    * cid)) semantics ([[assignCells]]'s tie-break) as a pure codegen
+    * expression: no join, no shuffle, evaluated inside the scan
+    * projection.
+    */
+  private def bestCode(sv: Column, centsLit: Column, kEff: Int): Column = {
+    def d2c(cv: Column): Column =
+      aggregate(zip_with(sv, cv, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    array_min(transform(sequence(lit(0), lit(kEff - 1)),
+      c => struct(d2c(element_at(centsLit, c + 1)).as("d2"),
+        c.as("cid"))))("cid")
+  }
+
+  /** Wide-form PQ encoding against driver-resident codebooks: one
+    * int code column per subspace (vec_id, c0..c{nSub-1}), computed
+    * in a single map-only projection — zero joins, zero shuffles.
+    */
+  private[operators] def pqEncodeLit(
+      embeddings: DataFrame, cents: IndexedSeq[IndexedSeq[Seq[Long]]],
+      nSub: Int): DataFrame = {
+    val subDim = 64 / nSub
+    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    q.select($"vec_id" +: (0 until nSub).map { m =>
+      bestCode(slice($"v", m * subDim + 1, subDim),
+        typedlit(cents(m).map(_.toSeq)), cents(m).size).as(s"c$m")
+    }: _*)
+  }
+
+  /** Trained PQ codebooks as a (sub, cid, cv) frame — the reusable
+    * artifact a production deployment trains once (on a sample) and
+    * applies across the whole store.
+    */
+  def pqCodebooks(embeddings: DataFrame, nSub: Int = 4,
+                  kCodes: Int = 16, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = pqTrainDriver(embeddings, nSub, kCodes, iters)
+    cents.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (cv, cid) => (m, cid.toLong, cv) }
+    }.toDF("sub", "cid", "cv")
+  }
+
+  /** PQ encoding, long form (vec_id, sub, code): each vector becomes
+    * `nSub` one-byte codes — the nearest sub-codebook centroid per
+    * subspace, same argmin-d2 / (d2, cid) tie-break as
+    * [[assignCells]]. The codebook frame is collected (bounded:
+    * nSub × kCodes rows) and inlined, so this is one map-only corpus
+    * scan — at 100 TB a rewrite that shrinks a float32 dim-64 store
+    * 64× (256 B → 4 B per vector), which is the entire point: the
+    * ADC scan then reads codes, not vectors.
+    */
+  def pqEncode(embeddings: DataFrame, codebooks: DataFrame,
+               nSub: Int = 4): DataFrame = {
+    val rows = codebooks.collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    val cents = IndexedSeq.tabulate(nSub) { m =>
+      bySub.getOrElse(m, Array.empty).sortBy(_.getLong(1)).toIndexedSeq
+        .map(_.getSeq[Long](2))
+    }
+    pqEncodeLit(embeddings, cents, nSub)
+      .select($"vec_id", explode(array((0 until nSub).map { m =>
+        struct(lit(m).as("sub"), col(s"c$m").cast("long").as("code"))
+      }: _*)).as("s"))
+      .select($"vec_id", $"s.sub".as("sub"), $"s.code".as("code"))
+  }
+
+  /** ADC shortlist core: asymmetric-distance top-`r` per query over
+    * the code columns. The per-query distance tables — nQueries ×
+    * nSub × kCodes longs, computed on the driver from the collected
+    * query vectors — are INLINED into the scan projection, so the
+    * pass is: one scan of the code columns, `element_at` lookups per
+    * (query, subspace), an integer add-tree, explode by query, and a
+    * per-query top-r window. The only shuffle is the window's
+    * partition-by-query exchange of (query_id, vec_id, adc_d2)
+    * triples; no corpus-width column moves past the encode
+    * projection — the nSub-byte codes are the working set.
+    */
+  private def adcShortlist(embeddings: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Seq[Long]]],
+      qRows: Array[org.apache.spark.sql.Row], nSub: Int,
+      r: Int): DataFrame = {
+    val subDim = 64 / nSub
+    // driver-side distance tables: dtab(q)(m)(code) = d2(q_m, cv)
+    val dtab = qRows.toIndexedSeq.map { row =>
+      val v = row.getSeq[Long](1)
+      (row.getLong(0), IndexedSeq.tabulate(nSub) { m =>
+        val qs = v.slice(m * subDim, (m + 1) * subDim)
+        cents(m).map(cv => qs.zip(cv).map { case (a, b) =>
+          (a - b) * (a - b) }.sum)
+      })
+    }
+    val perQuery = dtab.map { case (qid, tbl) =>
+      val adc = (0 until nSub).map { m =>
+        element_at(typedlit(tbl(m).toList), col(s"c$m") + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), adc.as("adc_d2"))
+    }
+    val w = Window.partitionBy($"query_id").orderBy($"adc_d2", $"vec_id")
+    pqEncodeLit(embeddings, cents, nSub)
+      .select($"vec_id", explode(array(perQuery: _*)).as("s"))
+      .select($"s.query_id".as("query_id"), $"vec_id",
+        $"s.adc_d2".as("adc_d2"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= r)
+      .select($"query_id", $"vec_id", $"adc_d2", $"rank")
+  }
+
+  /** ADC shortlist with its own training pass — exposed so the
+    * ADC = Σ-subspace-distance reconstruction identity is testable
+    * against [[pqCodebooks]]/[[pqEncode]] output (NewOpsSpec).
+    */
+  def pqShortlist(embeddings: DataFrame, nSub: Int = 4, kCodes: Int = 16,
+                  iters: Int = 3, nQueries: Int = 10,
+                  r: Int = 64): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val cents = pqTrainDriver(embeddings, nSub, kCodes, iters)
+    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    val qRows = q.filter($"vec_id" < nQueries).orderBy($"vec_id").collect()
+    if (cents.head.isEmpty || qRows.isEmpty)
+      return embeddings.select($"vec_id".as("query_id"), $"vec_id",
+        lit(0L).as("adc_d2"), lit(0).as("rank")).filter(lit(false))
+    adcShortlist(embeddings, cents, qRows, nSub, r)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** PQ top-k search (q111): ADC shortlist + exact re-rank — the
+    * standard two-stage PQ deployment (FAISS's IndexPQ + refine):
+    * the query keeps its exact (quantized) vector, every corpus
+    * vector is represented by `nSub` one-byte codes, the ADC pass
+    * shortlists `rerank` candidates per query from codes alone, and
+    * only the shortlist (nQueries × rerank rows) is joined back to
+    * the vector store for an exact integer-L2 re-rank. All integer
+    * arithmetic on the 1/1000 grid — exact, associative,
+    * partitioning-invariant.
+    *
+    * At 100 TB: train on a sample (driver-resident codebooks, ~4 KB),
+    * encode map-only (the store shrinks 64×), scan codes for the
+    * shortlist (one narrow scan + one tiny window exchange), then
+    * fetch exact vectors for nQueries × rerank ids — a broadcast
+    * semi-join against the store, the only touch of full-width
+    * vectors in the whole search. Final recall@k equals shortlist
+    * recall (the re-rank is exact); both are spec-measured floors
+    * in NewOpsSpec, alongside the ADC reconstruction identity.
+    */
+  def pqTopK(embeddings: DataFrame, nSub: Int = 4, kCodes: Int = 16,
+             iters: Int = 3, nQueries: Int = 10, k: Int = 5,
+             rerank: Int = 64): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val cents = pqTrainDriver(embeddings, nSub, kCodes, iters)
+    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    val qRows = q.filter($"vec_id" < nQueries).orderBy($"vec_id").collect()
+    if (cents.head.isEmpty || qRows.isEmpty)
+      return embeddings.select($"vec_id".as("query_id"), $"vec_id",
+        lit(0L).as("d2"), lit(0).as("rank")).filter(lit(false))
+    val short = adcShortlist(embeddings, cents, qRows, nSub, rerank)
+      .select($"query_id", $"vec_id")
+    val qmap = typedlit(qRows.map(row =>
+      row.getLong(0) -> row.getSeq[Long](1).toList).toMap)
+    val exactD2 = aggregate(
+      zip_with($"v", element_at(qmap, $"query_id"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy($"query_id").orderBy($"d2", $"vec_id")
+    q.join(broadcast(short), Seq("vec_id"))
+      .select($"query_id", $"vec_id", exactD2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id", $"d2", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Greedy k-center / farthest-point diversity sample (q115) — the
+    * coreset-selection move a curation pipeline runs to pick a
+    * maximally-diverse exemplar set (Gonzalez 1985's 2-approximation
+    * to the k-center objective; Sener & Savarese 2018 use exactly
+    * this loop for active-learning coresets). Start from the lowest
+    * vec_id; each round pick the vector farthest (max min-d2) from
+    * every center chosen so far, tie-broken on the lower vec_id.
+    * Output: (round, vec_id, maxmin_d2) — maxmin_d2 is the covering
+    * radius certificate at selection time, monotone non-increasing.
+    *
+    * Scale shape: the min-distance-so-far frame is maintained
+    * incrementally — each round is one `least(md, d2-to-new-center)`
+    * projection over the corpus (the new center is a driver-resident
+    * 64-long literal) + one distributed top-1 (`orderBy.limit(1)` —
+    * Spark's TakeOrdered, a per-partition top-1 then a k-way driver
+    * merge, never a single-partition sort), localCheckpointed per
+    * round so lineage stays flat (the q66 discipline). k bounded
+    * driver rounds with a 1-row certificate collect each — the BPE
+    * merge-table pattern. All integer math on the 1/1000 grid, so
+    * the pick sequence is partitioning-invariant and hash-oracles
+    * against a recursive-CTE replay in DuckDB.
+    */
+  def kcenterSample(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    // toDF only — a full implicits._ import would shadow the package
+    // $-interpolator with StringToColumn
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val q0 = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    def d2To(cv: Seq[Long]): Column =
+      aggregate(zip_with($"v", typedlit(cv.toList),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    val seedRow = q0.orderBy($"vec_id").limit(1).collect()
+    if (seedRow.isEmpty)
+      return Seq.empty[(Int, Long, Long)].toDF("round", "vec_id", "maxmin_d2")
+    val seed = seedRow(0)
+    var picked = Vector((1, seed.getLong(0), 0L))
+    var mind = q0.filter($"vec_id" =!= seed.getLong(0))
+      .select($"vec_id", $"v", d2To(seed.getSeq[Long](1)).as("md"))
+      .localCheckpoint(true)
+    var r = 2
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = mind.orderBy($"md".desc, $"vec_id").limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val t = top(0)
+        picked = picked :+ ((r, t.getLong(0), t.getLong(2)))
+        mind = mind.filter($"vec_id" =!= t.getLong(0))
+          .select($"vec_id", $"v",
+            least($"md", d2To(t.getSeq[Long](1))).as("md"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    picked.toDF("round", "vec_id", "maxmin_d2").orderBy($"round")
+  }
+
+  /** Johnson-Lindenstrauss ±1 random projection (q114): project the
+    * dim-64 quantized embedding onto [[JlOutDim]] fixed ±1 sign rows
+    * (Achlioptas 2003, "Database-friendly random projections" — ±1
+    * entries preserve pairwise distances in expectation with the same
+    * JL guarantee as Gaussian matrices, and keep the arithmetic
+    * integer-exact). proj_j = Σ_i s_ji · q_i over the 1/1000 grid —
+    * one map-only corpus scan, no shuffle, no join: at 100 TB this is
+    * the 4× store shrink + distance-sketch pass that runs BEFORE
+    * clustering/dedup so every downstream pairwise kernel touches 16
+    * longs instead of 64.
+    *
+    * The sign matrix is seeded and driver-generated ([[jlSigns]]),
+    * inlined as literals on the Spark side and interpolated into the
+    * oracle SQL as a VALUES table from the SAME generator — so the
+    * projection is fully hash-oracled (all-integer). The E[‖Δproj‖²]
+    * = outDim·‖Δ‖² distance-preservation concentration is
+    * spec-measured over sampled pairs (NewOpsSpec).
+    */
+  val JlOutDim = 16
+
+  private[graft] def jlSigns(dim: Int = 64,
+                             outDim: Int = JlOutDim): IndexedSeq[Seq[Int]] = {
+    val rng = new scala.util.Random(7)
+    IndexedSeq.fill(outDim)(Seq.fill(dim)(if (rng.nextBoolean()) 1 else -1))
+  }
+
+  def randomProjection(embeddings: DataFrame): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val signs = jlSigns()
+    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    q.select($"vec_id",
+      posexplode(array(signs.map { s =>
+        aggregate(zip_with($"v", typedlit(s.map(_.toLong)),
+          (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      }: _*)).as(Seq("out_dim", "proj")))
+      .orderBy($"vec_id", $"out_dim")
   }
 
   /** Approximate top-k via multi-table hyperplane LSH: candidates are

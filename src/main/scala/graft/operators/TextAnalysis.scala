@@ -694,4 +694,113 @@ object TextAnalysis {
       .select($"term", $"df", $"tf_total", $"postings")
       .orderBy($"term")
   }
+
+  /** Two-pass heavy hitters over the corpus vocabulary (q113): pass 1
+    * runs a mergeable Misra-Gries summary ([[graft.functions.MisraGries]],
+    * capacity [[HhCapacity]]) to a CANDIDATE set; pass 2 recounts just
+    * the candidates exactly and keeps terms above the frequency
+    * threshold n_tokens / [[HhDenom]]. The sketch guarantees every
+    * term with true frequency > n/(capacity+1) is retained regardless
+    * of partitioning or merge order, and capacity+1 > HhDenom makes
+    * the guarantee cover the threshold — so the FINAL output is fully
+    * deterministic (exact counts, exact integer gate) even though the
+    * intermediate counter values are not, and the query oracles
+    * hash-exact against plain GROUP BY/HAVING SQL.
+    *
+    * Why not just GROUP BY at 100 TB: the exact aggregate shuffles
+    * the full (term, count) vocabulary — billions of distinct terms
+    * for web-scale n-gram vocabularies — while the sketch pass is one
+    * scan producing a ≤capacity-row summary per partition with a
+    * constant-size merge tree, and the recount pass semi-joins a
+    * broadcast candidate list so only candidate rows shuffle. The
+    * sketch's additive-error merge bound is spec-pinned in NewOpsSpec
+    * against adversarial partitionings.
+    */
+  val HhCapacity = 256
+  val HhDenom = 128L
+
+  /** Bigram-LM fluency score per document (q112) — the CCNet-style
+    * quality signal (Wenzek et al. 2020 score documents by LM
+    * perplexity; here the LM is an add-one-smoothed bigram model
+    * trained on the corpus itself, the self-scoring variant). Each
+    * document's score is the mean conditional bigram probability
+    *
+    *   avg_p = (1/n) Σ_i  (c2(prev_i, w_i) + 1) / (c1(prev_i) + V)
+    *
+    * with a `<s>` start marker, corpus-wide bigram/context counts and
+    * vocabulary size V. Predictable, repetitive text scores high;
+    * incoherent token soup scores low — the downstream curation move
+    * is a threshold or stratified keep on this column (q82/q94).
+    *
+    * Float-parity design (the q74 discipline, extended to per-group
+    * sums): every probability is integer arithmetic then ONE double
+    * division (IEEE-exact, engine-identical), and the per-document
+    * sum — the first float sum over a variable-size group in the
+    * oracled set — is made order-deterministic by folding the
+    * position-sorted probability list (`sort_array(collect_list)` +
+    * `aggregate`; DuckDB mirrors with list_sort + list_reduce), so
+    * both engines add the same doubles in the same order and the
+    * result hash-matches exactly.
+    *
+    * Scale shape: counts collapse the token stream to the bigram
+    * vocabulary with map-side combine (c1 and V are derived from the
+    * c2 frame, not re-scanned); scoring re-derives the token stream
+    * (2 declared corpus scans, the q24 trade at the point where
+    * checkpointing a corpus-sized frame would cost more than the
+    * rescan) and equi-joins it with the bigram-count frame — AQE
+    * broadcasts when the vocabulary fits, shuffles on (prev, w)
+    * otherwise. The per-doc collect_list is bounded by document
+    * length, the same envelope every tokenize-explode operator here
+    * lives under.
+    */
+  def lmFluency(documents: DataFrame): DataFrame = {
+    val toksA = documents
+      .select($"doc_id", tokens(lower($"text")).as("arr0"))
+      .select($"doc_id", filter($"arr0", w => w =!= "").as("arr"))
+      .filter(size($"arr") > 0)
+    val bi = toksA
+      .select($"doc_id", $"arr", posexplode($"arr").as(Seq("pos", "w")))
+      .select($"doc_id", $"pos", $"w",
+        when($"pos" === 0, lit("<s>"))
+          .otherwise(element_at($"arr", $"pos")).as("prev"))
+    val c2 = bi.groupBy($"prev", $"w").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val c1 = c2.groupBy($"prev").agg(sum($"c2").as("c1"))
+    val voc = c2.agg(countDistinct($"w").as("vsz"))
+    bi.join(c2, Seq("prev", "w"))
+      .join(c1, Seq("prev"))
+      .crossJoin(broadcast(voc))
+      .select($"doc_id", $"pos",
+        (($"c2" + 1).cast("double") /
+          ($"c1" + $"vsz").cast("double")).as("p"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct($"pos", $"p"))).as("ps"))
+      .select($"doc_id", $"n_bigrams",
+        (aggregate($"ps", lit(0.0), (acc, s) => acc + s("p")) /
+          $"n_bigrams".cast("double")).as("avg_p"))
+      .orderBy($"doc_id")
+  }
+
+  def heavyHitters(documents: DataFrame): DataFrame = {
+    import graft.functions.MisraGries
+    val toks = documents
+      .select(explode(tokens(lower($"text"))).as("w"))
+      .filter($"w" =!= "")
+    // pass 1: sketch + token total in ONE aggregation (one corpus
+    // scan), eagerly materialized — the one-row certificate both the
+    // candidate list and the threshold read from
+    val p1 = toks
+      .agg(MisraGries.candidates($"w", HhCapacity).as("cand"),
+        count(lit(1)).as("n_tokens"))
+      .localCheckpoint(true)
+    val cands = p1.select(explode($"cand").as("w"))
+    toks.join(broadcast(cands), Seq("w"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(p1.select($"n_tokens")))
+      .filter($"n" * HhDenom > $"n_tokens")
+      .select($"w".as("term"), $"n", $"n_tokens")
+      .orderBy($"n".desc, $"term")
+  }
 }

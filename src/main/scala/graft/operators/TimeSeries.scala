@@ -233,6 +233,79 @@ object TimeSeries {
       .orderBy($"event_type")
   }
 
+  /** KMV (k-minimum-values) theta-sketch intersection (q116): the
+    * distinct-user overlap between every pair of event types,
+    * estimated from per-type sketches of the [[KmvK]] smallest
+    * xxhash64(user_id) values — the Beyer et al. 2007 KMV synopsis /
+    * Druid-Theta-sketch set-operation pattern. An EXACT pairwise
+    * overlap needs a distinct-user join per type pair; the sketch
+    * answers every pair from nTypes × K rows.
+    *
+    * Estimator: for a pair, union the two sketches, keep the K
+    * smallest distinct hashes (K = min([[KmvK]], |union|)), let θ be
+    * the K-th smallest mapped to u ∈ (0,1): est_union = (K-1)/u, and
+    * est_inter = (n_both / K) · est_union where n_both counts kept
+    * hashes present in BOTH sketches. When the union fits inside the
+    * sketch (K < [[KmvK]]) the synopsis is lossless and the estimate
+    * collapses to the exact count. Relative error ~1/√K (≈6% at
+    * K=256), spec-bounded against the exact overlap in NewOpsSpec.
+    *
+    * Scale shape: one (event_type, h) distinct shuffle — the same
+    * dedup any exact distinct pays ONCE — then a per-type top-K
+    * window; everything pairwise runs on nTypes × K sketch rows
+    * (checkpointed — the reusable synopsis). The k-smallest-of-a-set
+    * sketch is partitioning-invariant by construction, so the whole
+    * output is deterministic; it stays rows-only in the oracle gate
+    * only because xxhash64 has no DuckDB twin.
+    */
+  val KmvK = 256
+
+  def kmvIntersect(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = events
+      .select($"event_type", xxhash64($"user_id").as("h"))
+      .distinct()
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    val sk = hashed.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= KmvK)
+      .select($"event_type", $"h")
+      .localCheckpoint(true)
+    val types = sk.select($"event_type").distinct()
+    val typePairs = types.as("ta").crossJoin(broadcast(types.as("tb")))
+      .filter(col("ta.event_type") < col("tb.event_type"))
+      .select(col("ta.event_type").as("type_a"),
+        col("tb.event_type").as("type_b"))
+    val ua = typePairs
+      .join(sk.withColumnRenamed("event_type", "type_a"), Seq("type_a"))
+      .select($"type_a", $"type_b", $"h",
+        lit(1).as("fa"), lit(0).as("fb"))
+    val ub = typePairs
+      .join(sk.withColumnRenamed("event_type", "type_b"), Seq("type_b"))
+      .select($"type_a", $"type_b", $"h",
+        lit(0).as("fa"), lit(1).as("fb"))
+    val wp = Window.partitionBy($"type_a", $"type_b").orderBy($"h")
+    val stats = ua.unionByName(ub)
+      .groupBy($"type_a", $"type_b", $"h")
+      .agg(max($"fa").as("in_a"), max($"fb").as("in_b"))
+      .withColumn("rk", row_number().over(wp))
+      .filter($"rk" <= KmvK)
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("kmv_k"),
+        max($"h").as("theta"),
+        sum(when($"in_a" === 1 && $"in_b" === 1, 1L).otherwise(0L))
+          .as("n_both"))
+    // signed-long hash mapped to u ∈ (0,1): (θ + 2^63 + 1) / 2^64
+    val u = ($"theta".cast("double") + 9.223372036854776e18 + 1.0) /
+      1.8446744073709552e19
+    stats.select($"type_a", $"type_b", $"kmv_k", $"n_both",
+      when($"kmv_k" < KmvK, $"kmv_k".cast("double"))
+        .otherwise(($"kmv_k" - 1).cast("double") / u).as("est_union"),
+      when($"kmv_k" < KmvK, $"n_both".cast("double"))
+        .otherwise($"n_both".cast("double") / $"kmv_k" *
+          (($"kmv_k" - 1).cast("double") / u)).as("est_inter"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Storage-growth projections — goes_satellite_etl.py:415-489:
     * total/average payload size and extrapolated daily/weekly/monthly
     * growth assuming one source batch per minute (the reference's

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Ingest, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ingest, Sampling, Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 
 /** Invariant specs for the round-3 operators (q66-q75). Cross-engine
@@ -753,6 +753,283 @@ class NewOpsSpec extends AnyFunSuite {
     }
     val mean = recall.sum / recall.size
     assert(mean >= 0.8, s"int8 top-5 mean recall $mean < 0.8")
+  }
+
+  test("pq: every vector gets one in-range code per subspace, deterministically") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cb = Similarity.pqCodebooks(emb)
+    val codes = Similarity.pqEncode(emb, cb)
+    val n = emb.count()
+    assert(codes.count() == n * 4, "expected exactly nSub codes per vector")
+    val perVec = codes.groupBy($"vec_id").agg(countDistinct($"sub").as("ns"))
+      .filter($"ns" =!= 4)
+    assert(perVec.count() == 0, "a vector is missing a subspace code")
+    val range = codes.agg(min($"code").as("lo"), max($"code").as("hi")).head()
+    assert(range.getLong(0) >= 0 && range.getLong(1) < 16,
+      s"codes outside [0,16): $range")
+    // deterministic: re-derived codes are identical (seeded init, exact
+    // integer assignment, (d2, cid) tie-break)
+    val codes2 = Similarity.pqEncode(emb, Similarity.pqCodebooks(emb))
+    assert(codes.exceptAll(codes2).count() == 0 &&
+      codes2.exceptAll(codes).count() == 0, "PQ encoding is nondeterministic")
+  }
+
+  test("pq: ADC distance equals sum of subspace distances to coded centroids") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val out = Similarity.pqShortlist(emb, r = 5).collect()
+    assert(out.nonEmpty)
+    // independent recompute on the driver (bounded: sf0.001 corpus)
+    val cb = Similarity.pqCodebooks(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2)).toMap
+    val codes = Similarity.pqEncode(emb, Similarity.pqCodebooks(emb)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val vecs = emb.select($"vec_id",
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    out.foreach { r =>
+      val (qid, vid, adc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expected = (0 until 4).map { m =>
+        val qs = vecs(qid).slice(m * 16, m * 16 + 16)
+        val cv = cb((m, codes((vid, m))))
+        qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum
+      assert(adc == expected, s"ADC mismatch for ($qid,$vid): $adc != $expected")
+    }
+  }
+
+  test("pq: re-ranked top-5 recall vs exact L2 meets the measured floor") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.select($"vec_id",
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
+    val qs = q.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val d2 = expr("aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"d2", $"vec_id")
+    val exact = q.join(broadcast(qs), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", d2.as("d2"))
+      .withColumn("r", row_number().over(w)).filter($"r" <= 5)
+      .select($"query_id", $"vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = Similarity.pqTopK(emb).select($"query_id", $"vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rec = exact.keys.toSeq.map(k =>
+      (exact(k) intersect pq.getOrElse(k, Set.empty)).size.toDouble / exact(k).size)
+    val mean = rec.sum / rec.size
+    // measured 0.78/0.84/0.66 at sf0.001/0.01/0.1 (R=64 shortlist,
+    // 4-byte codes); floor with headroom
+    assert(mean >= 0.55, s"PQ re-ranked recall@5 $mean < 0.55")
+    // the re-rank is exact, so every returned hit must be inside the
+    // ADC shortlist the codes produced
+    val short = Similarity.pqShortlist(emb, r = 64)
+      .select($"query_id", $"vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    pq.foreach { case (qid, hits) =>
+      assert(hits.subsetOf(short(qid)), s"query $qid returned a hit outside its shortlist")
+    }
+  }
+
+  test("random projection: exact integer projection and JL concentration") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val out = Similarity.randomProjection(emb)
+    // driver recompute for the lowest vec_id: proj_j = sum(s_ji * q_i)
+    val signs = Similarity.jlSigns()
+    val v0 = emb.orderBy($"vec_id").limit(1)
+      .select(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS LONG))"))
+      .head().getSeq[Long](0)
+    val got0 = out.orderBy($"vec_id", $"out_dim").limit(Similarity.JlOutDim)
+      .collect().map(_.getLong(2)).toSeq
+    val exp0 = signs.map(s => s.zip(v0).map { case (a, b) => a * b }.sum)
+    assert(got0 == exp0, s"projection of first vector: $got0 != $exp0")
+    // JL concentration: E[d2_proj] = outDim * d2_orig; the mean ratio
+    // over sampled pairs concentrates near 1
+    val q = emb.filter($"vec_id" < 20).select($"vec_id",
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val p = out.filter($"vec_id" < 20)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    val ratios = for {
+      i <- q.keys.toSeq.sorted; j <- q.keys.toSeq.sorted if i < j
+    } yield {
+      val dOrig = q(i).zip(q(j)).map { case (a, b) => (a - b) * (a - b) }.sum
+      val dProj = p(i).zip(p(j)).map { case (a, b) => (a - b) * (a - b) }.sum
+      dProj.toDouble / (Similarity.JlOutDim.toDouble * dOrig)
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean distance ratio $mean outside [0.7, 1.3]")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0),
+      s"a pair's distance ratio left the concentration envelope: ${ratios.min} .. ${ratios.max}")
+  }
+
+  test("k-center: output equals an exact driver replay; radius monotone") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val out = Similarity.kcenterSample(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // exact greedy replay on the driver (bounded corpus at sf0.001)
+    val vecs = emb.select($"vec_id",
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = Vector(vecs.keys.min)
+    var expect = Vector((1, vecs.keys.min, 0L))
+    for (r <- 2 to 8) {
+      val cand = vecs.keys.filterNot(chosen.contains).map { id =>
+        (id, chosen.map(c => d2(vecs(id), vecs(c))).min)
+      }
+      val (pick, md) = cand.toSeq.sortBy { case (id, m) => (-m, id) }.head
+      chosen :+= pick
+      expect :+= ((r, pick, md))
+    }
+    assert(out == expect, s"k-center drifted from the exact greedy replay:\n$out\n$expect")
+    assert(out.map(_._3).drop(1) == out.map(_._3).drop(1).sorted.reverse,
+      "covering radius is not monotone non-increasing")
+    // partitioning invariance (integer math + deterministic tie-break)
+    val out13 = Similarity.kcenterSample(emb.repartition(13)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out13 == out, "k-center pick sequence depends on partitioning")
+  }
+
+  test("kmv intersect: bounded error vs exact overlap; lossless small unions") {
+    import spark.implicits._
+    // real data (sf0.01): every type pair's union fits inside K, so
+    // the synopsis is lossless — estimates must EQUAL the exact
+    // overlap, not just approximate it
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val est = TimeSeries.kmvIntersect(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(3), r.getDouble(5))).toMap
+    val ut = ev.select($"event_type", $"user_id").distinct()
+    val exact = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact.nonEmpty && exact.keySet == est.keySet)
+    exact.foreach { case (pair, n) =>
+      assert(est(pair)._2 == n.toDouble,
+        s"pair $pair: lossless regime must be exact (${est(pair)._2} vs $n)")
+    }
+    // estimator regime: 6000 distinct users force union >> K=256;
+    // planted overlap 2000 (users 2000..3999 see both types)
+    val big = (0L until 4000L).map(u => (u, "a")) ++
+      (2000L until 6000L).map(u => (u, "b"))
+    val bigEv = big.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        u, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val br = TimeSeries.kmvIntersect(bigEv).head()
+    val (estU, estI) = (br.getDouble(4), br.getDouble(5))
+    assert(math.abs(estU - 6000) / 6000.0 <= 0.25,
+      s"union estimate $estU vs 6000")
+    assert(math.abs(estI - 2000) / 2000.0 <= 0.35,
+      s"intersection estimate $estI vs 2000")
+    // lossless collapse: a corpus whose per-pair union fits in K rows
+    // must estimate EXACTLY (the synopsis holds every distinct hash)
+    val tiny = Seq.tabulate(300) { i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        (i % 100).toLong, if (i % 2 == 0) "a" else "b", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tr = TimeSeries.kmvIntersect(tiny).head()
+    // users 0..99: evens see "a", odds see "b" -> overlap is empty?
+    // i%2 alternates with user i%100 parity: user u gets type a iff u
+    // even (i ≡ u mod 2 when 100 even) -> disjoint user sets
+    assert(tr.getDouble(5) == tr.getLong(3).toDouble,
+      "small-union estimate did not collapse to the exact count")
+    val tiny2 = Seq.tabulate(300) { i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        (i % 50).toLong, if (i % 3 == 0) "a" else "b", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tr2 = TimeSeries.kmvIntersect(tiny2).head()
+    // every user hits both types across 300 events -> n_both = 50 = union
+    assert(tr2.getLong(3) == 50 && tr2.getDouble(5) == 50.0,
+      s"expected exact overlap 50, got ${tr2.getLong(3)} / ${tr2.getDouble(5)}")
+  }
+
+  test("misra-gries: retention guarantee holds under adversarial merge shapes") {
+    val mg = new graft.functions.MisraGries(4)
+    // stream: 'hot' appears 40 times among 100 items -> freq > n/(cap+1)=20
+    val stream = (0 until 40).map(_ => "hot") ++
+      (0 until 60).map(i => s"cold$i")
+    // worst-case shapes: sequential, reversed, and a deep two-sided
+    // merge tree over 10-item chunks
+    val seqBuf = stream.foldLeft(mg.zero)(mg.reduce)
+    assert(seqBuf.contains("hot"), "sequential reduce lost the heavy item")
+    val revBuf = stream.reverse.foldLeft(mg.zero)(mg.reduce)
+    assert(revBuf.contains("hot"), "reversed reduce lost the heavy item")
+    val chunks = stream.grouped(10)
+      .map(_.foldLeft(mg.zero)(mg.reduce)).toSeq
+    val merged = chunks.reduce(mg.merge)
+    assert(merged.contains("hot"), "merge tree lost the heavy item")
+    assert(merged.size <= 4, "merge exceeded capacity")
+    // estimate bound: est <= true and true - est <= n/(cap+1)
+    val est = merged.getOrElse("hot", 0L)
+    assert(est <= 40 && 40 - est <= 100 / 5,
+      s"estimate $est outside the Misra-Gries bound for true=40, n=100")
+  }
+
+  test("heavy hitters: output equals the exact aggregate on any partitioning") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val exact = {
+      val t = docs.select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
+        .filter($"w" =!= "")
+      val tot = t.count()
+      t.groupBy($"w").agg(count(lit(1)).as("n"))
+        .filter($"n" * TextAnalysis.HhDenom > tot)
+        .select($"w".as("term"), $"n", lit(tot).as("n_tokens"))
+    }
+    val hh = TextAnalysis.heavyHitters(docs)
+    assert(hh.exceptAll(exact).count() == 0 && exact.exceptAll(hh).count() == 0,
+      "two-pass heavy hitters differs from the exact aggregate")
+    // partitioning invariance: the sketch pass sees different merge
+    // orders, the exact recount must erase them
+    val hh17 = TextAnalysis.heavyHitters(docs.repartition(17))
+    assert(hh.exceptAll(hh17).count() == 0 && hh17.exceptAll(hh).count() == 0,
+      "heavy hitters output depends on input partitioning")
+  }
+
+  test("lm fluency: pinned values on a hand-computed corpus") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a a"), (1L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmFluency(docs).collect()
+    assert(out.length == 2)
+    // c2: (<s>,a)=1 (<s>,b)=1 (a,a)=2 (b,c)=1; c1: <s>=2 a=2 b=1; V=3
+    // doc0: (2/5 + 3/5 + 3/5)/3; doc1: (2/5 + 2/4)/2
+    val d0 = out.find(_.getLong(0) == 0L).get
+    assert(d0.getLong(1) == 3)
+    assert(d0.getDouble(2) == (2.0 / 5 + 3.0 / 5 + 3.0 / 5) / 3, s"$d0")
+    val d1 = out.find(_.getLong(0) == 1L).get
+    assert(d1.getLong(1) == 2)
+    assert(d1.getDouble(2) == (2.0 / 5 + 2.0 / 4) / 2, s"$d1")
+  }
+
+  test("lm fluency: repetitive text outscores token soup; partition-invariant") {
+    import spark.implicits._
+    val rep = (0 until 20).map(_ => "the cat sat on the mat").mkString(" ")
+    val soup = "zq xv qj wk bn pf gz lx mv ct dw hy jr ks lt nz pb qd rf sg"
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id" + 1000000L as "doc_id", $"text")
+      .unionByName(Seq((0L, rep), (1L, soup)).toDF("doc_id", "text"))
+    val out = TextAnalysis.lmFluency(docs)
+      .filter($"doc_id" < 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(0L) > out(1L),
+      s"repetitive doc ${out(0L)} did not outscore soup ${out(1L)}")
+    // exact double equality across partitionings: the sorted fold
+    // makes the float sum order-deterministic
+    val a = TextAnalysis.lmFluency(Tables.documents(spark, dir)).collect()
+    val b = TextAnalysis.lmFluency(
+      Tables.documents(spark, dir).repartition(13)).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq,
+      "lm fluency score depends on partitioning")
   }
 
   test("bloom screen: no false negatives and bounded false-positive rate") {

@@ -91,7 +91,13 @@ class ScanCountGateSpec extends AnyFunSuite {
     // (production drops the audit join; the m-sizing count is one
     // more eager 1-row pass outside this plan, documented at the
     // operator)
-    "q105_bloom_screen" -> Map("documents" -> 3))
+    "q105_bloom_screen" -> Map("documents" -> 3),
+    // ADC shortlist code scan + exact re-rank vector fetch — the
+    // two-stage PQ deployment by construction (at 100 TB the first
+    // scan reads 4-byte codes, only the second touches vectors, for
+    // nQueries × rerank ids). Codebook training runs eagerly at plan
+    // construction (the bpeEncode precedent) and is not in this plan.
+    "q111_pq_topk" -> Map("embeddings" -> 2))
 
   test("every query's plan scans each table at most its allowed count") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
