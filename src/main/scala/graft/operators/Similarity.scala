@@ -647,7 +647,11 @@ object Similarity {
     val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
     q.select($"vec_id",
       posexplode(array(signs.map { s =>
-        aggregate(zip_with($"v", typedlit(s.map(_.toLong)),
+        // sign row sliced to the input's dimension: a shorter vector
+        // (the fuzz corpora carry dim-16 embeddings) must project
+        // over its real components, not null-pad to 64
+        aggregate(zip_with($"v",
+          slice(typedlit(s.map(_.toLong)), lit(1), size($"v")),
           (x, y) => x * y), lit(0L), (acc, x) => acc + x)
       }: _*)).as(Seq("out_dim", "proj")))
       .orderBy($"vec_id", $"out_dim")
