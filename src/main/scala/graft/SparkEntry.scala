@@ -250,6 +250,11 @@ object SparkEntry {
     // small-union collapse spec-pinned)
     "q116_kmv_intersect" -> ((s, d) =>
       TimeSeries.kmvIntersect(Tables.events(s, d))),
+    // in-engine LR quality-classifier training over hashed features
+    // (rows-only: iterative + xxhash64 features; fixed-point gradient
+    // sums make train + scores partitioning-invariant, spec-pinned)
+    "q117_quality_classifier" -> ((s, d) =>
+      operators.Sampling.qualityClassifier(Tables.documents(s, d))),
     // full Lloyd loop (rows-only: iterative) — trained centroids in
     // long form, the q106/q107 codebook producer
     "q108_kmeans_train" -> ((s, d) => {

