@@ -362,6 +362,74 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       f"recall vs label pairs regressed: nProbe1 $r1%.2f, nProbe2 $r2%.2f")
   }
 
+  test("10×: PQ rerank budget recovers recall; KMV hits estimator-regime error; classifier holds") {
+    import org.apache.spark.sql.functions._
+    val dir10 = "/tmp/sf1"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir10/_MANIFEST.json")),
+      "10× scale point absent — python3 tools/gen_sf1.py")
+    // q111: at a 4×-larger corpus the FIXED R=64 shortlist loses
+    // recall (measured 0.40 vs 0.66 at sf0.1) — the production knob
+    // is scaling the re-rank budget with the corpus. One training
+    // pass, both budgets read off the shortlist ranks.
+    val emb = Tables.embeddings(spark, dir10)
+    val q = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
+    val qs = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val d2 = expr("aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+    val exact = q.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .select(col("query_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val short = operators.Similarity.pqShortlist(emb, r = 256).collect()
+    def recallAt(r: Int): Double = {
+      val got = short.filter(_.getInt(3) <= r)
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rec = exact.keys.toSeq.map(k =>
+        (exact(k) intersect got.getOrElse(k, Set.empty)).size.toDouble / exact(k).size)
+      rec.sum / rec.size
+    }
+    val (r64, r256) = (recallAt(64), recallAt(256))
+    info(f"PQ recall@5 at 10×: R=64 $r64%.2f, R=256 $r256%.2f")
+    // measured r12: 0.40 / 0.72
+    assert(r256 > r64, "a larger re-rank budget must not lose recall")
+    assert(r256 >= 0.5 && r64 >= 0.25,
+      f"PQ 10× recall regressed: R=64 $r64%.2f, R=256 $r256%.2f")
+    // q116: 10× events push every pair's union past K — the ESTIMATOR
+    // regime the small corpora never reach — and the error lands on
+    // the ~1/√K theory line (measured 6.7% at K=256)
+    val ev = Tables.events(spark, dir10)
+    val est = operators.TimeSeries.kmvIntersect(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(5))).toMap
+    val ut = ev.select(col("event_type"), col("user_id")).distinct()
+    val exactPairs = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exactPairs.nonEmpty)
+    exactPairs.foreach { case (pair, n) =>
+      val (kk, e) = est(pair)
+      assert(kk == operators.TimeSeries.KmvK,
+        s"pair $pair did not reach the estimator regime (K=$kk)")
+      val rel = math.abs(e - n) / n.toDouble
+      assert(rel <= 0.15, s"pair $pair: rel err $rel (est $e vs exact $n)")
+    }
+    // q117: accuracy holds at 10× (measured 0.966 on 50k docs)
+    val out = operators.Sampling.qualityClassifier(
+      Tables.documents(spark, dir10)).collect()
+    val acc = out.count(r =>
+      (r.getDouble(3) > 0.5) == (r.getInt(1) == 1)).toDouble / out.length
+    info(f"quality classifier 10× accuracy: $acc%.3f on ${out.length} docs")
+    assert(acc >= 0.9, f"classifier 10× accuracy regressed: $acc%.3f")
+  }
+
   test("schedule: catch-up backfills every complete interval, resume honors lastRun") {
     val s = Pipeline.Schedule(startUs = 1000L, everyUs = 100L)
     // now=1350: intervals [1000,1100) [1100,1200) [1200,1300) complete;
