@@ -250,6 +250,10 @@ object SparkEntry {
     // small-union collapse spec-pinned)
     "q116_kmv_intersect" -> ((s, d) =>
       TimeSeries.kmvIntersect(Tables.events(s, d))),
+    // RAG-style sliding-window chunking with tail coverage —
+    // map-only, integer spans, hash-oracled
+    "q118_chunk_windows" -> ((s, d) =>
+      TextAnalysis.chunkWindows(Tables.documents(s, d))),
     // in-engine LR quality-classifier training over hashed features
     // (rows-only: iterative + xxhash64 features; fixed-point gradient
     // sums make train + scores partitioning-invariant, spec-pinned)
@@ -1702,5 +1706,30 @@ object SparkEntry {
           WHERE s.iter < 8)
         SELECT iter AS round, picked AS vec_id, md AS maxmin_d2
         FROM sel ORDER BY round""",
+    // sliding-window chunker: same start-list construction (stride
+    // multiples ∪ the n-C tail anchor), same slicing, same join-with-
+    // space reassembly
+    "q118_chunk_windows" ->
+      """WITH t AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+              x -> x <> '') AS toks
+          FROM documents),
+        t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        st AS (
+          SELECT doc_id, toks, n,
+            list_sort(list_distinct(list_append(
+              range(0, greatest(n - 64, 0) + 1, 16),
+              greatest(n - 64, 0)))) AS starts
+          FROM t2),
+        ex AS (
+          SELECT doc_id, toks, n,
+            CAST(generate_subscripts(starts, 1) - 1 AS INTEGER) AS chunk_id,
+            unnest(starts) AS s
+          FROM st)
+        SELECT doc_id, chunk_id, s AS start,
+          least(64, n - s) AS chunk_len,
+          array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text
+        FROM ex ORDER BY doc_id, chunk_id""",
   )
 }

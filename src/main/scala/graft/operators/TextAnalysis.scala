@@ -695,6 +695,45 @@ object TextAnalysis {
       .orderBy($"term")
   }
 
+  /** Sliding-window document chunking (q118) — the chunk-with-overlap
+    * step every RAG / embedding-indexing pipeline runs before
+    * vectorizing: fixed [[ChunkLen]]-token windows at [[ChunkStride]]
+    * steps, plus a tail window anchored at n−C when the stride
+    * doesn't land there (without it the last n−C mod S tokens of
+    * every document silently vanish from the index — the classic
+    * chunker off-by-one). One row per (doc, window) with the token
+    * span and the reassembled chunk text; documents shorter than one
+    * window yield exactly one short chunk.
+    *
+    * Scale shape: map-only — tokenize, build the start list as an
+    * array expression, posexplode. No shuffle except the output
+    * ordering; expansion is ~C/S rows per document by construction.
+    * All integer spans + deterministic string reassembly, so the
+    * whole thing hash-oracles.
+    */
+  val ChunkLen = 64
+  val ChunkStride = 16
+
+  def chunkWindows(documents: DataFrame, c: Int = ChunkLen,
+                   stride: Int = ChunkStride): DataFrame = {
+    val base = documents
+      .select($"doc_id",
+        filter(tokens(lower($"text")), w => w =!= "").as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+      .filter($"n" > 0)
+    base
+      .withColumn("starts", array_sort(array_distinct(concat(
+        sequence(lit(0L), greatest($"n" - c, lit(0L)), lit(stride.toLong)),
+        array(greatest($"n" - c, lit(0L)))))))
+      .select($"doc_id", $"toks", $"n",
+        posexplode($"starts").as(Seq("chunk_id", "start")))
+      .select($"doc_id", $"chunk_id", $"start",
+        least(lit(c.toLong), $"n" - $"start").as("chunk_len"),
+        array_join(slice($"toks", ($"start" + 1).cast("int"), lit(c)), " ")
+          .as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** Two-pass heavy hitters over the corpus vocabulary (q113): pass 1
     * runs a mergeable Misra-Gries summary ([[graft.functions.MisraGries]],
     * capacity [[HhCapacity]]) to a CANDIDATE set; pass 2 recounts just
