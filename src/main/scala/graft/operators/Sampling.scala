@@ -476,10 +476,13 @@ object Sampling {
     * over hashed bag-of-words features — the fastText/CCNet-class
     * linear quality filter every production curation stack trains
     * (GPT-3's quality classifier, CCNet's LM+linear gate) expressed as
-    * distributed full-batch gradient descent. The demo objective
-    * predicts `lang == 'en'` from token features (a label every corpus
-    * carries); a production run swaps in any document-level label
-    * column with the same plan.
+    * distributed full-batch gradient descent. The demo objective is
+    * the heuristic-label bootstrap real pipelines use: y = the q31
+    * quality score at its corpus median ([[QcLabelGate]] — dyadic, so
+    * the gate is float-exact). A production run swaps in any
+    * document-level label column with the same plan. (A lang-based
+    * objective was measured unlearnable here — the synthetic corpus
+    * draws text and lang independently; see SURVEY §7h.)
     *
     * Determinism discipline (what makes this partitioning-invariant
     * where naive distributed SGD is not): weights live on a fixed-
@@ -516,21 +519,27 @@ object Sampling {
     // hashed-TF features + one BIAS pseudo-feature per doc (index
     // nFeatures, cnt = n_tok): its margin contribution cnt·w/n_tok
     // = w_bias exactly, and its gradient rides the same integer
-    // reduction as every real feature — one pass serves all
-    val feats = TextAnalysis.withQuality(documents)
+    // reduction as every real feature — one pass serves all. The
+    // bias row comes from the BASE frame, not the feature rows, so
+    // every document gets a score — a token-less doc (empty or
+    // whitespace-only text, n_tok clamped to 1) trains and scores on
+    // its bias alone instead of silently vanishing from the output
+    // (review r12: the lowest-quality docs are exactly the ones a
+    // quality filter must not drop).
+    val base = TextAnalysis.withQuality(documents)
       .select($"doc_id", ($"quality" >= QcLabelGate).cast("int").as("y"),
-        explode(TextAnalysis.tokens(lower($"text"))).as("w"))
-      .filter($"w" =!= "")
-      .select($"doc_id", $"y",
+        filter(TextAnalysis.tokens(lower($"text")), w => w =!= "")
+          .as("toks"))
+      .withColumn("n_tok", greatest(size($"toks"), lit(1)).cast("long"))
+    val featRows = base
+      .select($"doc_id", $"y", $"n_tok", explode($"toks").as("w"))
+      .select($"doc_id", $"y", $"n_tok",
         pmod(xxhash64($"w"), lit(nFeatures.toLong)).cast("int").as("f"))
-      .groupBy($"doc_id", $"y", $"f")
+      .groupBy($"doc_id", $"y", $"n_tok", $"f")
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("n_tok", sum($"cnt").over(Window.partitionBy($"doc_id")))
-    val train = feats
-      .unionByName(feats.groupBy($"doc_id", $"y", $"n_tok")
-        .agg(first(lit(nFeatures)).as("f"), first($"n_tok").as("cnt"))
-        .select($"doc_id", $"y", $"f", $"cnt", $"n_tok"))
-      .localCheckpoint(true)
+    val biasRows = base.select($"doc_id", $"y", $"n_tok",
+      lit(nFeatures).as("f"), $"n_tok".as("cnt"))
+    val train = featRows.unionByName(biasRows).localCheckpoint(true)
     val nDocs = math.max(1L,
       train.agg(countDistinct($"doc_id")).head().getLong(0))
     val w = Array.fill(nFeatures + 1)(0L)

@@ -267,7 +267,7 @@ object Similarity {
                   iters: Int = 5): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
     val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
-    var cents = seedCentroids(q, kCents).coalesce(1).localCheckpoint(true)
+    var cents = seedCentroids(q, kCents).localCheckpoint(true)
     var i = 0
     while (i < iters) {
       val means = assignCells(q, cents)
@@ -335,30 +335,62 @@ object Similarity {
     * tie-break, 1/1000-grid re-quantized means, empty cells keep
     * their previous centroid.
     */
+  /** Contiguous subspace spans (start, len) for a measured input
+    * dimension: dim/nSub each, the LAST span absorbing any remainder;
+    * at most min(nSub, dim) non-empty spans. The dimension is always
+    * measured from the data (seed rows here, the trained codebooks in
+    * every consumer) — a hardcoded width was exactly the q114 fuzz
+    * bug's hazard class.
+    */
+  private def subSpans(dim: Int, nSub: Int): IndexedSeq[(Int, Int)] = {
+    val n = math.max(1, math.min(nSub, dim))
+    val base = math.max(1, dim / n)
+    (0 until n).map { m =>
+      val start = m * base
+      (start, if (m == n - 1) dim - start else base)
+    }
+  }
+
+  /** Spans implied by a trained codebook set: each sub-codebook's
+    * centroid width, laid out contiguously in subspace order.
+    */
+  private def spansOf(
+      cents: IndexedSeq[IndexedSeq[Seq[Long]]]): IndexedSeq[(Int, Int)] = {
+    val lens = cents.map(_.headOption.map(_.size).getOrElse(0))
+    lens.scanLeft(0)(_ + _).zip(lens)
+  }
+
+  private def quantizedNonEmpty(embeddings: DataFrame): DataFrame =
+    embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+      .filter(size($"v") > 0)
+
   private[operators] def pqTrainDriver(
       embeddings: DataFrame, nSub: Int, kCodes: Int,
       iters: Int): IndexedSeq[IndexedSeq[Seq[Long]]] = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
-    val subDim = 64 / nSub
-    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    val q = quantizedNonEmpty(embeddings)
     val seedRows = q.filter($"vec_id" < kCodes).orderBy($"vec_id").collect()
+    if (seedRows.isEmpty) return IndexedSeq(IndexedSeq.empty)
+    val dim = seedRows.head.getSeq[Long](1).size
+    val spans = subSpans(dim, nSub)
     var cents: IndexedSeq[IndexedSeq[Seq[Long]]] =
-      IndexedSeq.tabulate(nSub) { m =>
+      spans.map { case (start, len) =>
         seedRows.toIndexedSeq.map(r =>
-          r.getSeq[Long](1).slice(m * subDim, (m + 1) * subDim))
+          r.getSeq[Long](1).slice(start, start + len))
       }
-    if (cents.head.isEmpty) return cents
     var i = 0
     while (i < iters) {
       val assigned = q.select($"vec_id" +:
-        (0 until nSub).map { m =>
-          bestCode(slice($"v", m * subDim + 1, subDim),
+        cents.indices.map { m =>
+          val (start, len) = spans(m)
+          bestCode(slice($"v", start + 1, len),
             typedlit(cents(m).map(_.toSeq)), cents(m).size).as(s"c$m")
         } :+ $"v": _*)
       val means = assigned
-        .select(explode(array((0 until nSub).map { m =>
+        .select(explode(array(cents.indices.map { m =>
+          val (start, len) = spans(m)
           struct(lit(m).as("sub"), col(s"c$m").as("code"),
-            slice($"v", m * subDim + 1, subDim).as("sv"))
+            slice($"v", start + 1, len).as("sv"))
         }: _*)).as("s"))
         .select($"s.sub".as("sub"), $"s.code".as("code"),
           posexplode($"s.sv").as(Seq("dim", "qv")))
@@ -367,9 +399,9 @@ object Similarity {
         .collect()
       val upd = means.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
         (r.getLong(3), r.getLong(4))).toMap
-      cents = IndexedSeq.tabulate(nSub) { m =>
+      cents = cents.indices.map { m =>
         IndexedSeq.tabulate(cents(m).size) { c =>
-          val dims = (0 until subDim).map(d => upd.get((m, c, d)))
+          val dims = (0 until spans(m)._2).map(d => upd.get((m, c, d)))
           if (dims.exists(_.isEmpty)) cents(m)(c)
           else dims.map { case Some((s, n)) =>
             // same double tree as kmeansStep/centroidsOf:
@@ -403,14 +435,15 @@ object Similarity {
     * in a single map-only projection — zero joins, zero shuffles.
     */
   private[operators] def pqEncodeLit(
-      embeddings: DataFrame, cents: IndexedSeq[IndexedSeq[Seq[Long]]],
-      nSub: Int): DataFrame = {
-    val subDim = 64 / nSub
-    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
-    q.select($"vec_id" +: (0 until nSub).map { m =>
-      bestCode(slice($"v", m * subDim + 1, subDim),
-        typedlit(cents(m).map(_.toSeq)), cents(m).size).as(s"c$m")
-    }: _*)
+      embeddings: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Seq[Long]]]): DataFrame = {
+    val spans = spansOf(cents)
+    quantizedNonEmpty(embeddings)
+      .select($"vec_id" +: cents.indices.map { m =>
+        val (start, len) = spans(m)
+        bestCode(slice($"v", start + 1, len),
+          typedlit(cents(m).map(_.toSeq)), cents(m).size).as(s"c$m")
+      }: _*)
   }
 
   /** Trained PQ codebooks as a (sub, cid, cv) frame — the reusable
@@ -436,16 +469,19 @@ object Similarity {
     * 64× (256 B → 4 B per vector), which is the entire point: the
     * ADC scan then reads codes, not vectors.
     */
-  def pqEncode(embeddings: DataFrame, codebooks: DataFrame,
-               nSub: Int = 4): DataFrame = {
+  def pqEncode(embeddings: DataFrame, codebooks: DataFrame): DataFrame = {
     val rows = codebooks.collect()
     val bySub = rows.groupBy(_.getInt(0))
+    val nSub = if (bySub.isEmpty) 0 else bySub.keys.max + 1
     val cents = IndexedSeq.tabulate(nSub) { m =>
       bySub.getOrElse(m, Array.empty).sortBy(_.getLong(1)).toIndexedSeq
         .map(_.getSeq[Long](2))
     }
-    pqEncodeLit(embeddings, cents, nSub)
-      .select($"vec_id", explode(array((0 until nSub).map { m =>
+    if (nSub == 0)
+      return embeddings.select($"vec_id", lit(0).as("sub"),
+        lit(0L).as("code")).filter(lit(false))
+    pqEncodeLit(embeddings, cents)
+      .select($"vec_id", explode(array(cents.indices.map { m =>
         struct(lit(m).as("sub"), col(s"c$m").cast("long").as("code"))
       }: _*)).as("s"))
       .select($"vec_id", $"s.sub".as("sub"), $"s.code".as("code"))
@@ -464,26 +500,27 @@ object Similarity {
     */
   private def adcShortlist(embeddings: DataFrame,
       cents: IndexedSeq[IndexedSeq[Seq[Long]]],
-      qRows: Array[org.apache.spark.sql.Row], nSub: Int,
+      qRows: Array[org.apache.spark.sql.Row],
       r: Int): DataFrame = {
-    val subDim = 64 / nSub
+    val spans = spansOf(cents)
     // driver-side distance tables: dtab(q)(m)(code) = d2(q_m, cv)
     val dtab = qRows.toIndexedSeq.map { row =>
       val v = row.getSeq[Long](1)
-      (row.getLong(0), IndexedSeq.tabulate(nSub) { m =>
-        val qs = v.slice(m * subDim, (m + 1) * subDim)
+      (row.getLong(0), cents.indices.map { m =>
+        val (start, len) = spans(m)
+        val qs = v.slice(start, start + len)
         cents(m).map(cv => qs.zip(cv).map { case (a, b) =>
           (a - b) * (a - b) }.sum)
       })
     }
     val perQuery = dtab.map { case (qid, tbl) =>
-      val adc = (0 until nSub).map { m =>
+      val adc = cents.indices.map { m =>
         element_at(typedlit(tbl(m).toList), col(s"c$m") + 1)
       }.reduce(_ + _)
       struct(lit(qid).as("query_id"), adc.as("adc_d2"))
     }
     val w = Window.partitionBy($"query_id").orderBy($"adc_d2", $"vec_id")
-    pqEncodeLit(embeddings, cents, nSub)
+    pqEncodeLit(embeddings, cents)
       .select($"vec_id", explode(array(perQuery: _*)).as("s"))
       .select($"s.query_id".as("query_id"), $"vec_id",
         $"s.adc_d2".as("adc_d2"))
@@ -502,12 +539,12 @@ object Similarity {
                   r: Int = 64): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
     val cents = pqTrainDriver(embeddings, nSub, kCodes, iters)
-    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
-    val qRows = q.filter($"vec_id" < nQueries).orderBy($"vec_id").collect()
+    val qRows = quantizedNonEmpty(embeddings)
+      .filter($"vec_id" < nQueries).orderBy($"vec_id").collect()
     if (cents.head.isEmpty || qRows.isEmpty)
       return embeddings.select($"vec_id".as("query_id"), $"vec_id",
         lit(0L).as("adc_d2"), lit(0).as("rank")).filter(lit(false))
-    adcShortlist(embeddings, cents, qRows, nSub, r)
+    adcShortlist(embeddings, cents, qRows, r)
       .orderBy($"query_id", $"rank")
   }
 
@@ -535,12 +572,12 @@ object Similarity {
              rerank: Int = 64): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
     val cents = pqTrainDriver(embeddings, nSub, kCodes, iters)
-    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
-    val qRows = q.filter($"vec_id" < nQueries).orderBy($"vec_id").collect()
+    val qRows = quantizedNonEmpty(embeddings)
+      .filter($"vec_id" < nQueries).orderBy($"vec_id").collect()
     if (cents.head.isEmpty || qRows.isEmpty)
       return embeddings.select($"vec_id".as("query_id"), $"vec_id",
         lit(0L).as("d2"), lit(0).as("rank")).filter(lit(false))
-    val short = adcShortlist(embeddings, cents, qRows, nSub, rerank)
+    val short = adcShortlist(embeddings, cents, qRows, rerank)
       .select($"query_id", $"vec_id")
     val qmap = typedlit(qRows.map(row =>
       row.getLong(0) -> row.getSeq[Long](1).toList).toMap)
@@ -549,7 +586,7 @@ object Similarity {
         (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
     val w = Window.partitionBy($"query_id").orderBy($"d2", $"vec_id")
-    q.join(broadcast(short), Seq("vec_id"))
+    quantizedNonEmpty(embeddings).join(broadcast(short), Seq("vec_id"))
       .select($"query_id", $"vec_id", exactD2.as("d2"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
@@ -644,7 +681,13 @@ object Similarity {
   def randomProjection(embeddings: DataFrame): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
     val signs = jlSigns()
-    val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    // cap at the sign width (the oracle's subscript join truncates to
+    // 64 identically) and drop empty/null vectors (the oracle's
+    // unnest emits no rows for them — parity demands the same here)
+    val q = embeddings
+      .select($"vec_id",
+        slice(Vec.quantize($"embedding"), 1, 64).as("v"))
+      .filter(size($"v") > 0)
     q.select($"vec_id",
       posexplode(array(signs.map { s =>
         // sign row sliced to the input's dimension: a shorter vector

@@ -967,6 +967,69 @@ class NewOpsSpec extends AnyFunSuite {
     assert(acc == 1.0, s"disjoint-vocab corpora must separate fully, got $acc")
   }
 
+  test("chunk windows: stride grid + tail anchor cover every token exactly") {
+    import spark.implicits._
+    // n=9, C=4, S=3: grid starts {0,3}, tail anchor 5 — without the
+    // anchor, tokens 8-9 fall out of every chunk
+    val one = Seq((7L, "t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "s", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.chunkWindows(one, c = 4, stride = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0, 0L, 4L, "t1 t2 t3 t4"),
+      (1, 3L, 4L, "t4 t5 t6 t7"),
+      (2, 5L, 4L, "t6 t7 t8 t9")), s"chunks: ${got.toSeq}")
+    // real corpus, default params: last chunk reaches n; every
+    // chunk_text has exactly chunk_len tokens; short docs get one chunk
+    val docs = Tables.documents(spark, dir)
+    val out = TextAnalysis.chunkWindows(docs)
+    val bad = out.filter(
+      size(split($"chunk_text", " ")) =!= $"chunk_len").count()
+    assert(bad == 0, s"$bad chunks with text/span mismatch")
+    val n = docs.select($"doc_id",
+      size(filter(split(trim(lower($"text")), "\\s+"), w => w =!= ""))
+        .cast("long").as("n")).filter($"n" > 0)
+    val lastEnd = out.groupBy($"doc_id")
+      .agg(max($"start" + $"chunk_len").as("last_end"))
+      .join(n, Seq("doc_id"))
+      .filter($"last_end" =!= $"n")
+    assert(lastEnd.count() == 0, "a document's tail tokens are uncovered")
+  }
+
+  test("quality classifier: token-less documents still get scored") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en", "s", 16L),
+      (1L, "", "en", "s", 0L),
+      (2L, "   ", "en", "s", 3L),
+      (3L, "uno dos tres", "es", "s", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Sampling.qualityClassifier(docs, iters = 2).collect()
+    assert(out.length == 4, s"expected every doc scored, got ${out.length}")
+    assert(out.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite),
+      "a score is NaN/Inf")
+  }
+
+  test("pq: dimension is derived from the data, not assumed 64") {
+    import spark.implicits._
+    // dim-16 corpus (the fuzz shape that exposed the q114 bug):
+    // training, encode, and search must all work on the real width
+    val rng = new scala.util.Random(5)
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rng.nextFloat() * 2 - 1), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqCodebooks(emb)
+    val widths = cb.select(size($"cv")).distinct().collect().map(_.getInt(0))
+    assert(widths.forall(_ == 4),
+      s"sub-codebook widths should be 16/4 = 4, got ${widths.toSeq}")
+    val codes = Similarity.pqEncode(emb, cb)
+    assert(codes.count() == 60 * 4)
+    assert(codes.filter($"code".isNull).count() == 0, "null codes on dim-16")
+    val out = Similarity.pqTopK(emb, k = 3)
+    assert(out.count() > 0 && out.filter($"d2".isNull).count() == 0,
+      "dim-16 search produced no/null results")
+  }
+
   test("quality classifier: beats the majority baseline; partition-invariant") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
