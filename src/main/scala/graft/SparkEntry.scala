@@ -250,6 +250,10 @@ object SparkEntry {
     // small-union collapse spec-pinned)
     "q116_kmv_intersect" -> ((s, d) =>
       TimeSeries.kmvIntersect(Tables.events(s, d))),
+    // IVF cell manifest (occupancy + residual health per cell) —
+    // argmin assignment, nCells-row output, hash-oracled
+    "q119_cell_manifest" -> ((s, d) =>
+      Similarity.cellManifest(Tables.embeddings(s, d))),
     // RAG-style sliding-window chunking with tail coverage —
     // map-only, integer spans, hash-oracled
     "q118_chunk_windows" -> ((s, d) =>
@@ -1731,5 +1735,29 @@ object SparkEntry {
           least(64, n - s) AS chunk_len,
           array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text
         FROM ex ORDER BY doc_id, chunk_id""",
+    // cell manifest: q106's argmin-assignment SQL, aggregated to
+    // per-cell occupancy + residual stats (range(1,65) overshoots
+    // shorter vectors harmlessly — list_sum ignores the null tail,
+    // matching zip_with over the real width)
+    "q119_cell_manifest" ->
+      """WITH q AS (
+          SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+          FROM embeddings WHERE len(embedding) > 0),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 32),
+        scored AS (
+          SELECT q.vec_id, c.cid,
+            CAST(list_sum(list_transform(range(1, 65),
+              i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))) AS BIGINT) AS d2
+          FROM q CROSS JOIN cents c),
+        assigned AS (
+          SELECT vec_id, cid, d2 FROM (
+            SELECT *, ROW_NUMBER() OVER
+              (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM scored) t WHERE rn = 1)
+        SELECT cid, COUNT(*) AS n_vectors,
+          CAST(SUM(d2) AS BIGINT) AS sum_d2, MAX(d2) AS max_d2
+        FROM assigned GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -594,6 +594,51 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** IVF-index cell manifest (q119): per-cell occupancy and residual
+    * stats — n_vectors, Σd2 and max d2 to the assigned centroid — the
+    * index-health table an ANN deployment watches to decide when a
+    * cell is over-full (split / retrain the quantizer, the q27→q106
+    * occupancy lesson as a MONITOR) or its residuals have drifted.
+    * Assignment is the standard argmin-d2 broadcast pass (one corpus
+    * scan, no corpus shuffle); the manifest is nCells rows.
+    */
+  def cellManifest(embeddings: DataFrame, nCells: Int = 32): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val q = quantizedNonEmpty(embeddings)
+    val cents = seedCentroids(q, nCells).localCheckpoint(true)
+    val d2 = aggregate(zip_with($"v", $"cv", (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    q.crossJoin(broadcast(cents))
+      .select($"vec_id", struct(d2.as("d2"), $"cid").as("sc"))
+      .groupBy($"vec_id").agg(min($"sc").as("best"))
+      .select($"best.cid".as("cid"), $"best.d2".as("d2"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vectors"), sum($"d2").as("sum_d2"),
+        max($"d2").as("max_d2"))
+      .orderBy($"cid")
+  }
+
+  /** Streaming twin of the cell assignment: map-only argmin against a
+    * DRIVER-resident centroid list inlined as literals — no join, no
+    * state, no shuffle, so it runs unchanged on a Structured
+    * Streaming frame (the "index stays fresh" path: new embeddings
+    * stream in, each lands in its cell partition on arrival; the
+    * manifest/retrain decisions read the batch side). Tie-break
+    * matches [[assignCells]] exactly when `cents` is sorted by cid —
+    * position order equals cid order, spec-pinned stream≡batch.
+    */
+  def assignCellsLit(embeddings: DataFrame,
+                     cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val sorted = cents.sortBy(_._1)
+    val centsLit = typedlit(sorted.map(_._2.toList).toList)
+    val cidsLit = typedlit(sorted.map(_._1).toList)
+    quantizedNonEmpty(embeddings)
+      .select($"vec_id",
+        element_at(cidsLit,
+          bestCode($"v", centsLit, sorted.size) + 1).as("cid"))
+  }
+
   /** Greedy k-center / farthest-point diversity sample (q115) — the
     * coreset-selection move a curation pipeline runs to pick a
     * maximally-diverse exemplar set (Gonzalez 1985's 2-approximation

@@ -25,7 +25,9 @@ class PlanAuditSpec extends AnyFunSuite {
   // so the same 32-row broadcast appears on each of its three sides.
   // q116 crossJoins the broadcast nTypes-row type list with itself to
   // enumerate type PAIRS (a handful of rows) — the designed pairing
-  // frame; everything corpus-sized stays on equi-join keys. q113
+  // frame; everything corpus-sized stays on equi-join keys. q119
+  // broadcasts its 32-row checkpointed centroid frame for argmin
+  // assignment (the q73/q45/q106 shape). q113
   // crossJoins the broadcast 1-row token-total certificate into the
   // threshold filter, and q112 the broadcast 1-row vocabulary-size
   // frame into its probability projection (the q74/q94 corpus-stats
@@ -35,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q73_kmeans_step", "q74_bm25_rank", "q75_merge_upsert",
       "q94_source_mixture", "q103_zorder_layout",
       "q106_dedup_embedding_cells", "q107_semdedup_prune",
-      "q112_lm_fluency", "q113_heavy_hitters", "q116_kmv_intersect")
+      "q112_lm_fluency", "q113_heavy_hitters", "q116_kmv_intersect",
+      "q119_cell_manifest")
 
   /** Every query's plan, built ONCE and shared by all audit tests —
     * operators with eager construction steps (q66's propagation

@@ -27,6 +27,43 @@ class StreamingFormatsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"profile mismatches: ${bad.take(3)}")
   }
 
+  test("streaming index upsert: cell assignment over a stream equals the batch path") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, dir)
+    val q0 = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
+    val cents = Similarity.seedCentroids(q0, 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    // batch truth over the whole corpus
+    val batch = Similarity.assignCells(q0,
+      Similarity.seedCentroids(q0, 8))
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // stream the corpus in TWO increments through the literal-argmin
+    // map-only twin — no state, no shuffle, append mode
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val out = Similarity.assignCellsLit(
+      ms.toDF.toDF("vec_id", "embedding"), cents)
+    val query = out.writeStream.format("memory")
+      .queryName("graft_idx_upsert").outputMode("append").start()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    ms.addData(a.toSeq); query.processAllAvailable()
+    val afterFirst = spark.table("graft_idx_upsert").count()
+    assert(afterFirst == a.length, "first increment not fully appended")
+    ms.addData(b.toSeq); query.processAllAvailable()
+    val got = spark.table("graft_idx_upsert").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    query.stop()
+    assert(got.size == rows.length)
+    val bad = got.filter { case (k, v) => batch(k) != v }
+    assert(bad.isEmpty,
+      s"stream assignment diverged from batch for ${bad.size} vectors: ${bad.take(3)}")
+  }
+
   test("csv round trip preserves the events table") {
     val events = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
