@@ -1714,17 +1714,18 @@ object SparkEntry {
     // multiples ∪ the n-C tail anchor), same slicing, same join-with-
     // space reassembly
     "q118_chunk_windows" ->
-      """WITH t AS (
+      s"""WITH t AS (
           SELECT doc_id,
-            list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+            list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
               x -> x <> '') AS toks
           FROM documents),
         t2 AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
         st AS (
           SELECT doc_id, toks, n,
             list_sort(list_distinct(list_append(
-              range(0, greatest(n - 64, 0) + 1, 16),
-              greatest(n - 64, 0)))) AS starts
+              range(0, greatest(n - ${TextAnalysis.ChunkLen}, 0) + 1,
+                ${TextAnalysis.ChunkStride}),
+              greatest(n - ${TextAnalysis.ChunkLen}, 0)))) AS starts
           FROM t2),
         ex AS (
           SELECT doc_id, toks, n,
@@ -1732,8 +1733,10 @@ object SparkEntry {
             unnest(starts) AS s
           FROM st)
         SELECT doc_id, chunk_id, s AS start,
-          least(64, n - s) AS chunk_len,
-          array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text
+          least(${TextAnalysis.ChunkLen}, n - s) AS chunk_len,
+          array_to_string(
+            list_slice(toks, s + 1, s + ${TextAnalysis.ChunkLen}),
+            ' ') AS chunk_text
         FROM ex ORDER BY doc_id, chunk_id""",
     // cell manifest: q106's argmin-assignment SQL, aggregated to
     // per-cell occupancy + residual stats (range(1,65) overshoots

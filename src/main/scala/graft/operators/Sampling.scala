@@ -515,7 +515,6 @@ object Sampling {
 
   def qualityClassifier(documents: DataFrame, nFeatures: Int = QcFeatures,
                         iters: Int = 12, lrate: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // hashed-TF features + one BIAS pseudo-feature per doc (index
     // nFeatures, cnt = n_tok): its margin contribution cnt·w/n_tok
     // = w_bias exactly, and its gradient rides the same integer

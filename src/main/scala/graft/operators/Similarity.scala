@@ -166,14 +166,24 @@ object Similarity {
     * so in-cell occupancy — not a stored label — bounds the pair
     * space.
     */
-  def assignCells(q: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignCells(q: DataFrame, centroids: DataFrame): DataFrame =
+    assignD2(q, centroids).select($"vec_id", $"cid", $"v")
+
+  /** The one argmin kernel every cell consumer shares (q73 assignment,
+    * q106 blocking, q119 manifest): broadcast centroids, exact integer
+    * d2, min(struct(d2, cid)) tie-break. Returns the residual d2
+    * alongside the assignment so manifest-style consumers don't
+    * re-derive the kernel.
+    */
+  private[operators] def assignD2(q: DataFrame,
+                                  centroids: DataFrame): DataFrame = {
     val d2 = aggregate(zip_with($"v", $"cv", (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
     q.crossJoin(broadcast(centroids))
       .select($"vec_id", $"v", struct(d2.as("d2"), $"cid").as("sc"))
       .groupBy($"vec_id")
       .agg(min($"sc").as("best"), first($"v").as("v"))
-      .select($"vec_id", $"best.cid".as("cid"), $"v")
+      .select($"vec_id", $"best.cid".as("cid"), $"best.d2".as("d2"), $"v")
   }
 
   /** Multi-probe cell assignment: each vector lands in its `nProbe`
@@ -477,6 +487,11 @@ object Similarity {
       bySub.getOrElse(m, Array.empty).sortBy(_.getLong(1)).toIndexedSeq
         .map(_.getSeq[Long](2))
     }
+    // spans derive from codebook widths laid out contiguously — a
+    // missing sub index would both crash bestCode (kEff=0) and shift
+    // every later subspace onto the wrong dims; reject precisely
+    require(cents.forall(_.nonEmpty),
+      s"codebook frame is missing sub indexes: present=${bySub.keys.toSeq.sorted}")
     if (nSub == 0)
       return embeddings.select($"vec_id", lit(0).as("sub"),
         lit(0L).as("code")).filter(lit(false))
@@ -604,14 +619,14 @@ object Similarity {
     */
   def cellManifest(embeddings: DataFrame, nCells: Int = 32): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
+    // cap at the oracle's 64-dim window (the q114 rule: the SQL twin
+    // sums range(1,65) with null-skip, so dim<=64 matches the real
+    // width and dim>64 must truncate identically here). Widths are
+    // uniform within a corpus by the embeddings contract.
     val q = quantizedNonEmpty(embeddings)
+      .select($"vec_id", slice($"v", 1, 64).as("v"))
     val cents = seedCentroids(q, nCells).localCheckpoint(true)
-    val d2 = aggregate(zip_with($"v", $"cv", (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
-    q.crossJoin(broadcast(cents))
-      .select($"vec_id", struct(d2.as("d2"), $"cid").as("sc"))
-      .groupBy($"vec_id").agg(min($"sc").as("best"))
-      .select($"best.cid".as("cid"), $"best.d2".as("d2"))
+    assignD2(q, cents)
       .groupBy($"cid")
       .agg(count(lit(1)).as("n_vectors"), sum($"d2").as("sum_d2"),
         max($"d2").as("max_d2"))
@@ -630,6 +645,12 @@ object Similarity {
   def assignCellsLit(embeddings: DataFrame,
                      cents: Seq[(Long, Seq[Long])]): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
+    if (cents.isEmpty)
+      // empty quantizer (e.g. streaming bootstrap before any seed
+      // vector landed): empty assignment, not a mid-batch
+      // element_at(-1) crash — the guard every sibling entry carries
+      return embeddings.select($"vec_id", lit(0L).as("cid"))
+        .filter(lit(false))
     val sorted = cents.sortBy(_._1)
     val centsLit = typedlit(sorted.map(_._2.toList).toList)
     val cidsLit = typedlit(sorted.map(_._1).toList)
