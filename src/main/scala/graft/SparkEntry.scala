@@ -1693,7 +1693,7 @@ object SparkEntry {
           SELECT vec_id,
             list_transform(embedding,
               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-          FROM embeddings),
+          FROM embeddings WHERE len(embedding) > 0),
         sel(iter, chosen, picked, md) AS (
           (SELECT 1, [vec_id], vec_id, CAST(0 AS BIGINT) FROM q
            ORDER BY vec_id LIMIT 1)

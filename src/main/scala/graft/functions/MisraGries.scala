@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -26,43 +28,75 @@ import org.apache.spark.sql.functions.udaf
   * two-pass — sketch for candidates, then exact recount of just those
   * candidates (TextAnalysis.heavyHitters), which makes the final
   * output independent of partitioning and therefore oracle-equal.
+  *
+  * The working buffer is a `mutable.HashMap` mutated in place
+  * (decrement-all runs `mapValuesInPlace` + `filterInPlace`, merge
+  * folds the smaller side into the larger): on a web-scale vocabulary
+  * most arrivals take the full-buffer path, and rebuilding an
+  * immutable `capacity`-entry map per arrival — the previous
+  * implementation — is an O(capacity) allocate-and-copy on the
+  * sketch's hot path. The declared buffer type stays the read-only
+  * `collection.Map` so the encoder boundary (Spark serializes the
+  * buffer only at shuffle edges) accepts whichever concrete map the
+  * deserializer hands back; [[asMutable]] upgrades it on first touch.
   */
 class MisraGries(capacity: Int)
-    extends Aggregator[String, Map[String, Long], Seq[String]]
+    extends Aggregator[String, collection.Map[String, Long], Seq[String]]
     with Serializable {
 
-  override def zero: Map[String, Long] = Map.empty
+  /** In-place view of a buffer: pass-through when it is already the
+    * working HashMap, one copy when the deserializer handed back an
+    * immutable map (once per shuffled partial, not per row).
+    */
+  private def asMutable(
+      b: collection.Map[String, Long]): mutable.HashMap[String, Long] =
+    b match {
+      case m: mutable.HashMap[String, Long] => m
+      case other => mutable.HashMap.from(other)
+    }
 
-  override def reduce(b: Map[String, Long], w: String): Map[String, Long] =
-    b.get(w) match {
-      case Some(c) => b.updated(w, c + 1)
-      case None if b.size < capacity => b.updated(w, 1L)
+  // fresh instance per group — the buffer is mutated in place
+  override def zero: collection.Map[String, Long] =
+    mutable.HashMap.empty[String, Long]
+
+  override def reduce(b: collection.Map[String, Long],
+                      w: String): collection.Map[String, Long] = {
+    val m = asMutable(b)
+    m.get(w) match {
+      case Some(c) => m.update(w, c + 1)
+      case None if m.size < capacity => m.update(w, 1L)
       case None =>
         // decrement-all: each surviving counter absorbs one "vote"
         // against, the arriving item's single vote is spent too
-        b.iterator.map { case (k, c) => (k, c - 1) }
-          .filter(_._2 > 0).toMap
+        m.mapValuesInPlace((_, c) => c - 1)
+        m.filterInPlace((_, c) => c > 0)
     }
-
-  override def merge(a: Map[String, Long],
-                     b: Map[String, Long]): Map[String, Long] = {
-    val sum = b.foldLeft(a) { case (m, (k, c)) =>
-      m.updated(k, m.getOrElse(k, 0L) + c)
-    }
-    if (sum.size <= capacity) sum
-    else {
-      val cut = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse)
-        .apply(capacity) // (capacity+1)-th largest
-      sum.iterator.map { case (k, c) => (k, c - cut) }
-        .filter(_._2 > 0).toMap
-    }
+    m
   }
 
-  override def finish(b: Map[String, Long]): Seq[String] =
+  override def merge(a: collection.Map[String, Long],
+                     b: collection.Map[String, Long]): collection.Map[String, Long] = {
+    // fold the smaller side into the larger — merge cost tracks the
+    // smaller partial regardless of which argument Spark passes first
+    val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
+    val m = asMutable(into)
+    from.foreach { case (k, c) =>
+      m.update(k, m.getOrElse(k, 0L) + c)
+    }
+    if (m.size > capacity) {
+      val cut = m.valuesIterator.toArray.sorted(Ordering[Long].reverse)
+        .apply(capacity) // (capacity+1)-th largest
+      m.mapValuesInPlace((_, c) => c - cut)
+      m.filterInPlace((_, c) => c > 0)
+    }
+    m
+  }
+
+  override def finish(b: collection.Map[String, Long]): Seq[String] =
     b.keys.toSeq.sorted
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    ExpressionEncoder[Map[String, Long]]()
+  override def bufferEncoder: Encoder[collection.Map[String, Long]] =
+    ExpressionEncoder[collection.Map[String, Long]]()
   override def outputEncoder: Encoder[Seq[String]] =
     ExpressionEncoder[Seq[String]]()
 }

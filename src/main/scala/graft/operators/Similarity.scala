@@ -78,16 +78,27 @@ object Similarity {
       .select($"label", $"dim", $"sum_q", $"n", $"mean")
       .orderBy($"label", $"dim")
 
-  /** IVF-style ANN: a coarse quantizer (here: the first `nCells`
-    * vectors as fixed centroids — production would use trained k-means
-    * centroids, same plan shape) assigns every vector to its nearest
-    * cell in one broadcast pass; queries probe their `nProbe` nearest
-    * cells and rescore exactly within them. Candidate generation is an
-    * equi-join on cell id — the corpus shuffles once on assignment and
-    * each query touches nProbe/nCells of the data.
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest cell in one broadcast pass; queries probe their `nProbe`
+    * nearest cells and rescore exactly within them. Candidate
+    * generation is an equi-join on cell id — the corpus shuffles once
+    * on assignment and each query touches nProbe/nCells of the data.
+    *
+    * The quantizer is pluggable: `centroids` takes any (cid, cv)
+    * frame — [[kmeansTrain]]'s trained codebook in production (the
+    * [[ivfTopKTrained]] composition), with the first-`nCells`-vectors
+    * seed as the default for a corpus that can't afford the k-means
+    * pass. Trained cells matter for the same occupancy reason as
+    * q106's blocking: seed cells inherit whatever skew the first
+    * nCells vectors happen to carry, so one over-full cell both
+    * slows every probe that touches it and starves recall elsewhere;
+    * Lloyd rounds rebalance the layout (max-occupancy measured below
+    * the seed layout's in DedupSimilaritySpec) while this plan shape
+    * is unchanged — the centroid frame stays nCells rows, broadcast.
     */
   def ivfTopK(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
-              nQueries: Int = 10, k: Int = 5): DataFrame = {
+              nQueries: Int = 10, k: Int = 5,
+              centroids: Option[DataFrame] = None): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
     val q = embeddings
       .select($"vec_id", Vec.quantize($"embedding").as("v"))
@@ -95,11 +106,21 @@ object Similarity {
     // nCells rows, materialized once: without the checkpoint both the
     // assignment and the probe branch re-derive the centroid slice
     // from a fresh (pushdown-pruned, but still planned) corpus scan
-    val centroids = q.filter($"vec_id" < nCells)
-      .select($"vec_id".as("cell"), $"v".as("cv"), $"nrm".as("cnrm"))
-      .localCheckpoint(true)
+    val cents = centroids match {
+      case Some(c) =>
+        // external (cid, cv) quantizer — norm derived from cv, and
+        // degenerate all-zero centroids guarded to keep the cosine
+        // finite (a trained centroid is zero only if its cell mean
+        // is the origin on the 1/1000 grid)
+        c.select($"cid".as("cell"), $"cv",
+          greatest(Vec.normQ($"cv"), lit(1e-30)).as("cnrm"))
+      case None =>
+        q.filter($"vec_id" < nCells)
+          .select($"vec_id".as("cell"), $"v".as("cv"), $"nrm".as("cnrm"))
+    }
+    val centroidsF = cents.localCheckpoint(true)
     // nearest-centroid assignment: argmax cosine via max(struct)
-    val scored = q.crossJoin(broadcast(centroids))
+    val scored = q.crossJoin(broadcast(centroidsF))
       .select($"vec_id", $"v", $"nrm",
         struct((Vec.dotQ($"v", $"cv").cast("double") / ($"nrm" * $"cnrm")).as("cos"),
           $"cell").as("sc"))
@@ -110,7 +131,7 @@ object Similarity {
     val probeW = Window.partitionBy($"query_id").orderBy($"pcos".desc, $"cell")
     val probes = q.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(centroidsF))
       .select($"query_id", $"qv", $"qnrm", $"cell",
         (Vec.dotQ($"qv", $"cv").cast("double") / ($"qnrm" * $"cnrm")).as("pcos"))
       .withColumn("pr", row_number().over(probeW))
@@ -127,6 +148,22 @@ object Similarity {
       .select($"query_id", $"vec_id", $"cosine", $"rank")
       .orderBy($"query_id", $"rank")
   }
+
+  /** [[ivfTopK]] over a quantizer trained in-engine by [[kmeansTrain]]
+    * — the production IVF composition (train the codebook, then index
+    * on it), one call. Same composition precedent as
+    * `Dedup.embeddingNearDupCells(emb, kmeansTrain(emb, k))`: the
+    * trained (cid, cv) frame is nCells rows, broadcast into the
+    * assignment, so search cost is identical to the seed layout while
+    * the cells are occupancy-balanced (spec-measured: trained
+    * max-occupancy below the seed layout's, recall@5 at or above the
+    * fixed-seed floor at 1× and 10×).
+    */
+  def ivfTopKTrained(embeddings: DataFrame, nCells: Int = 16,
+                     nProbe: Int = 4, nQueries: Int = 10, k: Int = 5,
+                     iters: Int = 3): DataFrame =
+    ivfTopK(embeddings, nCells, nProbe, nQueries, k,
+      centroids = Some(kmeansTrain(embeddings, nCells, iters)))
 
   /** One Lloyd iteration of distributed k-means over quantized
     * embeddings — the training loop that produces real IVF centroids
@@ -563,6 +600,37 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Scale-aware ADC re-rank budget — the q111 default. The measured
+    * 10× decay (fixed R=64: recall@5 0.66 at sf0.1 → 0.40 at 10×;
+    * R=256 recovers 0.72) means a FIXED shortlist budget silently
+    * loses recall as the corpus grows: the number of corpus vectors
+    * whose ADC distance falls inside the quantization-error band of
+    * the true top-k grows with n, so R must grow too. Derived
+    * JOBLESSLY from Catalyst's size estimate of the corpus plan (the
+    * [[Analytics.fuzzyDictLarge]] / evalSliceBroadcastable plan-stats
+    * precedent — no job, no scan): estimated rows = sizeInBytes /
+    * (dim × 4 bytes per float32 component), a compressed-bytes
+    * UNDERcount, so the ratio errs small and the growth exponent
+    * carries the safety margin. R grows as ratio^(2/3) from
+    * [[RerankBase]] at the [[RerankAnchorRows]] anchor (the ~2k-row
+    * sf0.1 corpus where R=64 holds the measured 0.66) — sublinear in
+    * n, so the re-rank join stays shortlist-bounded while the
+    * measured floors hold at 1× and 10× (spec-pinned); capped at
+    * [[RerankMax]] so a mis-estimated store can't turn the shortlist
+    * into a full-corpus re-rank.
+    */
+  val RerankBase = 64
+  val RerankMax = 1024
+  val RerankAnchorRows = 2000.0
+
+  def autoRerank(embeddings: DataFrame, dim: Int): Int = {
+    val bytes = embeddings.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nEst = (BigDecimal(bytes) /
+      BigDecimal(math.max(dim * 4, 16))).toDouble
+    val ratio = math.max(nEst / RerankAnchorRows, 1.0)
+    math.min((RerankBase * math.pow(ratio, 2.0 / 3.0)).toInt, RerankMax)
+  }
+
   /** PQ top-k search (q111): ADC shortlist + exact re-rank — the
     * standard two-stage PQ deployment (FAISS's IndexPQ + refine):
     * the query keeps its exact (quantized) vector, every corpus
@@ -581,10 +649,15 @@ object Similarity {
     * vectors in the whole search. Final recall@k equals shortlist
     * recall (the re-rank is exact); both are spec-measured floors
     * in NewOpsSpec, alongside the ADC reconstruction identity.
+    *
+    * `rerank = None` (the default) sizes the shortlist with
+    * [[autoRerank]] from the corpus plan stats, so recall holds as
+    * the store grows without hand-tuning; pass `Some(r)` to pin a
+    * budget (the knob the 10× decay measurement uses).
     */
   def pqTopK(embeddings: DataFrame, nSub: Int = 4, kCodes: Int = 16,
              iters: Int = 3, nQueries: Int = 10, k: Int = 5,
-             rerank: Int = 64): DataFrame = {
+             rerank: Option[Int] = None): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
     val cents = pqTrainDriver(embeddings, nSub, kCodes, iters)
     val qRows = quantizedNonEmpty(embeddings)
@@ -592,7 +665,9 @@ object Similarity {
     if (cents.head.isEmpty || qRows.isEmpty)
       return embeddings.select($"vec_id".as("query_id"), $"vec_id",
         lit(0L).as("d2"), lit(0).as("rank")).filter(lit(false))
-    val short = adcShortlist(embeddings, cents, qRows, rerank)
+    val dim = qRows.head.getSeq[Long](1).size
+    val r = rerank.getOrElse(autoRerank(embeddings, dim))
+    val short = adcShortlist(embeddings, cents, qRows, r)
       .select($"query_id", $"vec_id")
     val qmap = typedlit(qRows.map(row =>
       row.getLong(0) -> row.getSeq[Long](1).toList).toMap)
@@ -616,8 +691,16 @@ object Similarity {
     * occupancy lesson as a MONITOR) or its residuals have drifted.
     * Assignment is the standard argmin-d2 broadcast pass (one corpus
     * scan, no corpus shuffle); the manifest is nCells rows.
+    *
+    * `centroids` plugs in an external (cid, cv) quantizer — pass
+    * [[kmeansTrain]]'s output to read the health of the TRAINED
+    * layout (the spec that closes the occupancy loop: trained cells
+    * manifest a lower max-occupancy than the seed layout on the same
+    * corpus). Default: the first-`nCells`-vectors seed, matching the
+    * q119 oracle.
     */
-  def cellManifest(embeddings: DataFrame, nCells: Int = 32): DataFrame = {
+  def cellManifest(embeddings: DataFrame, nCells: Int = 32,
+                   centroids: Option[DataFrame] = None): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
     // cap at the oracle's 64-dim window (the q114 rule: the SQL twin
     // sums range(1,65) with null-skip, so dim<=64 matches the real
@@ -625,7 +708,8 @@ object Similarity {
     // uniform within a corpus by the embeddings contract.
     val q = quantizedNonEmpty(embeddings)
       .select($"vec_id", slice($"v", 1, 64).as("v"))
-    val cents = seedCentroids(q, nCells).localCheckpoint(true)
+    val cents = centroids.getOrElse(seedCentroids(q, nCells))
+      .localCheckpoint(true)
     assignD2(q, cents)
       .groupBy($"cid")
       .agg(count(lit(1)).as("n_vectors"), sum($"d2").as("sum_d2"),
@@ -688,7 +772,12 @@ object Similarity {
     // toDF only — a full implicits._ import would shadow the package
     // $-interpolator with StringToColumn
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
-    val q0 = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
+    // empty/null vectors dropped up front (the quantizedNonEmpty
+    // guard every sibling vector operator carries): a degenerate row
+    // would otherwise yield NULL min-distances here while the DuckDB
+    // replay's list_dot_product hard-errors on mismatched lengths —
+    // both engines must drop the same rows
+    val q0 = quantizedNonEmpty(embeddings)
     def d2To(cv: Seq[Long]): Column =
       aggregate(zip_with($"v", typedlit(cv.toList),
         (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)

@@ -245,10 +245,16 @@ object TimeSeries {
     * smallest distinct hashes (K = min([[KmvK]], |union|)), let θ be
     * the K-th smallest mapped to u ∈ (0,1): est_union = (K-1)/u, and
     * est_inter = (n_both / K) · est_union where n_both counts kept
-    * hashes present in BOTH sketches. When the union fits inside the
-    * sketch (K < [[KmvK]]) the synopsis is lossless and the estimate
-    * collapses to the exact count. Relative error ~1/√K (≈6% at
-    * K=256), spec-bounded against the exact overlap in NewOpsSpec.
+    * hashes present in BOTH sketches. Losslessness is decided from
+    * per-type SATURATION (distinct count exceeded [[KmvK]]), not from
+    * the union size: when neither source sketch saturated, both hold
+    * every distinct hash of their type, so the pair's union — even
+    * one of exactly [[KmvK]] hashes, the boundary the old
+    * `|union| < K` test missed — is complete and the estimate
+    * collapses to the exact count with zero error. Only a pair
+    * touching a saturated sketch takes the θ estimator. Relative
+    * error there ~1/√K (≈6% at K=256), spec-bounded against the
+    * exact overlap in NewOpsSpec.
     *
     * Scale shape: one (event_type, h) distinct shuffle — the same
     * dedup any exact distinct pays ONCE — then a per-type top-K
@@ -265,42 +271,56 @@ object TimeSeries {
     val hashed = events
       .select($"event_type", xxhash64($"user_id").as("h"))
       .distinct()
+    // one window pass yields both the K-min sketch rows and the
+    // per-type saturation flag (did the type's distinct count exceed
+    // K — i.e. did the sketch DROP anything): the partition is
+    // already sorted for row_number, so the full-partition count adds
+    // no extra exchange
     val w = Window.partitionBy($"event_type").orderBy($"h")
+    val wAll = Window.partitionBy($"event_type")
     val sk = hashed.withColumn("rk", row_number().over(w))
+      .withColumn("sat", count(lit(1)).over(wAll) > KmvK)
       .filter($"rk" <= KmvK)
-      .select($"event_type", $"h")
+      .select($"event_type", $"h", $"sat")
       .localCheckpoint(true)
-    val types = sk.select($"event_type").distinct()
+    val types = sk.select($"event_type", $"sat").distinct()
     val typePairs = types.as("ta").crossJoin(broadcast(types.as("tb")))
       .filter(col("ta.event_type") < col("tb.event_type"))
       .select(col("ta.event_type").as("type_a"),
-        col("tb.event_type").as("type_b"))
+        col("tb.event_type").as("type_b"),
+        // a pair is lossless iff NEITHER source sketch dropped a hash
+        (!col("ta.sat") && !col("tb.sat")).as("lossless"))
+    val skh = sk.select($"event_type", $"h")
     val ua = typePairs
-      .join(sk.withColumnRenamed("event_type", "type_a"), Seq("type_a"))
-      .select($"type_a", $"type_b", $"h",
+      .join(skh.withColumnRenamed("event_type", "type_a"), Seq("type_a"))
+      .select($"type_a", $"type_b", $"lossless", $"h",
         lit(1).as("fa"), lit(0).as("fb"))
     val ub = typePairs
-      .join(sk.withColumnRenamed("event_type", "type_b"), Seq("type_b"))
-      .select($"type_a", $"type_b", $"h",
+      .join(skh.withColumnRenamed("event_type", "type_b"), Seq("type_b"))
+      .select($"type_a", $"type_b", $"lossless", $"h",
         lit(0).as("fa"), lit(1).as("fb"))
     val wp = Window.partitionBy($"type_a", $"type_b").orderBy($"h")
     val stats = ua.unionByName(ub)
-      .groupBy($"type_a", $"type_b", $"h")
+      .groupBy($"type_a", $"type_b", $"lossless", $"h")
       .agg(max($"fa").as("in_a"), max($"fb").as("in_b"))
       .withColumn("rk", row_number().over(wp))
-      .filter($"rk" <= KmvK)
-      .groupBy($"type_a", $"type_b")
+      // a lossless pair keeps its FULL union (which may hold exactly
+      // K or more hashes — both complete, so nothing was lost); only
+      // estimator-regime pairs truncate to the K smallest
+      .filter($"rk" <= KmvK || $"lossless")
+      .groupBy($"type_a", $"type_b", $"lossless")
       .agg(count(lit(1)).as("kmv_k"),
-        max($"h").as("theta"),
+        max(when($"rk" <= KmvK, $"h")).as("theta"),
         sum(when($"in_a" === 1 && $"in_b" === 1, 1L).otherwise(0L))
           .as("n_both"))
     // signed-long hash mapped to u ∈ (0,1): (θ + 2^63 + 1) / 2^64
     val u = ($"theta".cast("double") + 9.223372036854776e18 + 1.0) /
       1.8446744073709552e19
+    val exactRegime = $"lossless" || $"kmv_k" < KmvK
     stats.select($"type_a", $"type_b", $"kmv_k", $"n_both",
-      when($"kmv_k" < KmvK, $"kmv_k".cast("double"))
+      when(exactRegime, $"kmv_k".cast("double"))
         .otherwise(($"kmv_k" - 1).cast("double") / u).as("est_union"),
-      when($"kmv_k" < KmvK, $"n_both".cast("double"))
+      when(exactRegime, $"n_both".cast("double"))
         .otherwise($"n_both".cast("double") / $"kmv_k" *
           (($"kmv_k" - 1).cast("double") / u)).as("est_inter"))
       .orderBy($"type_a", $"type_b")

@@ -142,6 +142,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall@5 below measured floor: $recall")
   }
 
+  test("IVF with trained centroids: recall holds the fixed-seed floor; occupancy improves") {
+    import org.apache.spark.sql.functions.max
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.cosineTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the production composition: kmeansTrain's codebook plugged
+    // straight into the IVF assignment (the q106 precedent on the
+    // ANN path) — recall must hold the same floor the seed layout
+    // carries
+    val trained = Similarity.ivfTopKTrained(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & trained).size.toDouble / exact.size
+    assert(recall >= 0.8, s"trained-IVF recall@5 below the fixed-seed floor: $recall")
+    // the occupancy lesson (q27→q106), measured on the ANN path via
+    // q119's manifest: Lloyd rounds rebalance the layout, so the
+    // trained quantizer's fullest cell must not exceed the seed
+    // layout's fullest cell
+    def maxOcc(centroids: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.cellManifest(emb, nCells = 16, centroids = centroids)
+        .agg(max("n_vectors")).head().getLong(0)
+    val seedOcc = maxOcc(None)
+    val trainedOcc = maxOcc(Some(Similarity.kmeansTrain(emb, kCents = 16)))
+    info(s"max cell occupancy: seed $seedOcc, trained $trainedOcc")
+    assert(trainedOcc <= seedOcc,
+      s"training must not worsen the worst cell: seed $seedOcc -> trained $trainedOcc")
+  }
+
   test("semdedup prune: keepers complement q106's dominated set; tau extremes degenerate") {
     import org.apache.spark.sql.functions.min
     val emb = Tables.embeddings(spark, dir)
@@ -219,6 +246,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
     assert(ivfRecall >= 0.8, s"IVF recall@5 degraded at 10×: $ivfRecall " +
       "(measured 1.00 at the 10× point, round 7)")
+    val ivfT = Similarity.ivfTopKTrained(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfTRecall = (exact & ivfT).size.toDouble / exact.size
+    assert(ivfTRecall >= 0.8,
+      s"trained-IVF recall@5 below the fixed-seed floor at 10×: $ivfTRecall")
     // q26: band-blocking recall is pigeonhole-guaranteed (hamming<=3
     // implies >=1 of 4 16-bit bands agree), but execute it at 10×
     // anyway: every exact-dup pair (identical text => hamming 0) must

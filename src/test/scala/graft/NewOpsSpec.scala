@@ -952,6 +952,47 @@ class NewOpsSpec extends AnyFunSuite {
       s"expected exact overlap 50, got ${tr2.getLong(3)} / ${tr2.getDouble(5)}")
   }
 
+  test("kmv intersect: complete sketches stay exact past the union-size boundary") {
+    import spark.implicits._
+    def ev(pairs: Seq[(Long, String)]) = pairs.zipWithIndex.map {
+      case ((u, t), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          u, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val K = TimeSeries.KmvK
+    // boundary the old `|union| < K` test missed: union has EXACTLY K
+    // distinct hashes but both per-type sketches are complete (150
+    // distinct each <= K) — the synopsis is lossless, so the estimate
+    // must be exact, not ~1/sqrt(K) noisy
+    val boundary = ev((0L until 150L).map((_, "a")) ++
+      ((K - 150).toLong until K.toLong).map((_, "b")))
+    val br = TimeSeries.kmvIntersect(boundary).head()
+    assert(br.getLong(2) == K, s"union should hold exactly K, got ${br.getLong(2)}")
+    val exactOverlap = 150 - (K - 150) // users [K-150, 150)
+    assert(br.getDouble(4) == K.toDouble && br.getDouble(5) == exactOverlap.toDouble,
+      s"boundary pair must collapse to exact counts, got " +
+        s"union=${br.getDouble(4)} inter=${br.getDouble(5)}")
+    // past the boundary: union > K but each side holds exactly K
+    // distinct (still complete — saturation means EXCEEDING K) — the
+    // pair keeps its full union and stays exact
+    val past = ev((0L until K.toLong).map((_, "a")) ++
+      (200L until (200L + K)).map((_, "b")))
+    val pr = TimeSeries.kmvIntersect(past).head()
+    assert(pr.getLong(2) == 200 + K,
+      s"complete pair must keep its full union, got ${pr.getLong(2)}")
+    assert(pr.getDouble(4) == (200 + K).toDouble &&
+      pr.getDouble(5) == (K - 200).toDouble,
+      s"complete pair must stay exact past the K boundary, got " +
+        s"union=${pr.getDouble(4)} inter=${pr.getDouble(5)}")
+    // one side saturated (K+1 distinct): the pair is estimator-regime
+    // and truncates to K — the flag, not the union size, decides
+    val sat = ev((0L until (K + 1).toLong).map((_, "a")) ++
+      (0L until 100L).map((_, "b")))
+    val sr = TimeSeries.kmvIntersect(sat).head()
+    assert(sr.getLong(2) == K,
+      s"saturated pair must truncate to K, got ${sr.getLong(2)}")
+  }
+
   test("quality classifier: separates a planted disjoint-vocab corpus perfectly") {
     import spark.implicits._
     val pos = (0 until 40).map(i =>

@@ -400,6 +400,44 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(r256 > r64, "a larger re-rank budget must not lose recall")
     assert(r256 >= 0.5 && r64 >= 0.25,
       f"PQ 10× recall regressed: R=64 $r64%.2f, R=256 $r256%.2f")
+    // auto-R (the q111 DEFAULT since r13): plan-stats-derived budget
+    // must grow with the corpus but sublinearly (cost stays
+    // shortlist-bounded), and must hold the 0.55 floor at 10×
+    // without hand-tuning — the knob the two fixed budgets above
+    // demonstrate, applied automatically
+    val auto10 = operators.Similarity.autoRerank(emb, 64)
+    val auto1 = operators.Similarity.autoRerank(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"), 64)
+    info(s"auto-R: 1× $auto1, 10× $auto10")
+    assert(auto10 > auto1, "auto-R must grow with the corpus")
+    assert(auto10 < 10 * auto1,
+      s"auto-R growth must be sublinear in the 10× corpus growth " +
+        s"($auto1 -> $auto10)")
+    assert(auto10 <= 256,
+      s"auto-R $auto10 outgrew the collected shortlist — retune the anchor")
+    val rAuto = recallAt(auto10)
+    info(f"PQ recall@5 at 10× with auto-R=$auto10: $rAuto%.2f")
+    assert(rAuto >= 0.55, f"auto-R recall@5 at 10× below floor: $rAuto%.2f")
+    // 1× with the auto default: the measured sf0.1 floor holds too
+    val emb1 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val q1 = emb1.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
+    val qs1 = q1.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact1 = q1.join(broadcast(qs1), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .select(col("query_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got1 = operators.Similarity.pqTopK(emb1)
+      .select(col("query_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rec1 = exact1.keys.toSeq.map(kq =>
+      (exact1(kq) intersect got1.getOrElse(kq, Set.empty)).size.toDouble /
+        exact1(kq).size)
+    val rAuto1 = rec1.sum / rec1.size
+    info(f"PQ recall@5 at 1× (sf0.1) with auto-R=$auto1: $rAuto1%.2f")
+    assert(rAuto1 >= 0.55, f"auto-R recall@5 at 1× below floor: $rAuto1%.2f")
     // q116: 10× events push every pair's union past K — the ESTIMATOR
     // regime the small corpora never reach — and the error lands on
     // the ~1/√K theory line (measured 6.7% at K=256)
