@@ -68,9 +68,22 @@ object ScaleProbe {
     spark.listenerManager.register(listener)
 
     val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("q63_fuzzy_join_largedict" -> ((s, d) =>
-        operators.Analytics.fuzzyPartNames(sources.Tables.part(s, d),
-          largeDict = Some(true))))
+      Map(
+        "q63_fuzzy_join_largedict" -> ((s, d) =>
+          operators.Analytics.fuzzyPartNames(sources.Tables.part(s, d),
+            largeDict = Some(true))),
+        // plan-stats dictionary pick at this scale point, readable
+        // off the probe line: rows=1 → PassJoin, rows=0 → broadcast.
+        // With the per-copy name suffixes in gen_sf1.py the pick
+        // flips NATURALLY between sf0.1 (64-name dictionary,
+        // broadcast) and the 10×/100× points (640/6400 names across
+        // 200k+ rows — the projection outgrows the 10 MB budget).
+        "q63_fuzzy_dict_pick" -> ((s, d) => {
+          val pick =
+            operators.Analytics.fuzzyDictLarge(sources.Tables.part(s, d))
+          s.range(1).filter(org.apache.spark.sql.functions.lit(pick))
+            .toDF("large_dict")
+        }))
     val catalog = SparkEntry.queries ++ extras
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",

@@ -258,7 +258,15 @@ object SparkEntry {
     // map-only, integer spans, hash-oracled
     "q118_chunk_windows" -> ((s, d) =>
       TextAnalysis.chunkWindows(Tables.documents(s, d))),
-    // in-engine LR quality-classifier training over hashed features
+    // Druid-quantiles-style mergeable log-grid value sketch: daily
+    // sketch rows merged to per-type percentiles (rows-only: the
+    // one≡two-level merge equality and error bound vs q39's exact
+    // percentiles are spec-pinned)
+    "q120_quantile_rollup" -> ((s, d) =>
+      TimeSeries.quantileRollup(Tables.events(s, d))),
+    // in-engine LR quality-classifier training over hashed features,
+    // trained on the q50 hash-split train shard and scored over every
+    // doc with its split tag (held-out val accuracy spec-pinned)
     // (rows-only: iterative + xxhash64 features; fixed-point gradient
     // sums make train + scores partitioning-invariant, spec-pinned)
     "q117_quality_classifier" -> ((s, d) =>

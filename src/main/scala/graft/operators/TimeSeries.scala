@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Exact.{davg, dsum, dsumsq}
@@ -230,6 +230,85 @@ object TimeSeries {
         hll_sketch_estimate(hll_union_agg($"sk")).as("distinct_users"),
         count(lit(1)).as("days"),
         sum($"events").as("events"))
+      .orderBy($"event_type")
+  }
+
+  /** Mergeable quantile-sketch rollup (q120) — the Druid `quantiles`
+    * analog of q110's HLL pair (druid-*-datasource.json rollup
+    * granularity; the percentile-style ops metrics of
+    * GOES_PIPELINE_REPORT.md:275-314): per-(event_type, day) VALUE
+    * sketches at ingest grain, then coarser-grain percentile rollups
+    * as SKETCH MERGES — work proportional to grains × bins, never a
+    * raw re-scan. The sketch is a fixed LOG-GRID histogram:
+    *
+    *   bin(v) = sign(v) · floor(log2(1 + |v|) · [[QsBinsPerOctave]])
+    *
+    * — value-independent (mergeable with no bounds pre-pass, unlike a
+    * min/max-derived grid), deterministic integer output (no float
+    * sketch state), and each bin spans a bounded RELATIVE value
+    * interval (adjacent edges differ by 2^(1/B) ≈ 1.044 at B=16), so
+    * a percentile read off the merged histogram lands within a few
+    * percent of the exact quantile (spec-bounded against q39's exact
+    * percentiles). Merge is bin-count addition — associative and
+    * commutative, so one-level ≡ two-level exactly (spec-pinned, the
+    * q110 pattern) and Spark's partial aggregation is exact over
+    * sketch state. NaN values are excluded (no total order; q38
+    * counts them separately).
+    *
+    * At 100 TB: the daily sketch table is (types × days × ≤~150 bins)
+    * rows — the ingest-time rollup materializes once, and every
+    * later percentile query (any window, any grain coarsening) is an
+    * integer-sum merge of those rows.
+    */
+  val QsBinsPerOctave = 16
+
+  private def vbin(v: Column): Column =
+    (signum(v) * floor(log2(lit(1.0) + abs(v)) * QsBinsPerOctave))
+      .cast("long")
+
+  /** Midpoint value of a log-grid bin (sign-aware; bin 0 covers the
+    * (-ε, +ε) band around zero where ε = 2^(1/B)-1 and reads as its
+    * positive midpoint).
+    */
+  private def binMid(b: Column): Column = {
+    def edge(k: Column): Column =
+      pow(lit(2.0), k.cast("double") / QsBinsPerOctave) - lit(1.0)
+    val mag = (edge(abs(b)) + edge(abs(b) + 1)) / lit(2.0)
+    when(b >= 0, mag).otherwise(-mag)
+  }
+
+  /** Ingest-grain sketch rows: (event_type, day, bin, n). */
+  def dailyValueSketch(events: DataFrame): DataFrame =
+    events.filter(!isnan($"value"))
+      .groupBy($"event_type", to_date($"ts").as("day"),
+        vbin($"value").as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Coarse-grain percentile rollup from merged daily sketches:
+    * per event_type, approx p25/p50/p75/p95 plus n_values and the
+    * sketch row count actually merged. The only corpus-sized work is
+    * the daily sketch build; everything after runs on sketch rows.
+    */
+  def quantileRollup(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = dailyValueSketch(events)
+      .groupBy($"event_type", $"bin")
+      .agg(sum($"n").as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"event_type")
+    val cum = merged
+      .withColumn("cum", sum($"n").over(w))
+      .withColumn("total", sum($"n").over(wAll))
+    val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+    val pickAggs = count(lit(1)).as("n_bins") +:
+      qs.map { case (q, nm) =>
+        min(when($"cum" >= $"total" * q, $"bin")).as(s"bin_$nm")
+      }
+    val picked = cum.groupBy($"event_type")
+      .agg(max($"total").as("n_values"), pickAggs: _*)
+    picked.select(Seq($"event_type", $"n_values", $"n_bins") ++
+      qs.map { case (_, nm) => binMid(col(s"bin_$nm")).as(nm) }: _*)
       .orderBy($"event_type")
   }
 

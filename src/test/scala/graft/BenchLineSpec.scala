@@ -45,6 +45,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(qCount == 5, s"expected 5 worst-query entries, got $qCount")
   }
 
+  test("calibration probe lands on the line and sidecar when provided") {
+    // round-13 contract: two rounds of boot-confounded totals — the
+    // pinned synthetic probe's time must travel WITH the totals it
+    // normalizes, in both the driver-facing line and the archive
+    val line = Bench.renderLine(
+      fakeResults, "/tmp/sf", "d.json", calib = Some(0.4321))
+    assert(line.contains("\"calib\":0.432"), s"line missing calib: ${line.take(200)}")
+    assert(!line.contains("\n") && line.length < 2000)
+    val detail = Bench.renderDetail(fakeResults, "/tmp/sf", Some(0.4321))
+    assert(detail.contains("\"calib\":0.432"), "sidecar missing calib")
+  }
+
   test("detail sidecar carries every query") {
     val detail = Bench.renderDetail(fakeResults, "/root/testdata/sf0.1")
     for (k <- SparkEntry.queries.keys)

@@ -1004,7 +1004,7 @@ class NewOpsSpec extends AnyFunSuite {
     val out = Sampling.qualityClassifier(docs, iters = 8).collect()
     assert(out.length == 80)
     val acc = out.count(r =>
-      (r.getDouble(3) > 0.5) == (r.getInt(1) == 1)).toDouble / out.length
+      (r.getDouble(4) > 0.5) == (r.getInt(2) == 1)).toDouble / out.length
     assert(acc == 1.0, s"disjoint-vocab corpora must separate fully, got $acc")
   }
 
@@ -1047,7 +1047,7 @@ class NewOpsSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = Sampling.qualityClassifier(docs, iters = 2).collect()
     assert(out.length == 4, s"expected every doc scored, got ${out.length}")
-    assert(out.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite),
+    assert(out.forall(r => !r.getDouble(4).isNaN && !r.getDouble(4).isInfinite),
       "a score is NaN/Inf")
   }
 
@@ -1076,19 +1076,86 @@ class NewOpsSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, dir)
     val out = Sampling.qualityClassifier(docs).collect()
     val majority = math.max(
-      out.count(_.getInt(1) == 1), out.count(_.getInt(1) == 0))
+      out.count(_.getInt(2) == 1), out.count(_.getInt(2) == 0))
       .toDouble / out.length
     val acc = out.count(r =>
-      (r.getDouble(3) > 0.5) == (r.getInt(1) == 1)).toDouble / out.length
+      (r.getDouble(4) > 0.5) == (r.getInt(2) == 1)).toDouble / out.length
     assert(acc >= 0.85 && acc > majority,
       s"trained accuracy $acc (majority baseline $majority)")
     // fixed-point gradient sums: training AND scores are bit-identical
     // under any partitioning
     val out13 = Sampling.qualityClassifier(
       Tables.documents(spark, dir).repartition(13)).collect()
-    assert(out.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
-      out13.map(r => (r.getLong(0), r.getDouble(2))).toSeq,
+    assert(out.map(r => (r.getLong(0), r.getDouble(3))).toSeq ==
+      out13.map(r => (r.getLong(0), r.getDouble(3))).toSeq,
       "classifier output depends on partitioning")
+  }
+
+  test("quantile rollup: two-level merge equals one-level; percentiles near exact") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    // mergeability (the q110 pattern): rolling daily sketch rows up
+    // by bin-count addition must equal sketching straight off the raw
+    // events — the property that makes any grain coarsening a sketch
+    // merge instead of a re-scan
+    val two = TimeSeries.dailyValueSketch(ev)
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("n")).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val one = ev.filter(!isnan(col("value")))
+      .groupBy(col("event_type"),
+        (signum(col("value")) * floor(log2(lit(1.0) + abs(col("value"))) *
+          TimeSeries.QsBinsPerOctave)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(two == one, "two-level sketch merge diverged from one-level")
+    // error bound vs q39's exact percentiles: each log-grid bin spans
+    // a ~4.4% relative value interval at B=16, so the recovered
+    // percentile must land within a few bins of the exact quantile
+    val approx = TimeSeries.quantileRollup(ev).collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    val exact = operators.Analytics.percentiles(ev).collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    for (t <- exact.keys; (e, a) <- exact(t).zip(approx(t))) {
+      val err = math.abs(a - e) / math.max(math.abs(e), 1.0)
+      assert(err <= 0.10,
+        f"$t: sketch percentile $a%.3f vs exact $e%.3f (rel err $err%.3f)")
+    }
+  }
+
+  test("quality classifier: held-out validation accuracy meets the measured floor") {
+    // the q50 hash-split composition: gradients never touch the val
+    // shard, so the val rows' accuracy is honest generalization — a
+    // production filter is judged on held-out data, and train-set
+    // accuracy overstates it (the expected modest train/val gap IS
+    // the finding)
+    def accs(d: String): (Double, Double, Int) = {
+      val out = Sampling.qualityClassifier(Tables.documents(spark, d))
+        .collect()
+      def accOf(split: String): Double = {
+        val rows = out.filter(_.getString(1) == split)
+        rows.count(r =>
+          (r.getDouble(4) > 0.5) == (r.getInt(2) == 1)).toDouble / rows.length
+      }
+      (accOf("train"), accOf("val"), out.count(_.getString(1) == "val"))
+    }
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val (trainAcc, valAcc, nVal) = accs(d)
+      info(f"$d: train $trainAcc%.3f, val $valAcc%.3f (n_val=$nVal)")
+      assert(nVal >= 30, s"val shard too small to read accuracy: $nVal")
+      // measured r13: sf0.01 train 0.956 / val 0.958; sf0.1 train
+      // 0.985 / val 0.990 — essentially no train/val gap, because the
+      // heuristic label is itself a surface-feature function the
+      // hashed-TF basis captures; the floor sits under the worst
+      // point with regeneration-noise margin
+      assert(valAcc >= 0.85, f"held-out accuracy $valAcc%.3f below floor at $d")
+      assert(trainAcc >= valAcc - 0.05,
+        f"train $trainAcc%.3f below val $valAcc%.3f — split leak or optimizer bug")
+    }
   }
 
   test("misra-gries: retention guarantee holds under adversarial merge shapes") {

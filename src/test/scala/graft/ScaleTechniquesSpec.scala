@@ -305,6 +305,70 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"trained-cell pairs outside the brute force: ${(got -- all).take(5)}")
   }
 
+  test("10×: fuzzy dictionary grows on its natural axis; plan-stats pick flips to PassJoin with scale") {
+    import org.apache.spark.sql.functions.{concat, xxhash64}
+    val dir10 = "/tmp/sf1"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir10/_MANIFEST.json")),
+      "10× scale point absent — python3 tools/gen_sf1.py")
+    val p1 = Tables.part(spark, "/root/testdata/sf0.1")
+    val p10 = Tables.part(spark, dir10)
+    // the r12-verdict axis bug: repeated names froze the dictionary
+    // at 64 entries at every scale. The per-copy suffixes make it
+    // grow with the corpus — 640 distinct names at 10×.
+    val d10 = p10.select(col("p_name")).distinct().count()
+    assert(d10 == 10 * p1.select(col("p_name")).distinct().count(),
+      s"10× dictionary should be 10× the 1× dictionary, got $d10")
+    // both engine paths agree on the suffixed dictionary, and pair
+    // growth is EXACTLY linear: suffix tokens sit at edit distance
+    // >= 3 (> maxDist 2), so no cross-copy pair can appear
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("part_a"), col("part_b"), col("dist")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val s1 = sig(operators.Analytics.fuzzyPartNames(p1))
+    val sBroadcast = sig(operators.Analytics.fuzzyPartNames(
+      p10, largeDict = Some(false)))
+    val sPass = sig(operators.Analytics.fuzzyPartNames(
+      p10, largeDict = Some(true)))
+    assert(sBroadcast == sPass,
+      s"paths disagree at 10×: broadcast $sBroadcast vs PassJoin $sPass")
+    assert(sBroadcast._1 == 10 * s1._1,
+      s"pair growth not linear: 1× ${s1._1} -> 10× ${sBroadcast._1}")
+    // the flip: keep growing the SAME axis (the gen_sf1 suffix rule,
+    // 40 copies, written as parquet so the pick reads the same plan
+    // stats production reads) until the name projection outgrows the
+    // 10 MB broadcast budget — the auto pick must cross to PassJoin
+    assert(!operators.Analytics.fuzzyDictLarge(p1),
+      "1× dictionary should pick the broadcast kernel")
+    val flipDir = java.nio.file.Files
+      .createTempDirectory("graft_part_flip").toString
+    val pstride = p1.agg(max(col("p_partkey"))).head().getLong(0) + 1
+    (0 until 40).map { i =>
+      if (i == 0) p1
+      else p1.select(
+        (col("p_partkey") + lit(i * pstride)).as("p_partkey"),
+        concat(col("p_name"), lit(s" q${i.toString * 3}")).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(flipDir)
+    val pFlip = spark.read.parquet(flipDir)
+    assert(operators.Analytics.fuzzyDictLarge(pFlip),
+      "40× suffixed dictionary should flip the pick to PassJoin")
+    // at the flip point both DICTIONARY kernels still produce the
+    // same name-pair set (the stage the pick switches)
+    def namePairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val bucketPairs = namePairs(operators.Analytics.fuzzyNamePairs(pFlip))
+    val passPairs = namePairs(operators.Analytics.fuzzyNamePairsPassJoin(pFlip))
+    assert(bucketPairs == passPairs,
+      s"dictionary kernels diverge at the flip point: " +
+        s"missing=${(bucketPairs -- passPairs).take(3)} " +
+        s"extra=${(passPairs -- bucketPairs).take(3)}")
+    assert(bucketPairs.nonEmpty)
+  }
+
   test("10×: cell-blocked candidates grow ~linearly, label-blocked ~copies²; cells out-recall label under budget") {
     val dir10 = "/tmp/sf1"
     assume(java.nio.file.Files.exists(
@@ -463,7 +527,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val out = operators.Sampling.qualityClassifier(
       Tables.documents(spark, dir10)).collect()
     val acc = out.count(r =>
-      (r.getDouble(3) > 0.5) == (r.getInt(1) == 1)).toDouble / out.length
+      (r.getDouble(4) > 0.5) == (r.getInt(2) == 1)).toDouble / out.length
     info(f"quality classifier 10× accuracy: $acc%.3f on ${out.length} docs")
     assert(acc >= 0.9, f"classifier 10× accuracy regressed: $acc%.3f")
   }

@@ -13,6 +13,13 @@ Scaling rules (chosen so correctness and growth curves stay honest):
   disjoint across copies, so near-dup pair counts scale LINEARLY
   (constant dup density); raw text copies would grow pairs
   quadratically and explode q24/q25/q66.
+- part names: per-copy suffix " q"+str(i)*3 (r13) — repeating names
+  froze q63's dictionary at 64 entries forever, so the fuzzyDictLarge
+  plan-stats switch could never fire on a natural axis. The suffix
+  tokens sit at edit distance >= 3 from each other and from the
+  unsuffixed copy 0 (maxDist is 2), so NO cross-copy name pairs
+  appear: the pair set is the per-copy 64-name dictionary's pairs
+  x COPIES — linear growth, same in both engine paths.
 - embeddings: per-copy cyclic rotation — orthogonal, so intra-copy
   geometry and label clusters are preserved while cross-copy
   similarities decorrelate.
@@ -75,7 +82,29 @@ def main():
         write(t, pq.read_table(f"{SRC}/{t}.parquet"))
     cust = shifted("customer", ["c_custkey"])
     supp = shifted("supplier", ["s_suppkey"])
-    part = shifted("part", ["p_partkey"])
+
+    # part: shift the key AND suffix names per copy (see module doc —
+    # distance->=3 suffixes keep the q63 pair set linear in COPIES
+    # while letting the dictionary grow on a natural axis)
+    ptbl = pq.read_table(f"{SRC}/part.parquet")
+    pstride = pc.max(ptbl["p_partkey"]).as_py() + 1
+    pparts = []
+    for i in range(COPIES):
+        if i == 0:
+            pparts.append(ptbl)
+            continue
+        cols = {}
+        for c in ptbl.schema.names:
+            col = ptbl[c]
+            if c == "p_partkey":
+                col = pc.add(col, i * pstride)
+            elif c == "p_name":
+                col = pa.array([f"{n} q{str(i) * 3}"
+                                for n in col.to_pylist()], pa.string())
+            cols[c] = col
+        pparts.append(pa.table(cols, schema=ptbl.schema))
+    write("part", pa.concat_tables(pparts))
+    part = {"p_partkey": pstride}
     orders = shifted("orders", ["o_orderkey", "o_custkey"],
                      {"o_custkey": cust["c_custkey"]})
     shifted("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"],
