@@ -37,9 +37,10 @@ import scala.collection.mutable.ArrayBuffer
   *    plus the full v4 family — Single Chunk (filtered or not),
   *    Implicit, Fixed Array (`FAHD`/`FADB`, inline or paged data
   *    blocks, clients 0/1), Extensible Array (`EAHD`/`EAIB`/`EASB`/
-  *    `EADB`, non-paged data blocks — the append-grown unlimited-dim
-  *    shape), and v2 B-tree records types 10/11; v4 flag bit 0
-  *    (partial boundary chunks stored unfiltered) honored
+  *    `EADB`, inline AND paged super-block data blocks with H5VM
+  *    page-init bitmaps, any unlimited dimension via the swizzled
+  *    chunk order — r13), and v2 B-tree records types 10/11; v4
+  *    flag bit 0 (partial boundary chunks stored unfiltered) honored
   *  - filters: deflate (1), shuffle (2), fletcher32 (3) in any
   *    pipeline order, applied write-reverse on read; fletcher32
   *    checksums are VERIFIED (round 12) — a corrupt chunk is a
@@ -49,8 +50,9 @@ import scala.collection.mutable.ArrayBuffer
   *    `_FillValue`
   *
   * Out of scope, by design (throws with a precise message rather
-  * than misreading): paged Extensible Array data blocks and
-  * non-dim-0 unlimited dimensions (swizzled chunk order), virtual
+  * than misreading): paged data blocks attached DIRECTLY to the EA
+  * index block (no on-disk owner for their page-init bits; default
+  * library geometry never produces them), virtual
   * storage (layout class 3), B-tree v2 depth > 1 and multi-level
   * indirect fractal-heap blocks (groups with ~100k+ links),
   * variable-length and compound datatypes, dense attribute storage
@@ -864,6 +866,32 @@ object Hdf5 {
           offs.toSeq
         }
 
+        /** Extensible-Array grid offsets with the unlimited dimension
+          * `ud` SWIZZLED to the slowest position: libhdf5 linearizes
+          * EA chunk indexes row-major over the swizzled grid
+          * (H5Dearray's H5VM_swizzle_coords — swizzled pos 0 is dim
+          * ud, positions 1..ud are dims 0..ud-1 shifted right, the
+          * rest keep their place), so a column-extendable dataset
+          * appends without renumbering existing chunks. Decompose
+          * `linear` over the swizzled grid, then write each coord
+          * back to its canonical dim. ud = 0 reduces to [[gridOffs]].
+          */
+        def gridOffsSwizzled(linear: Long, ud: Int): Seq[Long] = {
+          val g = gridDims
+          val n = rank - 1
+          val order = ud +: (0 until n).filterNot(_ == ud)
+          val coords = new Array[Long](n)
+          var rem = linear
+          var d = n - 1
+          while (d >= 0) {
+            val dim = order(d)
+            coords(dim) = rem % g(dim); rem /= g(dim); d -= 1
+          }
+          require(rem == 0,
+            s"chunk index $linear outside the swizzled ${g.mkString("x")} grid")
+          (0 until rank).map(d => if (d < n) coords(d) * cdims(d) else 0L)
+        }
+
         v.layout.v4 match {
           case None => walkV1(v.layout.addr)
           case Some(ix) =>
@@ -914,16 +942,20 @@ object Hdf5 {
                 }
               case 4 => // Extensible Array (one unlimited dimension)
                 // the EA linear order swizzles the unlimited dim to
-                // position 0; support the identity case (unlimited dim
-                // IS dim 0 — the netCDF time-major layout) and reject
-                // the genuinely-permuted one precisely
+                // position 0 (r13: full swizzle support — before, a
+                // unlim-dim != 0 layout was a precise throw). An EA
+                // index always has exactly one unlimited dim; a
+                // degenerate all-bounded maxDims reads as dim 0.
                 val unlim = v.maxDims.zipWithIndex.collect { case (Undef, d) => d }
-                require(unlim.forall(_ == 0),
-                  s"extensible-array index with unlimited dim ${unlim.mkString(",")} != 0 unsupported (swizzled chunk order)")
+                require(unlim.size <= 1,
+                  s"extensible-array index with ${unlim.size} unlimited dims (${unlim.mkString(",")})")
+                val ud = unlim.headOption.getOrElse(0)
                 readExtensibleArray(b, v.layout.addr).foreach {
                   case (linear, addr, stored, mask) =>
                     if (addr != Undef)
-                      place(addr, stored, mask, gridOffs(linear), edgeUnfiltered)
+                      place(addr, stored, mask,
+                        if (ud == 0) gridOffs(linear)
+                        else gridOffsSwizzled(linear, ud), edgeUnfiltered)
                 }
               case t => sys.error(s"unknown v4 chunk indexing type $t")
             }
@@ -968,7 +1000,9 @@ object Hdf5 {
       while (i < maxEntries) { readElem(body + i * entrySize, i); i += 1 }
     } else {
       // paged: bitmap of initialized pages + checksum, then the pages
-      // (each page = elements + 4-byte checksum) follow the block
+      // (each page = elements + 4-byte checksum) follow the block.
+      // Bit order is H5VM MSB-first (r13 fix — the previous LSB-first
+      // read was fixture-circular, never exercised by a real file)
       val nPages = (maxEntries + pageElems - 1) / pageElems
       val bitmapBytes = (nPages + 7) / 8
       blockChecksum(b, dblkAddr, body + bitmapBytes, "Fixed Array data block")
@@ -976,7 +1010,7 @@ object Hdf5 {
       var pg = 0L
       while (pg < nPages) {
         val inPage = math.min(pageElems, maxEntries - pg * pageElems)
-        val initialized = (b.u8(body + pg / 8) & (1 << (pg % 8).toInt)) != 0
+        val initialized = bitGetMsb(b, body, pg)
         if (initialized) {
           blockChecksum(b, pageStart, pageStart + inPage * entrySize,
             "Fixed Array data block page")
@@ -1040,6 +1074,42 @@ object Hdf5 {
       var i = 0L
       while (i < n) { readElem(q, start + i); q += elemSize; i += 1 }
     }
+
+    /** Paged data block (r13): when a block's element count exceeds
+      * 2^pageBits, only the PREFIX (sig, version, client, header
+      * address, block offset) plus its checksum is serialized at the
+      * block address; the pages — each 2^pageBits elements followed
+      * by a 4-byte checksum — are laid out contiguously right after
+      * it (libhdf5 H5EAdblock/H5EAdblkpage). Which pages are
+      * initialized is recorded in the OWNING SUPER BLOCK's page-init
+      * bitmap, passed in here; uninitialized pages are fill-value
+      * regions and are skipped unread (their bytes are garbage).
+      * Geometry note: both n and 2^pageBits are powers of two (header
+      * validation), so every page is full.
+      */
+    def readDataBlockPaged(addr: Long, start: Long, n: Long,
+                           pageInit: Int => Boolean): Unit = {
+      b.requireSig(addr, "EADB")
+      val prefixEnd = addr + 4 + 1 + 1 + 8 + offSize
+      blockChecksum(b, addr, prefixEnd, "Extensible Array data block")
+      val pageSize = pageElems * elemSize + 4
+      val nPages = (n / pageElems).toInt
+      var pg = 0
+      while (pg < nPages) {
+        if (pageInit(pg)) {
+          val pstart = prefixEnd + 4 + pg.toLong * pageSize
+          blockChecksum(b, pstart, pstart + pageElems * elemSize,
+            "Extensible Array data block page")
+          var i = 0L
+          var q = pstart
+          while (i < pageElems) {
+            readElem(q, start + pg.toLong * pageElems + i)
+            q += elemSize; i += 1
+          }
+        }
+        pg += 1
+      }
+    }
     b.requireSig(idxBlkAddr, "EAIB")
     val iblkEnd = idxBlkAddr + 14 + idxElmts.toLong * elemSize +
       (2L * (sblkMinPtrs - 1) + (nsblks - iblockNsblks)) * 8
@@ -1055,7 +1125,13 @@ object Hdf5 {
       while (k < ndblks(u)) {
         val addr = b.u64(p); p += 8
         if (addr != Undef) {
-          require(n <= pageElems, s"paged Extensible Array data block ($n elements) unsupported")
+          // a paged block's page-init bitmap lives in its owning
+          // SUPER block; index-block-attached blocks have no such
+          // owner, and libhdf5's default chunk-index geometry keeps
+          // them well under a page — reject a pathological layout
+          // precisely rather than guess page liveness
+          require(n <= pageElems,
+            s"paged index-block-attached Extensible Array data block ($n elements) unsupported")
           readDataBlock(addr, linear, n)
         }
         linear += n
@@ -1067,14 +1143,26 @@ object Hdf5 {
       val sbAddr = b.u64(p); p += 8
       val n = dblkNelmts(u)
       if (sbAddr != Undef) {
-        require(n <= pageElems, s"paged Extensible Array data block ($n elements) unsupported")
         b.requireSig(sbAddr, "EASB")
         var q = sbAddr + 4 + 1 + 1 + 8 + offSize
+        // paged data blocks: the super block carries a page-init
+        // bitmap (ndblks × pagesPerBlock bits, H5VM MSB-first order)
+        // between the block offset and the data block addresses
+        val paged = n > pageElems
+        val pagesPerBlock = if (paged) (n / pageElems).toInt else 0
+        val bitmapAt = q
+        if (paged) q += (ndblks(u).toLong * pagesPerBlock + 7) / 8
         blockChecksum(b, sbAddr, q + ndblks(u).toLong * 8, "Extensible Array super block")
         var k = 0
         while (k < ndblks(u)) {
           val dbAddr = b.u64(q); q += 8
-          if (dbAddr != Undef) readDataBlock(dbAddr, linear + k * n, n)
+          if (dbAddr != Undef) {
+            if (paged) {
+              val base = k.toLong * pagesPerBlock
+              readDataBlockPaged(dbAddr, linear + k * n, n,
+                pg => bitGetMsb(b, bitmapAt, base + pg))
+            } else readDataBlock(dbAddr, linear + k * n, n)
+          }
           k += 1
         }
       }
@@ -1083,6 +1171,14 @@ object Hdf5 {
     }
     out.toSeq
   }
+
+  /** One bit of an on-disk bitmap in libhdf5's H5VM order: bit
+    * `offset` is `0x80 >> (offset % 8)` of byte `offset / 8` —
+    * MSB-first within each byte (H5VMprivate.h's H5VM_bit_get, the
+    * convention every page-init bitmap in the format uses).
+    */
+  private def bitGetMsb(b: Buf, base: Long, offset: Long): Boolean =
+    (b.u8(base + offset / 8) & (0x80 >> (offset % 8).toInt)) != 0
 
   /** Flattened numeric values of one dataset as doubles, row-major —
     * fixed-size strings yield per-byte code points (same convention

@@ -271,7 +271,8 @@ class Hdf5V4Spec extends AnyFunSuite {
     } else {
       val nPages = (elems.length + pageElems - 1) / pageElems
       val bitmap = new Array[Int]((nPages + 7) / 8)
-      (0 until nPages).filterNot(uninitPages).foreach(p => bitmap(p / 8) |= 1 << (p % 8))
+      // H5VM bit order: MSB-first within each byte
+      (0 until nPages).filterNot(uninitPages).foreach(p => bitmap(p / 8) |= 0x80 >> (p % 8))
       bitmap.foreach(w.u8); w.u32(w.cksum(dblk, w.pos)) // bitmap + data-block checksum
       elems.grouped(pageElems).foreach { pg =>
         val pageStart = w.pos
@@ -466,17 +467,62 @@ class Hdf5V4Spec extends AnyFunSuite {
         w.u32(w.cksum(a, w.pos))
         a
       }
+    // paged data block (n > pageElems): prefix + its own checksum,
+    // then full pages (elements + checksum) contiguously after it.
+    // A page is initialized iff any of its slots is defined; uninit
+    // pages are written as 0xEE filler with a garbage checksum — a
+    // reader that touches them (bytes OR checksum) fails loudly.
+    val pageElems = 1 << pageBits
+    def dataBlockPaged(start: Int, n: Int): (Long, Seq[Boolean]) = {
+      val nPages = n / pageElems
+      if ((start until start + n).forall(at(_)._1 == Undef))
+        (Undef, Seq.fill(nPages)(false))
+      else {
+        val a = w.pos
+        w.ascii("EADB"); w.u8(0); w.u8(client); w.u64(hdr)
+        w.uN(start.toLong, 2)
+        w.u32(w.cksum(a, w.pos)) // prefix checksum only
+        val inits = (0 until nPages).map { pg =>
+          val slots = (start + pg * pageElems) until (start + (pg + 1) * pageElems)
+          val init = slots.exists(at(_)._1 != Undef)
+          val ps = w.pos
+          if (init) { slots.foreach(i => elem(at(i))); w.u32(w.cksum(ps, w.pos)) }
+          else {
+            (0 until pageElems * elemSize).foreach(_ => w.u8(0xEE))
+            w.u32(0xDEADBEEFL)
+          }
+          init
+        }
+        (a, inits)
+      }
+    }
     val directA = dataBlock(2, 2) // sblk0: 1 block x 2
     val directB = dataBlock(4, 4) // sblk1: 1 block x 4
-    // super block 2: 2 data blocks x 4 elements (slots 8..15)
+    // super block 2: 2 data blocks x 4 elements (slots 8..15); when
+    // pageBits makes those blocks paged, the super block carries the
+    // page-init bitmap (H5VM MSB-first) before the block addresses
     val sblk2 =
       if ((8 until 16).forall(at(_)._1 == Undef)) Undef
-      else {
+      else if (4 <= pageElems) {
         val d0 = dataBlock(8, 4)
         val d1 = dataBlock(12, 4)
         val a = w.pos
         w.ascii("EASB"); w.u8(0); w.u8(client); w.u64(hdr)
         w.uN(8L, 2) // block offset
+        w.u64(d0); w.u64(d1)
+        w.u32(w.cksum(a, w.pos))
+        a
+      } else {
+        val (d0, i0) = dataBlockPaged(8, 4)
+        val (d1, i1) = dataBlockPaged(12, 4)
+        val a = w.pos
+        w.ascii("EASB"); w.u8(0); w.u8(client); w.u64(hdr)
+        w.uN(8L, 2)
+        val bits = i0 ++ i1
+        val bitmap = new Array[Int]((bits.length + 7) / 8)
+        bits.zipWithIndex.foreach { case (bit, i) =>
+          if (bit) bitmap(i / 8) |= 0x80 >> (i % 8) }
+        bitmap.foreach(w.u8)
         w.u64(d0); w.u64(d1)
         w.u32(w.cksum(a, w.pos))
         a
@@ -499,8 +545,8 @@ class Hdf5V4Spec extends AnyFunSuite {
     (0 until rows).flatMap(i => Seq(0, 1).map(j =>
       if (holes(i)) 0.0 else (100 * i + j).toDouble))
 
-  private def eaLayoutExtra: Array[Byte] =
-    msgBytes { x => x.u8(16); x.u8(2); x.u8(2); x.u8(2); x.u8(10) }
+  private def eaLayoutExtra(pageBits: Int = 10): Array[Byte] =
+    msgBytes { x => x.u8(16); x.u8(2); x.u8(2); x.u8(2); x.u8(pageBits) }
 
   test("v4 Extensible Array reads: inline, direct and super-block data blocks") {
     val rows = 9 // 2 inline + 2 (sblk0) + 4 (sblk1 direct) + 1 in sblk2-dblk0
@@ -510,7 +556,7 @@ class Hdf5V4Spec extends AnyFunSuite {
       }
       val ea = extensibleArray(w, client = 0, csLen = 0, chunks)
       val d = dsetHeader(w, Seq(rows, 2),
-        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra),
+        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra()),
         filtered = false, maxDims = Seq(Undef, 2))
       rootFor(w, "d" -> d)
     }
@@ -526,7 +572,7 @@ class Hdf5V4Spec extends AnyFunSuite {
       }
       val ea = extensibleArray(w, client = 0, csLen = 0, chunks)
       val d = dsetHeader(w, Seq(rows, 2),
-        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra),
+        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra()),
         filtered = false, maxDims = Seq(Undef, 2))
       rootFor(w, "d" -> d)
     }
@@ -543,25 +589,26 @@ class Hdf5V4Spec extends AnyFunSuite {
       }
       val ea = extensibleArray(w, client = 1, csLen = csLen, chunks)
       val d = dsetHeader(w, Seq(rows, 2),
-        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra),
+        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra()),
         filtered = true, maxDims = Seq(Undef, 2))
       rootFor(w, "d" -> d)
     }
     assert(readVar(bytes).toSeq == eaExpected(rows))
   }
 
-  test("v4 Extensible Array with a non-dim-0 unlimited dim is rejected precisely") {
+  test("v4 Extensible Array with a non-dim-0 unlimited dim reads (was a rejection before r13)") {
+    // 2x2, 1x2 chunks, unlimited dim 1: swizzled grid is 1x2 (dim 1
+    // slowest), so slot 0 is chunk (0,0) and the absent slot 1 is
+    // row 1 — which must zero-fill, not scramble
     val bytes = file { w =>
       val chunk = w.pos; w.bytes(chunkData(2, 2, 0, 0, 1, 2))
       val ea = extensibleArray(w, client = 0, csLen = 0, Seq((chunk, -1L, 0)))
       val d = dsetHeader(w, Seq(2, 2),
-        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra),
+        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra()),
         filtered = false, maxDims = Seq(2, Undef)) // unlimited dim 1
       rootFor(w, "d" -> d)
     }
-    val h5 = Hdf5.parse(bytes)
-    val e = intercept[RuntimeException](Hdf5.readDoubles(bytes, h5("d")))
-    assert(e.getMessage.contains("swizzled chunk order"), e.getMessage)
+    assert(readVar(bytes).toSeq == Seq(0.0, 1.0, 0.0, 0.0))
   }
 
   test("v4 Fixed Array over an extendable dataset linearizes on the MAX-dims grid") {
@@ -710,20 +757,68 @@ class Hdf5V4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported data layout class 3"), e.getMessage)
   }
 
-  test("v4 Extensible Array paged data blocks are rejected precisely") {
-    val rows = 9 // needs sblk1's 4-element direct block > pageElems=2
+  test("v4 Extensible Array paged INDEX-BLOCK data blocks are rejected precisely") {
+    // slots 4-7 live in a direct (index-block-attached) 4-element
+    // block; pageBits=1 makes it paged, and no on-disk structure owns
+    // its page-init bits — precise throw, not a misread
+    val rows = 9
     val bytes = file { w =>
       val chunks = (0 until rows).map { i =>
         val a = w.pos; w.bytes(chunkData(rows, 2, i, 0, 1, 2)); (a, -1L, 0)
       }
       val ea = extensibleArray(w, client = 0, csLen = 0, chunks, pageBits = 1)
       val d = dsetHeader(w, Seq(rows, 2),
-        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra),
+        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra(pageBits = 1)),
         filtered = false, maxDims = Seq(Undef, 2))
       rootFor(w, "d" -> d)
     }
     val h5 = Hdf5.parse(bytes)
     val e = intercept[RuntimeException](Hdf5.readDoubles(bytes, h5("d")))
-    assert(e.getMessage.contains("paged Extensible Array data block"), e.getMessage)
+    assert(e.getMessage.contains("paged index-block-attached"), e.getMessage)
+  }
+
+  test("v4 Extensible Array paged super-block data blocks read; uninit page zero-fills") {
+    // pageBits=1 -> sblk2's two 4-element blocks are paged (2 pages
+    // each, init bits in the super block, H5VM MSB-first). Slots 4-7
+    // stay Undef so the direct blocks are skipped; slots 12-13 form
+    // an UNINITIALIZED page written as 0xEE filler with a garbage
+    // checksum — reading it at all would throw, so a pass proves the
+    // bitmap gates both bytes and checksum
+    val rows = 16
+    val holes = Set(4, 5, 6, 7, 12, 13)
+    val bytes = file { w =>
+      val chunks = (0 until rows).map { i =>
+        if (holes(i)) (Undef, -1L, 0)
+        else { val a = w.pos; w.bytes(chunkData(rows, 2, i, 0, 1, 2)); (a, -1L, 0) }
+      }
+      val ea = extensibleArray(w, client = 0, csLen = 0, chunks, pageBits = 1)
+      val d = dsetHeader(w, Seq(rows, 2),
+        layoutV4Msg(0, Seq(1, 2, 4), 4, ea, extra = eaLayoutExtra(pageBits = 1)),
+        filtered = false, maxDims = Seq(Undef, 2))
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == eaExpected(rows, holes = holes))
+  }
+
+  test("v4 Extensible Array with unlimited dim 1 reads via swizzled chunk order") {
+    // 4x6 int32, 2x2 chunks -> 2x3 grid, unlimited dim 1 (the
+    // column-extendable layout): libhdf5 linearizes EA slots over the
+    // SWIZZLED grid (dim 1 slowest), so slot = gj*2 + gi. Identity
+    // (unswizzled) placement would put chunk (1,0) at grid (0,1) and
+    // scramble half the values — a pass pins the permutation.
+    val (rows, cols) = (4, 6)
+    val bytes = file { w =>
+      val slots = for (gj <- 0 until 3; gi <- 0 until 2) yield {
+        val a = w.pos; w.bytes(chunkData(rows, cols, gi * 2, gj * 2, 2, 2)); (a, -1L, 0)
+      }
+      val ea = extensibleArray(w, client = 0, csLen = 0, slots)
+      val d = dsetHeader(w, Seq(rows, cols),
+        layoutV4Msg(0, Seq(2, 2, 4), 4, ea, extra = eaLayoutExtra()),
+        filtered = false, maxDims = Seq(rows, Undef))
+      rootFor(w, "d" -> d)
+    }
+    val want = (0 until rows).flatMap(i =>
+      (0 until cols).map(j => (100 * i + j).toDouble))
+    assert(readVar(bytes).toSeq == want)
   }
 }
