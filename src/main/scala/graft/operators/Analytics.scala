@@ -421,10 +421,15 @@ object Analytics {
     * or when auto-broadcast is disabled outright (threshold < 0).
     * The estimate errs large (plan stats assume no compression),
     * which errs toward the shuffle path — the safe direction at
-    * scale, and measured ≤1.8× of broadcast even where broadcast is
-    * available (current-era envelope 1.42×/1.73×/1.66× at 1×/10×/30×,
-    * SURVEY §7f round-11 re-measure; the round-8 archive's ≤1.4× was
-    * the pre-regen corpus).
+    * scale. Cost envelope where broadcast is ALSO available: ≤1.8×
+    * of broadcast on the frozen 64-name dictionary the pre-r13 scale
+    * corpora carried (1.42×/1.73×/1.66× at 1×/10×/30×, SURVEY §7f),
+    * widening to 2.66× at the r13 natural-axis 10× point (640
+    * distinct names — the segment equi-join's work grows with the
+    * dictionary, which is the regime it exists for). The pick only
+    * takes PassJoin when the pair table would blow the broadcast
+    * budget, where the broadcast alternative is an executor OOM, not
+    * a 2.7×-faster plan.
     */
   def fuzzyDictLarge(part: DataFrame): Boolean = {
     val threshold =

@@ -95,6 +95,8 @@ object Similarity {
     * Lloyd rounds rebalance the layout (max-occupancy measured below
     * the seed layout's in DedupSimilaritySpec) while this plan shape
     * is unchanged — the centroid frame stays nCells rows, broadcast.
+    * With an explicit `centroids` frame the cell count is ITS row
+    * count and `nCells` is not consulted.
     */
   def ivfTopK(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
               nQueries: Int = 10, k: Int = 5,

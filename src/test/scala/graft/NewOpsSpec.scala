@@ -1091,6 +1091,38 @@ class NewOpsSpec extends AnyFunSuite {
       "classifier output depends on partitioning")
   }
 
+  test("misra-gries: merge handles immutable buffers on either side") {
+    // the encoder boundary hands back immutable maps; merge folds the
+    // SMALLER side into the larger, so the conversion path must work
+    // whichever argument is the deserialized one
+    val mg = new graft.functions.MisraGries(4)
+    val big = Map("a" -> 5L, "b" -> 4L, "c" -> 3L) // immutable, larger
+    val small = ("d" :: "d" :: Nil).foldLeft(mg.zero)(mg.reduce) // mutable
+    val m1 = mg.merge(big, small)
+    val m2 = mg.merge(small, Map("a" -> 5L, "b" -> 4L, "c" -> 3L))
+    assert(m1.toMap == Map("a" -> 5L, "b" -> 4L, "c" -> 3L, "d" -> 2L))
+    assert(m1.toMap == m2.toMap, "merge must be argument-order symmetric here")
+    // immutable-vs-immutable with overflow takes the cut path
+    val over = mg.merge(Map("a" -> 5L, "b" -> 4L, "c" -> 3L),
+      Map("d" -> 2L, "e" -> 1L))
+    assert(over.size <= 4 && over.contains("a"))
+  }
+
+  test("quantile rollup: non-finite values do not crash the sketch") {
+    import spark.implicits._
+    val ev = Seq(
+      (0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", 1.0, "{}"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", Double.NaN, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", Double.PositiveInfinity, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", -2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = TimeSeries.quantileRollup(ev).collect()
+    assert(out.length == 1)
+    // NaN is excluded (no total order); the finite values and the
+    // infinity are counted
+    assert(out.head.getLong(1) == 3, s"n_values ${out.head.getLong(1)}")
+  }
+
   test("quantile rollup: two-level merge equals one-level; percentiles near exact") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
     // mergeability (the q110 pattern): rolling daily sketch rows up
