@@ -64,6 +64,37 @@ class StreamingFormatsSpec extends AnyFunSuite {
       s"stream assignment diverged from batch for ${bad.size} vectors: ${bad.take(3)}")
   }
 
+  test("streaming value sketch: windowed twin equals batch; stream equals batch") {
+    import spark.implicits._
+    import graft.operators.TimeSeries
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, dir)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("day"), col("event_type"), col("bin"), col("n"))
+        .collect().map(r => (r.getDate(0).toString, r.getString(1),
+          r.getLong(2)) -> r.getLong(3)).toMap
+    // bounded-frame equality: window(1 day) buckets like to_date
+    val batch = keyed(TimeSeries.dailyValueSketch(ev))
+    val windowed = keyed(TimeSeries.valueSketchWindowed(ev, watermarked = false))
+    assert(windowed == batch, "windowed sketch diverged from to_date batch")
+    // stream the events in TWO increments; the complete-mode sketch
+    // table after the last must equal the batch sketch
+    val rows = ev.select($"ts", $"event_type", $"value").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
+    val out = TimeSeries.valueSketchWindowed(
+      ms.toDF.toDF("ts", "event_type", "value"), watermarked = true)
+    val query = out.writeStream.format("memory")
+      .queryName("graft_value_sketch").outputMode("complete").start()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    ms.addData(a.toSeq); query.processAllAvailable()
+    ms.addData(b.toSeq); query.processAllAvailable()
+    val got = keyed(spark.table("graft_value_sketch"))
+    query.stop()
+    assert(got == batch,
+      s"stream sketch diverged from batch: ${(got.toSet diff batch.toSet).take(3)}")
+  }
+
   test("csv round trip preserves the events table") {
     val events = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
