@@ -83,6 +83,25 @@ object Bench {
     }.min
   }
 
+  /** IO-axis calibration (the CPU probe's sibling): one full
+    * materialization of the scale dir's `lineitem` parquet — scan +
+    * decode, no transforms — timed min-of-`passes` AFTER an untimed
+    * warm pass, so it measures the same warm-cache steady state the
+    * graded queries run in. The CPU probe alone under-explained a
+    * same-boot 84.7↔101 s total spread (its drift was ~15%); a
+    * second axis separates "CPU got slower" from "the IO path / page
+    * cache changed" without any boot forensics.
+    */
+  def calibrateIo(spark: SparkSession, sfDir: String,
+                  passes: Int = 2): Double = {
+    def run(): Unit = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .write.format("noop").mode("overwrite").save()
+    run()
+    (1 to passes).map { _ =>
+      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
@@ -103,14 +122,16 @@ object Bench {
     */
   def renderLine(results: Seq[Outcome], sfDir: String,
                  detailFile: String, worstK: Int = 5,
-                 calib: Option[Double] = None): String = {
+                 calib: Option[Double] = None,
+                 calibIo: Option[Double] = None): String = {
     val total = results.map(_.sec).sum
     val firstTotal = results.map(o => o.firstPass.getOrElse(o.sec)).sum
     val failed = results.count(_.err.isDefined)
     val worst = results.sortBy(-_.sec).take(worstK)
     val qs = worst.map(o => "\"" + o.name + "\":" + fmt(o.sec))
       .mkString("{", ",", "}")
-    val cal = calib.map(c => s""","calib":${fmt(c)}""").getOrElse("")
+    val cal = calib.map(c => s""","calib":${fmt(c)}""").getOrElse("") +
+      calibIo.map(c => s""","calib_io":${fmt(c)}""").getOrElse("")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","first_pass_total":${fmt(firstTotal)}$cal,"n":${results.size},"failed":$failed,"warm":true,"queries":$qs,"detail":"${esc(detailFile)}","sf":"${esc(sfDir)}"}"""
   }
 
@@ -118,7 +139,8 @@ object Bench {
     * first-pass times, written to the sidecar file.
     */
   def renderDetail(results: Seq[Outcome], sfDir: String,
-                   calib: Option[Double] = None): String = {
+                   calib: Option[Double] = None,
+                   calibIo: Option[Double] = None): String = {
     val qs = results.map(o => "\"" + o.name + "\":" + fmt(o.sec))
       .mkString("{", ",", "}")
     val errs = results.collect { case Outcome(n, _, Some(e), _) =>
@@ -126,7 +148,8 @@ object Bench {
     val first = results.collect { case Outcome(n, _, _, Some(fp)) =>
       "\"" + n + "\":" + fmt(fp) }.mkString("{", ",", "}")
     val total = results.map(_.sec).sum
-    val cal = calib.map(c => s""","calib":${fmt(c)}""").getOrElse("")
+    val cal = calib.map(c => s""","calib":${fmt(c)}""").getOrElse("") +
+      calibIo.map(c => s""","calib_io":${fmt(c)}""").getOrElse("")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$cal,"queries":$qs,"errors":$errs,"first_pass":$first,"sf":"${esc(sfDir)}"}"""
   }
 
@@ -172,8 +195,9 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     // cross-boot calibration first, while the JVM carries no GC debt
-    // from the suite — the number a future grader divides totals by
+    // from the suite — the numbers a future grader divides totals by
     val calib = calibrate(spark)
+    val calibIo = calibrateIo(spark, sfDir)
 
     // dev-loop filter: SPARK_GRAFT_ONLY=q32_lang_id,q63_fuzzy_join
     val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
@@ -220,7 +244,7 @@ object Bench {
     // query outside the top-5 was invisible between rounds. The
     // stamped copy is tracked, so the round-end commit archives the
     // full per-query map alongside the graded summary.
-    val detailJson = renderDetail(results, sfDir, Some(calib))
+    val detailJson = renderDetail(results, sfDir, Some(calib), Some(calibIo))
     for (f <- detailFile +: roundStampedDetailFile().toSeq)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(f),
@@ -232,7 +256,7 @@ object Bench {
     spark.stop()
     // printed after spark.stop() so the summary is the LAST stdout
     // line no matter what the session logs during shutdown
-    println(renderLine(results, sfDir, detailFile, calib = Some(calib)))
+    println(renderLine(results, sfDir, detailFile, calib = Some(calib), calibIo = Some(calibIo)))
     // failure contract, part 2 (round 10): the summary line has
     // carried `failed` since round 7, but round 8's 41 failures sat
     // unremarked because nothing read it — exit nonzero AFTER printing

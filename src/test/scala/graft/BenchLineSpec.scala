@@ -50,11 +50,15 @@ class BenchLineSpec extends AnyFunSuite {
     // pinned synthetic probe's time must travel WITH the totals it
     // normalizes, in both the driver-facing line and the archive
     val line = Bench.renderLine(
-      fakeResults, "/tmp/sf", "d.json", calib = Some(0.4321))
+      fakeResults, "/tmp/sf", "d.json", calib = Some(0.4321),
+      calibIo = Some(0.1234))
     assert(line.contains("\"calib\":0.432"), s"line missing calib: ${line.take(200)}")
+    assert(line.contains("\"calib_io\":0.123"), "line missing calib_io")
     assert(!line.contains("\n") && line.length < 2000)
-    val detail = Bench.renderDetail(fakeResults, "/tmp/sf", Some(0.4321))
+    val detail = Bench.renderDetail(fakeResults, "/tmp/sf",
+      Some(0.4321), Some(0.1234))
     assert(detail.contains("\"calib\":0.432"), "sidecar missing calib")
+    assert(detail.contains("\"calib_io\":0.123"), "sidecar missing calib_io")
   }
 
   test("detail sidecar carries every query") {
