@@ -30,7 +30,10 @@ import scala.collection.mutable.ArrayBuffer
   *    actually uses (creation-order tracking forces dense storage)
   *  - compact Link messages (small new-style groups)
   *  - datatypes: fixed-point (1/2/4/8 B, either endianness, signed
-  *    or not), IEEE float (4/8 B), fixed-size strings
+  *    or not), IEEE float (4/8 B), fixed-size strings, and
+  *    variable-length STRINGS (r13: class-9 descriptors resolved
+  *    through `GCOL` global heap collections — the netCDF-4 string
+  *    variable/attribute encoding; null descriptors read as empty)
   *  - dataspace v1/v2; layout v3 AND v4 compact / contiguous /
   *    chunked (v4 = libver-latest encodings)
   *  - chunk indexes: v1 B-tree (`TREE` type 1, any nesting level)
@@ -55,9 +58,9 @@ import scala.collection.mutable.ArrayBuffer
   * library geometry never produces them), virtual
   * storage (layout class 3), B-tree v2 depth > 1 and multi-level
   * indirect fractal-heap blocks (groups with ~100k+ links),
-  * variable-length and compound datatypes, dense attribute storage
-  * (compact attributes cover the netCDF-4 per-variable metadata the
-  * ETL reads).
+  * variable-length SEQUENCES (non-string vlen), compound and
+  * reference datatypes, dense attribute storage (compact attributes
+  * cover the netCDF-4 per-variable metadata the ETL reads).
   *
   * Scale shape: identical to [[NetCdf]] — one file is one task; the
   * byte array arrives via Spark's `binaryFile` source and is parsed
@@ -68,7 +71,8 @@ object Hdf5 {
 
   private val Undef = -1L // 0xffffffffffffffff as signed
 
-  final case class Dtype(cls: Int, size: Int, littleEndian: Boolean, signed: Boolean)
+  final case class Dtype(cls: Int, size: Int, littleEndian: Boolean,
+                         signed: Boolean, vlenString: Boolean = false)
   final case class Attr(name: String, num: Seq[Double], str: String)
   /** Version-4 chunked-layout index description (libver-latest files).
     * `flags` bit 0 = partial boundary chunks stored unfiltered; bit 1
@@ -508,7 +512,13 @@ object Hdf5 {
       case 0 => Dtype(0, size, (bit0 & 1) == 0, (bit0 & 0x8) != 0) // fixed-point
       case 1 => Dtype(1, size, (bit0 & 1) == 0, signed = true)     // IEEE float
       case 3 => Dtype(3, size, littleEndian = true, signed = false) // string
-      case c => sys.error(s"unsupported HDF5 datatype class $c (variable-length/compound out of scope)")
+      case 9 => // variable-length: bit-field bits 0-3 = 0 sequence / 1 string
+        require((bit0 & 0xf) == 1,
+          "variable-length SEQUENCE datatype unsupported (vlen strings only)")
+        require(size == 16,
+          s"unexpected vlen element size $size (length 4 + heap address 8 + index 4)")
+        Dtype(9, size, littleEndian = true, signed = false, vlenString = true)
+      case c => sys.error(s"unsupported HDF5 datatype class $c (compound/reference out of scope)")
     }
   }
 
@@ -600,7 +610,9 @@ object Hdf5 {
       try parseDtype(b, dtP)
       catch { case _: RuntimeException => return Some(Attr(name, Seq.empty, "")) }
     val n = parseDims(b, dsP) match { case Nil => 1L; case d => d.product }
-    if (dt.cls == 3) Some(Attr(name, Seq.empty, b.ascii(q, dt.size * n).takeWhile(_ != 0)))
+    if (dt.cls == 9)
+      Some(Attr(name, Seq.empty, vlenString(b, b, q)))
+    else if (dt.cls == 3) Some(Attr(name, Seq.empty, b.ascii(q, dt.size * n).takeWhile(_ != 0)))
     else {
       val nums = (0L until n).map(i => readElem(b.bytes, q + i * dt.size, dt))
       Some(Attr(name, nums, ""))
@@ -1180,11 +1192,55 @@ object Hdf5 {
   private def bitGetMsb(b: Buf, base: Long, offset: Long): Boolean =
     (b.u8(base + offset / 8) & (0x80 >> (offset % 8).toInt)) != 0
 
+  /** One object's (data offset, size) inside a global heap collection
+    * (`GCOL` — where every variable-length value lives): header is
+    * sig(4) + version(1) + 3 reserved + collection size(8), then
+    * objects of index(2) + refcount(2) + 4 reserved + size(8) + data
+    * padded to 8. Object index 0 is the free-space marker — walking
+    * past it means the requested index is absent (precise error, not
+    * garbage bytes).
+    */
+  private def globalHeapObject(b: Buf, collAddr: Long, idx: Int): (Long, Long) = {
+    b.requireSig(collAddr, "GCOL")
+    require(b.u8(collAddr + 4) == 1,
+      s"unsupported global heap collection version ${b.u8(collAddr + 4)}")
+    val end = collAddr + b.u64(collAddr + 8)
+    var q = collAddr + 16
+    while (q + 16 <= end) {
+      val objIdx = b.u16(q)
+      val objSize = b.u64(q + 8)
+      if (objIdx == idx) return (q + 16, objSize)
+      if (objIdx == 0) // free space runs to the collection end
+        sys.error(s"global heap object $idx not found in collection at $collAddr")
+      q += 16 + ((objSize + 7) & ~7L)
+    }
+    sys.error(s"global heap object $idx not found in collection at $collAddr")
+  }
+
+  /** Resolve one 16-byte variable-length descriptor (length u32,
+    * collection address u64, object index u32) against its global
+    * heap. A null descriptor (address 0 or undefined — an unwritten
+    * element) is the empty string.
+    */
+  private def vlenString(b: Buf, desc: Buf, p: Long): String = {
+    val len = desc.u32(p)
+    val addr = desc.u64(p + 4)
+    val idx = desc.u32(p + 12).toInt
+    if (addr == 0 || addr == Undef || len == 0) ""
+    else {
+      val (dataAt, objSize) = globalHeapObject(b, addr, idx)
+      new String(b.slice(dataAt, math.min(len, objSize)),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+  }
+
   /** Flattened numeric values of one dataset as doubles, row-major —
     * fixed-size strings yield per-byte code points (same convention
     * as [[NetCdf.readVarDoubles]]).
     */
   def readDoubles(bytes: Array[Byte], v: H5Var): Array[Double] = {
+    require(v.dtype.cls != 9,
+      s"${v.name} is variable-length — read it via readStrings")
     val raw = readRaw(bytes, v)
     val n = (raw.length / v.dtype.size).toInt
     val out = new Array[Double](n)
@@ -1198,7 +1254,16 @@ object Hdf5 {
     * variables.
     */
   def readStrings(bytes: Array[Byte], v: H5Var): Array[String] = {
-    require(v.dtype.cls == 3, s"${v.name} is not a string/char dataset")
+    require(v.dtype.cls == 3 || v.dtype.cls == 9,
+      s"${v.name} is not a string/char dataset")
+    if (v.dtype.cls == 9) {
+      // variable-length: the dataset stores 16-byte descriptors; the
+      // characters live in global heap collections
+      val b = new Buf(bytes)
+      val desc = new Buf(readRaw(bytes, v))
+      val n = desc.bytes.length / v.dtype.size
+      return Array.tabulate(n)(i => vlenString(b, desc, i.toLong * v.dtype.size))
+    }
     val raw = readRaw(bytes, v)
     val rowLen = if (v.dtype.cls == 3 && v.dtype.size > 1) v.dtype.size
                  else v.dims.lastOption.getOrElse(1L).toInt * v.dtype.size

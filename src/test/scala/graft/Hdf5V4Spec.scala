@@ -745,6 +745,75 @@ class Hdf5V4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot carry its checksum"), e.getMessage)
   }
 
+  /** datatype v1 class 9 (variable-length STRING): 16-byte elements
+    * (length + global-heap collection address + object index), base
+    * type a 1-byte char (present per spec, ignored by the reader).
+    */
+  private def vlenStrMsg: Array[Byte] = msgBytes { w =>
+    w.u8(0x19); w.u8(0x01); w.u8(0); w.u8(0) // class 9 v1; type=string
+    w.u32(16)
+    w.u8(0x10); w.u8(0); w.u8(0); w.u8(0); w.u32(1); w.u16(0); w.u16(8) // base char
+  }
+
+  /** data layout v3 class 1 (contiguous). */
+  private def contiguousMsg(addr: Long, size: Long): Array[Byte] =
+    msgBytes { w => w.u8(3); w.u8(1); w.u64(addr); w.u64(size) }
+
+  /** One GCOL collection holding `values` as objects 1..n (+ the
+    * free-space terminator); returns its address.
+    */
+  private def gcolFor(w: W, values: Seq[String]): Long = {
+    val gcol = w.pos
+    w.ascii("GCOL"); w.u8(1); w.pad(3)
+    val sizeAt = w.pos; w.u64(0) // collection size, patched below
+    values.zipWithIndex.foreach { case (v, i) =>
+      w.u16(i + 1); w.u16(1); w.pad(4); w.u64(v.length.toLong)
+      w.ascii(v); w.pad((8 - v.length % 8) % 8)
+    }
+    w.u16(0); w.u16(0); w.pad(4); w.u64(0) // free-space marker
+    w.patchU64(sizeAt, w.pos - gcol)
+    gcol
+  }
+
+  test("variable-length string dataset reads through the global heap") {
+    val values = Seq("alpha", "B", "gamma-longer")
+    val bytes = file { w =>
+      val gcol = gcolFor(w, values)
+      val data = w.pos
+      values.zipWithIndex.foreach { case (v, i) =>
+        w.u32(v.length.toLong); w.u64(gcol); w.u32((i + 1).toLong)
+      }
+      w.u32(0); w.u64(0); w.u32(0) // null descriptor: unwritten element
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(4))), (3, vlenStrMsg),
+        (8, contiguousMsg(data, 4 * 16))))
+      rootFor(w, "d" -> d)
+    }
+    val h5 = Hdf5.parse(bytes)
+    assert(h5("d").dtype.vlenString)
+    val got = Hdf5.readStrings(bytes, h5("d"))
+    assert(got.toSeq == values :+ "")
+    // the numeric path must refuse vlen precisely, not misread
+    // descriptor bytes as values
+    val e = intercept[IllegalArgumentException](Hdf5.readDoubles(bytes, h5("d")))
+    assert(e.getMessage.contains("variable-length"), e.getMessage)
+  }
+
+  test("variable-length descriptor pointing at an absent heap object is a precise error") {
+    val bytes = file { w =>
+      val gcol = gcolFor(w, Seq("only"))
+      val data = w.pos
+      w.u32(4); w.u64(gcol); w.u32(9) // object 9 does not exist
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(1))), (3, vlenStrMsg),
+        (8, contiguousMsg(data, 16))))
+      rootFor(w, "d" -> d)
+    }
+    val h5 = Hdf5.parse(bytes)
+    val e = intercept[RuntimeException](Hdf5.readStrings(bytes, h5("d")))
+    assert(e.getMessage.contains("global heap object 9 not found"), e.getMessage)
+  }
+
   test("v4 virtual-storage layout class is the documented precise rejection") {
     val e = intercept[RuntimeException] {
       file { w =>
