@@ -346,10 +346,14 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .createTempDirectory("graft_part_flip").toString
     val pstride = p1.agg(max(col("p_partkey"))).head().getLong(0) + 1
     (0 until 40).map { i =>
+      // gen_sf1's digit-tripled suffix: pairwise edit distance >= 3
+      // for ANY two copy indices (str(i)*3 collides rotationally at
+      // 2-digit indices — "393939" vs "939393" is distance 2)
+      val sfx = i.toString.flatMap(d => s"$d$d$d")
       if (i == 0) p1
       else p1.select(
         (col("p_partkey") + lit(i * pstride)).as("p_partkey"),
-        concat(col("p_name"), lit(s" q${i.toString * 3}")).as("p_name"),
+        concat(col("p_name"), lit(s" q$sfx")).as("p_name"),
         col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(flipDir)

@@ -13,16 +13,26 @@ Scaling rules (chosen so correctness and growth curves stay honest):
   disjoint across copies, so near-dup pair counts scale LINEARLY
   (constant dup density); raw text copies would grow pairs
   quadratically and explode q24/q25/q66.
-- part names: per-copy suffix " q"+str(i)*3 (r13) — repeating names
-  froze q63's dictionary at 64 entries forever, so the fuzzyDictLarge
-  plan-stats switch could never fire on a natural axis. The suffix
-  tokens sit at edit distance >= 3 from each other and from the
-  unsuffixed copy 0 (maxDist is 2), so NO cross-copy name pairs
-  appear: the pair set is the per-copy 64-name dictionary's pairs
-  x COPIES — linear growth, same in both engine paths.
+- part names: per-copy suffix " q" + each index digit TRIPLED in
+  place (copy 39 -> " q333999") (r13) — repeating names froze q63's
+  dictionary at 64 entries forever, so the fuzzyDictLarge plan-stats
+  switch could never fire on a natural axis. Digit-tripling keeps
+  every pair of suffix tokens at edit distance >= 3 (verified
+  exhaustively through 1000 copies) and >= 5 from the unsuffixed
+  copy 0, so NO cross-copy name pairs appear under maxDist 2: the
+  pair set is the per-copy 64-name dictionary's pairs x COPIES —
+  linear growth, same in both engine paths. (The first cut used
+  str(i)*3, whose 2-digit tokens collide rotationally — "393939" vs
+  "939393" is distance 2 — and the 100x probe caught +44% pairs.)
 - embeddings: per-copy cyclic rotation — orthogonal, so intra-copy
   geometry and label clusters are preserved while cross-copy
-  similarities decorrelate.
+  similarities decorrelate. Rotation alone is the IDENTITY at
+  copy = dim (the 100x probe caught copies >= 64 duplicating copies
+  0..35 exactly -> 19,000x near-dup pairs), so copies >= dim also
+  apply a seeded per-copy Rademacher sign diagonal — still an
+  isometry (intra-copy geometry untouched), but cross-copy cosines
+  concentrate near 0. Copies < dim are byte-identical to the old
+  scheme, so /tmp/sf1 needs no regeneration.
 - events.ts stays timestamp[ns] (parquet version 2.6, no coercion);
   the engine's nanosAsLong read path depends on it.
 
@@ -99,7 +109,8 @@ def main():
             if c == "p_partkey":
                 col = pc.add(col, i * pstride)
             elif c == "p_name":
-                col = pa.array([f"{n} q{str(i) * 3}"
+                sfx = "".join(d * 3 for d in str(i))
+                col = pa.array([f"{n} q{sfx}"
                                 for n in col.to_pylist()], pa.string())
             cols[c] = col
         pparts.append(pa.table(cols, schema=ptbl.schema))
@@ -135,12 +146,19 @@ def main():
     emb = pq.read_table(f"{SRC}/embeddings.parquet")
     estride = pc.max(emb["vec_id"]).as_py() + 1
     vecs = emb["embedding"].to_pylist()
+    dim = len(vecs[0]) if vecs else 1
     parts = []
     for i in range(COPIES):
         if i == 0:
             parts.append(emb)
             continue
-        rot = [v[i:] + v[:i] for v in vecs]
+        r = i % dim
+        rot = [v[r:] + v[:r] for v in vecs]
+        if i >= dim:  # see module doc: rotation alone cycles at dim
+            import random
+            signs = [1.0 if random.Random((1000 + i) * 64 + d).random() < 0.5
+                     else -1.0 for d in range(dim)]
+            rot = [[x * s for x, s in zip(v, signs)] for v in rot]
         parts.append(pa.table({
             "vec_id": pc.add(emb["vec_id"], i * estride),
             "embedding": pa.array(rot, pa.list_(pa.float32())),
