@@ -266,6 +266,21 @@ object TimeSeries {
     (signum(v) * floor(log2(lit(1.0) + abs(v)) * QsBinsPerOctave))
       .cast("long")
 
+  /** Bin expression hardened for non-finite input (r14, ADVICE): ±Inf
+    * must not enter the numeric grid — +Inf would bin to Long.MaxValue
+    * (percentile reads back as Infinity) and -Inf to Long.MinValue,
+    * where binMid's abs(bin) overflows under non-ANSI semantics and
+    * SIGN-FLIPS the reported percentile to +1.0. Instead an infinite
+    * value lands in the NULL sentinel bin: it still merges by plain
+    * bin-count addition (NULL is an ordinary group key), is counted
+    * separately (`n_nonfinite` in [[quantileRollup]]), and can never
+    * be picked as a percentile bin (the cum-window skips it and
+    * `min(when(...))` ignores NULL). NaN stays excluded entirely —
+    * it has no total order, the q38 convention.
+    */
+  private def vbinFinite(v: Column): Column =
+    when(abs(v) =!= Double.PositiveInfinity, vbin(v))
+
   /** Midpoint value of a log-grid bin (sign-aware; bin 0 covers the
     * (-ε, +ε) band around zero where ε = 2^(1/B)-1 and reads as its
     * positive midpoint).
@@ -277,11 +292,13 @@ object TimeSeries {
     when(b >= 0, mag).otherwise(-mag)
   }
 
-  /** Ingest-grain sketch rows: (event_type, day, bin, n). */
+  /** Ingest-grain sketch rows: (event_type, day, bin, n). `bin` is
+    * NULL for non-finite (±Inf) values — see [[vbinFinite]].
+    */
   def dailyValueSketch(events: DataFrame): DataFrame =
     events.filter(!isnan($"value"))
       .groupBy($"event_type", to_date($"ts").as("day"),
-        vbin($"value").as("bin"))
+        vbinFinite($"value").as("bin"))
       .agg(count(lit(1)).as("n"))
 
   /** Streaming twin of [[dailyValueSketch]] (the q119 pattern: the
@@ -300,36 +317,51 @@ object TimeSeries {
     val in = if (watermarked) events.withWatermark("ts", "1 day") else events
     in.filter(!isnan($"value"))
       .groupBy(window($"ts", "1 day"), $"event_type",
-        vbin($"value").as("bin"))
+        vbinFinite($"value").as("bin"))
       .agg(count(lit(1)).as("n"))
       .select($"window.start".cast("date").as("day"), $"event_type",
         $"bin", $"n")
   }
 
   /** Coarse-grain percentile rollup from merged daily sketches:
-    * per event_type, approx p25/p50/p75/p95 plus n_values and the
-    * sketch row count actually merged. The only corpus-sized work is
-    * the daily sketch build; everything after runs on sketch rows.
+    * per event_type, approx p25/p50/p75/p95 plus n_values (finite
+    * values only), n_nonfinite (±Inf rows, counted but never binned
+    * — see [[vbinFinite]]), and the sketch row count actually merged.
+    * The only corpus-sized work is the daily sketch build; everything
+    * after runs on sketch rows. A type whose values are ALL
+    * non-finite reports NULL percentiles — explicit absence, not a
+    * sign-flipped number.
     */
   def quantileRollup(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val merged = dailyValueSketch(events)
       .groupBy($"event_type", $"bin")
       .agg(sum($"n").as("n"))
-    val w = Window.partitionBy($"event_type").orderBy($"bin")
+    // NULL-bin rows (non-finite values) sort FIRST, carry a finite
+    // contribution of 0 into the running sum, and can never be the
+    // picked bin — percentiles are read over finite mass only, and
+    // the non-finite count is surfaced as its own column instead of
+    // silently poisoning a quantile (r14, ADVICE).
+    val fin = when($"bin".isNotNull, $"n").otherwise(lit(0L))
+    val w = Window.partitionBy($"event_type").orderBy($"bin".asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy($"event_type")
     val cum = merged
-      .withColumn("cum", sum($"n").over(w))
-      .withColumn("total", sum($"n").over(wAll))
+      .withColumn("cum", sum(fin).over(w))
+      .withColumn("total", sum(fin).over(wAll))
+      .withColumn("nonfinite",
+        sum(when($"bin".isNull, $"n").otherwise(lit(0L))).over(wAll))
     val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
-    val pickAggs = count(lit(1)).as("n_bins") +:
+    val pickAggs = count(when($"bin".isNotNull, lit(1))).as("n_bins") +:
+      max($"nonfinite").as("n_nonfinite") +:
       qs.map { case (q, nm) =>
-        min(when($"cum" >= $"total" * q, $"bin")).as(s"bin_$nm")
+        min(when($"cum" >= $"total" * q && $"bin".isNotNull, $"bin"))
+          .as(s"bin_$nm")
       }
     val picked = cum.groupBy($"event_type")
       .agg(max($"total").as("n_values"), pickAggs: _*)
-    picked.select(Seq($"event_type", $"n_values", $"n_bins") ++
+    picked.select(Seq($"event_type", $"n_values", $"n_nonfinite",
+      $"n_bins") ++
       qs.map { case (_, nm) => binMid(col(s"bin_$nm")).as(nm) }: _*)
       .orderBy($"event_type")
   }

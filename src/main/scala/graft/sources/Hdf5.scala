@@ -611,7 +611,13 @@ object Hdf5 {
       catch { case _: RuntimeException => return Some(Attr(name, Seq.empty, "")) }
     val n = parseDims(b, dsP) match { case Nil => 1L; case d => d.product }
     if (dt.cls == 9)
-      Some(Attr(name, Seq.empty, vlenString(b, b, q)))
+      // a multi-element vlen attribute stores n consecutive 16-byte
+      // descriptors; resolve ALL of them (r14, ADVICE — reading only
+      // the first silently dropped elements 2..n, against the
+      // precise-rejection-over-misread rule), concatenated like the
+      // fixed-string branch concatenates its elements
+      Some(Attr(name, Seq.empty,
+        (0L until n).map(i => vlenString(b, b, q + i * dt.size)).mkString))
     else if (dt.cls == 3) Some(Attr(name, Seq.empty, b.ascii(q, dt.size * n).takeWhile(_ != 0)))
     else {
       val nums = (0L until n).map(i => readElem(b.bytes, q + i * dt.size, dt))

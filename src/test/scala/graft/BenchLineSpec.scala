@@ -61,6 +61,27 @@ class BenchLineSpec extends AnyFunSuite {
     assert(detail.contains("\"calib_io\":0.123"), "sidecar missing calib_io")
   }
 
+  test("value_norm = value x (CalibRef / calib) travels with the line") {
+    // round-14 contract: the probe existed since r13 but every grader
+    // still normalized by hand — the line itself must carry the
+    // calib-normalized total against the PINNED anchor
+    val total = fakeResults.map(_.sec).sum
+    val calib = 2.0 * Bench.CalibRef // a boot running at half speed
+    val line = Bench.renderLine(
+      fakeResults, "/tmp/sf", "d.json", calib = Some(calib))
+    val expect = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(total / 2.0))
+    assert(line.contains("\"value_norm\":" + expect),
+      s"line missing value_norm=$expect: ${line.take(300)}")
+    val detail = Bench.renderDetail(fakeResults, "/tmp/sf", Some(calib))
+    assert(detail.contains("\"value_norm\":" + expect), "sidecar missing value_norm")
+    // a dead probe must not manufacture a normalized number
+    assert(Bench.normOf(10.0, Some(0.0)).isEmpty)
+    assert(Bench.normOf(10.0, None).isEmpty)
+    assert(!Bench.renderLine(fakeResults, "/tmp/sf", "d.json")
+      .contains("value_norm"))
+  }
+
   test("detail sidecar carries every query") {
     val detail = Bench.renderDetail(fakeResults, "/root/testdata/sf0.1")
     for (k <- SparkEntry.queries.keys)

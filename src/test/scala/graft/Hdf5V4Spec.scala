@@ -814,6 +814,39 @@ class Hdf5V4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("global heap object 9 not found"), e.getMessage)
   }
 
+  test("multi-element vlen string attribute resolves every descriptor") {
+    // r14 (ADVICE r13): parseAttr used to read only the FIRST 16-byte
+    // descriptor of a class-9 attribute, silently dropping elements
+    // 2..n — this pins all n resolving (concatenated, the class-3
+    // fixed-string convention)
+    val values = Seq("red", "green", "blue")
+    val bytes = file { w =>
+      val gcol = gcolFor(w, values)
+      val attr = msgBytes { x =>
+        val dtb = vlenStrMsg; val dsb = dataspaceMsg(Seq(3))
+        x.u8(1); x.u8(0)                     // attribute v1, reserved
+        x.u16(6)                             // name size (incl NUL)
+        x.u16(dtb.length); x.u16(dsb.length) // unpadded sizes
+        x.ascii("names"); x.u8(0); x.pad(2)  // name, padded to 8
+        x.bytes(dtb); x.pad((8 - dtb.length % 8) % 8)
+        x.bytes(dsb); x.pad((8 - dsb.length % 8) % 8)
+        values.zipWithIndex.foreach { case (v, i) =>
+          x.u32(v.length.toLong); x.u64(gcol); x.u32((i + 1).toLong)
+        }
+      }
+      val data = w.pos
+      w.u32(7)
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(1))), (3, int32Msg),
+        (8, contiguousMsg(data, 4)), (12, attr)))
+      rootFor(w, "d" -> d)
+    }
+    val a = Hdf5.parse(bytes)("d").attrs.find(_.name == "names")
+    assert(a.isDefined, "vlen attribute not parsed")
+    assert(a.get.str == "redgreenblue",
+      s"expected all 3 descriptors resolved, got '${a.get.str}'")
+  }
+
   test("v4 virtual-storage layout class is the documented precise rejection") {
     val e = intercept[RuntimeException] {
       file { w =>

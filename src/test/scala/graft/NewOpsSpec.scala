@@ -1108,19 +1108,38 @@ class NewOpsSpec extends AnyFunSuite {
     assert(over.size <= 4 && over.contains("a"))
   }
 
-  test("quantile rollup: non-finite values do not crash the sketch") {
+  test("quantile rollup: non-finite values are counted apart and never picked") {
     import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val ev = Seq(
-      (0L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", 1.0, "{}"),
-      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", Double.NaN, "{}"),
-      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", Double.PositiveInfinity, "{}"),
-      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", -2.5, "{}"))
+      (0L, ts, 1L, "a", 1.0, "{}"),
+      (1L, ts, 1L, "a", Double.NaN, "{}"),
+      (2L, ts, 1L, "a", Double.PositiveInfinity, "{}"),
+      (3L, ts, 1L, "a", -2.5, "{}"),
+      // the ADVICE r13 scenario: -Inf used to bin to Long.MinValue,
+      // whose binMid overflowed abs() and SIGN-FLIPPED the percentile
+      (4L, ts, 1L, "a", Double.NegativeInfinity, "{}"),
+      // a type that is ALL non-finite must report NULL percentiles
+      (5L, ts, 1L, "b", Double.PositiveInfinity, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = TimeSeries.quantileRollup(ev).collect()
-    assert(out.length == 1)
-    // NaN is excluded (no total order); the finite values and the
-    // infinity are counted
-    assert(out.head.getLong(1) == 3, s"n_values ${out.head.getLong(1)}")
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b"))
+    val a = out("a")
+    // NaN excluded entirely; ±Inf counted as n_nonfinite, not n_values
+    assert(a.getLong(1) == 2, s"n_values ${a.getLong(1)}")
+    assert(a.getLong(2) == 2, s"n_nonfinite ${a.getLong(2)}")
+    // every percentile reads a FINITE value from the finite mass
+    // {-2.5, 1.0}: p25/p50 land in -2.5's bin (negative, NOT +1.0 —
+    // the sign-flip bug), p75/p95 in 1.0's bin
+    val ps = (4 to 7).map(a.getDouble)
+    assert(ps.forall(p => !p.isNaN && !p.isInfinite), s"non-finite percentile in $ps")
+    assert(ps(0) < 0 && ps(1) < 0 && math.abs(ps(0) + 2.5) < 0.2,
+      s"p25/p50 should read -2.5's bin: $ps")
+    assert(ps(2) > 0 && math.abs(ps(2) - 1.0) < 0.1, s"p75 should read 1.0's bin: $ps")
+    val b = out("b")
+    assert(b.getLong(1) == 0 && b.getLong(2) == 1)
+    assert((4 to 7).forall(b.isNullAt), "all-non-finite type must report NULL percentiles")
   }
 
   test("quantile rollup: two-level merge equals one-level; percentiles near exact") {
@@ -1135,8 +1154,9 @@ class NewOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val one = ev.filter(!isnan(col("value")))
       .groupBy(col("event_type"),
-        (signum(col("value")) * floor(log2(lit(1.0) + abs(col("value"))) *
-          TimeSeries.QsBinsPerOctave)).cast("long").as("bin"))
+        when(abs(col("value")) =!= Double.PositiveInfinity,
+          (signum(col("value")) * floor(log2(lit(1.0) + abs(col("value"))) *
+            TimeSeries.QsBinsPerOctave)).cast("long")).as("bin"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(two == one, "two-level sketch merge diverged from one-level")
@@ -1145,7 +1165,7 @@ class NewOpsSpec extends AnyFunSuite {
     // percentile must land within a few bins of the exact quantile
     val approx = TimeSeries.quantileRollup(ev).collect()
       .map(r => r.getString(0) ->
-        Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+        Seq(r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
       .toMap
     val exact = operators.Analytics.percentiles(ev).collect()
       .map(r => r.getString(0) ->

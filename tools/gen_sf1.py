@@ -28,11 +28,23 @@ Scaling rules (chosen so correctness and growth curves stay honest):
   geometry and label clusters are preserved while cross-copy
   similarities decorrelate. Rotation alone is the IDENTITY at
   copy = dim (the 100x probe caught copies >= 64 duplicating copies
-  0..35 exactly -> 19,000x near-dup pairs), so copies >= dim also
-  apply a seeded per-copy Rademacher sign diagonal — still an
-  isometry (intra-copy geometry untouched), but cross-copy cosines
-  concentrate near 0. Copies < dim are byte-identical to the old
-  scheme, so /tmp/sf1 needs no regeneration.
+  0..35 exactly -> 19,000x near-dup pairs), AND rotation alone keeps
+  cluster structure partially correlated across copies (r13 measured
+  1.32M genuine tau=0.4 cross-copy pairs at 100x — q106's output
+  grew super-linearly on copies-choose-2 rotation pairs). So (r14)
+  every copy >= SIGN_FROM=10 applies a seeded per-copy Rademacher
+  sign diagonal — still an isometry (intra-copy geometry and label
+  clusters untouched), but cross-copy cosines concentrate near 0
+  (std ~ 1/sqrt(dim) = 0.125 at dim 64, so tau=0.4 is a ~3-sigma
+  tail). The pure-rotation regime is capped at the 10x point:
+  copies 0..9 are byte-identical to the shipped /tmp/sf1 (the r13
+  no-regeneration precedent), their cross-pair contribution is a
+  CONSTANT (fixed 45 copy-pairs), and total near-dup output at
+  higher scale grows ~linearly: intra-copy pairs x copies + const.
+  Sign seeds are a function of (copy, dim) with dim-sized strides —
+  the r13 formula hardcoded stride 64, structurally correlating
+  adjacent copies' sign vectors whenever dim > 64 (latent; caught
+  by r13 ADVICE).
 - events.ts stays timestamp[ns] (parquet version 2.6, no coercion);
   the engine's nanosAsLong read path depends on it.
 
@@ -154,9 +166,10 @@ def main():
             continue
         r = i % dim
         rot = [v[r:] + v[:r] for v in vecs]
-        if i >= dim:  # see module doc: rotation alone cycles at dim
+        SIGN_FROM = 10  # see module doc: pure rotation capped at 10x
+        if i >= SIGN_FROM:
             import random
-            signs = [1.0 if random.Random((1000 + i) * 64 + d).random() < 0.5
+            signs = [1.0 if random.Random((1000 + i) * dim + d).random() < 0.5
                      else -1.0 for d in range(dim)]
             rot = [[x * s for x, s in zip(v, signs)] for v in rot]
         parts.append(pa.table({
