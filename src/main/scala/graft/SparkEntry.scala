@@ -264,6 +264,13 @@ object SparkEntry {
     // percentiles are spec-pinned)
     "q120_quantile_rollup" -> ((s, d) =>
       TimeSeries.quantileRollup(Tables.events(s, d))),
+    // the Druid ingest loop END-TO-END (r14): stream → checkpointed
+    // exactly-once sketch SEGMENT table → percentiles answered from
+    // the stored table (rows-only: streaming + temp-dir sink; the
+    // stored≡batch, restart, and replay-idempotence properties are
+    // spec-pinned, and output ≡ q120 structurally)
+    "q121_sketch_store" -> ((s, d) =>
+      EventStream.sketchStoreRoundTrip(s, d)),
     // in-engine LR quality-classifier training over hashed features,
     // trained on the q50 hash-split train shard and scored over every
     // doc with its split tag (held-out val accuracy spec-pinned)

@@ -529,9 +529,20 @@ object Sampling {
   val QcLabelGate = 17.0 / 32.0
   val QcMomentum = 0.9
 
+  /** `labels` (r14): an optional external (doc_id, y) objective — the
+    * "production run swaps in any document-level label column"
+    * sentence above made executable. None keeps the declared q31
+    * heuristic gate; Some(l) trains against l's labels instead (docs
+    * without a label row drop out — the label's coverage DEFINES the
+    * training corpus). The spec variant trains against q112's
+    * LM-fluency gate — a label the hashed-surface features do NOT
+    * trivially encode, so the train/val gap is informative there
+    * (measured: see QualityClassifierSpec / SURVEY §7j).
+    */
   def qualityClassifier(documents: DataFrame, nFeatures: Int = QcFeatures,
                         iters: Int = 12, lrate: Double = 1.0,
-                        holdoutPct: Int = QcHoldoutPct): DataFrame = {
+                        holdoutPct: Int = QcHoldoutPct,
+                        labels: Option[DataFrame] = None): DataFrame = {
     // hashed-TF features + one BIAS pseudo-feature per doc (index
     // nFeatures, cnt = n_tok): its margin contribution cnt·w/n_tok
     // = w_bias exactly, and its gradient rides the same integer
@@ -542,9 +553,15 @@ object Sampling {
     // its bias alone instead of silently vanishing from the output
     // (review r12: the lowest-quality docs are exactly the ones a
     // quality filter must not drop).
+    val labeled = labels match {
+      case Some(l) => documents
+        .join(l.select($"doc_id", $"y".cast("int").as("y")), Seq("doc_id"))
+      case None => TextAnalysis.withQuality(documents)
+        .withColumn("y", ($"quality" >= QcLabelGate).cast("int"))
+    }
     val base = TextAnalysis.hashSplit(
-      TextAnalysis.withQuality(documents)
-        .select($"doc_id", ($"quality" >= QcLabelGate).cast("int").as("y"),
+      labeled
+        .select($"doc_id", $"y",
           filter(TextAnalysis.tokens(lower($"text")), w => w =!= "")
             .as("toks"))
         .withColumn("n_tok", greatest(size($"toks"), lit(1)).cast("long")),

@@ -332,9 +332,19 @@ object TimeSeries {
     * non-finite reports NULL percentiles — explicit absence, not a
     * sign-flipped number.
     */
-  def quantileRollup(events: DataFrame): DataFrame = {
+  def quantileRollup(events: DataFrame): DataFrame =
+    quantileRollupFrom(dailyValueSketch(events))
+
+  /** Percentile read over an ALREADY-MATERIALIZED sketch-row frame —
+    * any frame carrying (event_type, bin, n) at any grain: the live
+    * [[dailyValueSketch]], or the PERSISTED segment table
+    * ([[graft.streaming.EventStream.storedValueSketch]], q121). This
+    * is the Druid query side: re-merging to the asked grain is a
+    * bin-count sum over sketch rows; no raw event is touched.
+    */
+  def quantileRollupFrom(sketchRows: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val merged = dailyValueSketch(events)
+    val merged = sketchRows
       .groupBy($"event_type", $"bin")
       .agg(sum($"n").as("n"))
     // NULL-bin rows (non-finite values) sort FIRST, carry a finite

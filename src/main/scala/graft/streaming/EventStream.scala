@@ -156,6 +156,97 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Persisted, RESTARTABLE sketch-segment ingest (q121) — the
+    * reference's actual Druid loop (druid-kafka-datasource.json:
+    * stream → rollup SEGMENT → query) composed end-to-end from parts
+    * that already exist: the watermarked value sketch
+    * ([[graft.operators.TimeSeries.valueSketchWindowed]], q120's
+    * streaming twin) maintained as a parquet SEGMENT TABLE through a
+    * checkpointed exactly-once sink, with every later percentile read
+    * answered from the stored table
+    * ([[graft.operators.TimeSeries.quantileRollupFrom]]).
+    *
+    * Exactly-once mechanics: the windowed aggregate runs in UPDATE
+    * mode, so each micro-batch emits the keys whose counts changed,
+    * carrying their full CUMULATIVE value (state lives in the
+    * checkpoint and survives restart). `foreachBatch` lands batch i
+    * at `tableDir/seg=<i>` with mode=overwrite — the documented
+    * idempotent-foreachBatch pattern: a crash between sink write and
+    * offset commit replays batch i, which OVERWRITES seg=i with
+    * identical content instead of duplicating it. The read side
+    * ([[storedValueSketch]]) is latest-wins per key over segments —
+    * q75's merge-upsert decided at read time, i.e. Druid's
+    * merge-on-read segment model.
+    *
+    * At 100 TB: each segment holds sketch rows (grains × ≤~150 bins),
+    * never events, so segment count grows with trigger count and the
+    * compaction window shuffles sketch rows only. A production table
+    * would periodically fold old segments into one base segment with
+    * the same latest-wins rule (the read plan IS the compaction job's
+    * plan) — elided here, the read side already proves the rule.
+    *
+    * Same contract as [[ingestOnce]]: processes whatever is in
+    * `srcDir` now and returns; re-invoking with the same checkpoint
+    * resumes from recorded offsets and saved aggregate state.
+    */
+  def sketchSegmentsOnce(spark: SparkSession, srcDir: String,
+                         tableDir: String, checkpointDir: String): Unit = {
+    val sketch = graft.operators.TimeSeries.valueSketchWindowed(
+      readEventStream(spark, srcDir), watermarked = true)
+    val q = sketch.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // an empty update batch writes no segment — a schema-only
+        // seg dir would add nothing and a table of ONLY empty
+        // segments could not even be read
+        if (!batch.isEmpty)
+          batch.write.mode("overwrite").parquet(s"$tableDir/seg=$batchId")
+      }
+      .start()
+    // stop() signals the query thread; await its termination so a
+    // back-to-back reopen of the SAME checkpoint (the restart pattern
+    // this operator exists for) can never race the active-query
+    // registry's deactivation of the checkpoint path
+    try q.processAllAvailable() finally {
+      q.stop(); q.awaitTermination()
+    }
+  }
+
+  /** Latest-wins view of the segment table [[sketchSegmentsOnce]]
+    * maintains: one row per (day, event_type, bin) from the highest
+    * segment that touched it — update-mode rows carry cumulative
+    * counts, so the newest write IS the truth and older segments'
+    * rows for the same key are superseded, never summed. Equality
+    * with the batch [[graft.operators.TimeSeries.dailyValueSketch]]
+    * over the same events is spec-pinned, restart and replay
+    * included.
+    */
+  def storedValueSketch(spark: SparkSession, tableDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day"), col("event_type"), col("bin"))
+      .orderBy(col("seg").desc)
+    spark.read.option("basePath", tableDir).parquet(s"$tableDir/seg=*")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("day"), col("event_type"), col("bin"), col("n"))
+  }
+
+  /** Declared q121 shape: run the full Druid loop — stream `sfDir`'s
+    * events through the checkpointed segment sink into a fresh table,
+    * then answer percentiles FROM THE STORED TABLE. Fresh temp dirs
+    * per invocation, so the query is self-contained and deterministic
+    * (the file source processes everything in one pass; equality with
+    * q120's direct rollup is both spec-pinned and structural —
+    * same sketch expression, same read).
+    */
+  def sketchStoreRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = java.nio.file.Files.createTempDirectory("graft_seg_table").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_seg_ckpt").toString
+    sketchSegmentsOnce(spark, sfDir, table, ckpt)
+    graft.operators.TimeSeries.quantileRollupFrom(storedValueSketch(spark, table))
+  }
+
   /** A per-user running profile maintained with explicit state —
     * `mapGroupsWithState` (the Structured Streaming stateful-operator
     * API). Each micro-batch folds new events into the stored

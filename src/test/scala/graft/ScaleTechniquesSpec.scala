@@ -536,6 +536,91 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(acc >= 0.9, f"classifier 10× accuracy regressed: $acc%.3f")
   }
 
+  test("100×: approximate-tier recall — q25 prod-K lossless, q45 trained IVF, q111 auto-R at its cap") {
+    // The 1× and 10× recall floors said nothing about the 100× point,
+    // and q111's RerankMax=1024 cap was specifically untested where
+    // ratio^(2/3) wants to exceed it (r13 VERDICT item 2). Cancels
+    // when /tmp/sf10 is absent (tools/gen_sf1.py SRC DST 100); the
+    // manifest must declare copies=100 AND match the data, the same
+    // stale-guard as the 10× specs.
+    import org.apache.spark.sql.functions._
+    val dir100 = "/tmp/sf10"
+    val manifest = new java.io.File(s"$dir100/_MANIFEST.json")
+    assume(manifest.exists(),
+      "100× scale point absent — python3 tools/gen_sf1.py " +
+        "/root/testdata/sf0.1 /tmp/sf10 100")
+    val mtxt = new String(java.nio.file.Files.readAllBytes(manifest.toPath))
+    def declared(t: String): Long =
+      ("\"" + t + "\":\\s*(\\d+)").r.findFirstMatchIn(mtxt)
+        .map(_.group(1).toLong).getOrElse(-1L)
+    assume(("\"copies\":\\s*100").r.findFirstIn(mtxt).isDefined &&
+      spark.read.parquet(s"$dir100/embeddings.parquet").count() ==
+        declared("embeddings") &&
+      spark.read.parquet(s"$dir100/documents.parquet").count() ==
+        declared("documents"),
+      "100× manifest inconsistent with data — rerun tools/gen_sf1.py")
+
+    // q25 prod-K over 500k docs: every exact τ=0.5 jaccard pair must
+    // survive the banded LSH (collision prob at j=0.5 with K=128/64
+    // bands ≈ 1-0.75^64 — losing a pair means the banding broke)
+    val docs = Tables.documents(spark, dir100)
+    val exactPairs = operators.Dedup.ngramJaccard(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "spec vacuous: no high-jaccard pairs at 100×")
+    val prod = operators.Dedup.minhashLsh(docs,
+        k = operators.Dedup.ProdMinHashK, bands = operators.Dedup.ProdBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"q25 at 100×: ${exactPairs.size} exact pairs, ${prod.size} LSH pairs")
+    assert(exactPairs.subsetOf(prod),
+      s"production-K LSH lost true pairs at 100×: ${(exactPairs -- prod).take(5)}")
+
+    // q45: trained-centroid IVF holds the fixed-seed floor on 200k
+    // vectors (exact baseline: bounded 10-query brute force)
+    val emb = Tables.embeddings(spark, dir100)
+    val exact = operators.Similarity.cosineTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfT = operators.Similarity.ivfTopKTrained(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = (exact & ivfT).size.toDouble / exact.size
+    info(f"q45 trained-IVF recall@5 at 100×: $ivfRecall%.2f")
+    assert(ivfRecall >= 0.8,
+      f"trained-IVF recall@5 degraded at 100×: $ivfRecall%.2f")
+
+    // q111: the plan-stats budget WANTS to exceed the cap here —
+    // assert we are actually in the capped regime, then measure
+    // recall AT the cap against the exact top-5
+    val auto100 = operators.Similarity.autoRerank(emb, 64)
+    info(s"auto-R at 100×: $auto100 (cap ${operators.Similarity.RerankMax})")
+    assert(auto100 == operators.Similarity.RerankMax,
+      s"100× corpus no longer reaches the RerankMax cap ($auto100) — " +
+        "this spec exists to measure recall AT the cap; re-measure")
+    val q = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
+    val qs = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val d2 = expr("aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+    val exactPq = q.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .select(col("query_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val short = operators.Similarity.pqShortlist(emb, r = auto100).collect()
+    val got = short.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rec = exactPq.keys.toSeq.map(k =>
+      (exactPq(k) intersect got.getOrElse(k, Set.empty)).size.toDouble /
+        exactPq(k).size)
+    val rAuto = rec.sum / rec.size
+    info(f"q111 shortlist recall@5 at 100× with capped R=$auto100: $rAuto%.2f")
+    // measured r14: see SURVEY §7i — floor sits under the measured
+    // point with the usual regeneration margin
+    assert(rAuto >= 0.55,
+      f"PQ recall@5 at the RerankMax cap fell to $rAuto%.2f at 100× — " +
+        "derive the cap from a recall target instead of the constant")
+  }
+
   test("schedule: catch-up backfills every complete interval, resume honors lastRun") {
     val s = Pipeline.Schedule(startUs = 1000L, everyUs = 100L)
     // now=1350: intervals [1000,1100) [1100,1200) [1200,1300) complete;

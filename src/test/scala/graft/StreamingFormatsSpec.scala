@@ -381,6 +381,66 @@ class StreamingFormatsSpec extends AnyFunSuite {
       "restart processed exactly the new file")
   }
 
+  test("sketch segment table: restart resumes state, crash-replay is idempotent, stored equals batch") {
+    import java.nio.file.Files
+    import graft.operators.TimeSeries
+    val src = Files.createTempDirectory("graft_seg_src").toString
+    val table = Files.createTempDirectory("graft_seg_tbl").toString
+    val ckpt = Files.createTempDirectory("graft_seg_ck").toString
+    val ev = Tables.events(spark, dir)
+    // split at the median TIMESTAMP (not a day boundary): the median
+    // day's keys then receive a CUMULATIVE update in batch 1, so the
+    // latest-wins read is exercised on overlapping keys — a sum-
+    // instead-of-supersede bug would double those counts. In-order
+    // arrival (A strictly before B) keeps every B row ahead of the
+    // restored watermark, the ingest pattern the operator declares.
+    val tMidUs = ev.select(percentile_approx(unix_micros(col("ts")),
+      lit(0.5), lit(10000))).head.getLong(0)
+    val a = ev.filter(unix_micros(col("ts")) < tMidUs)
+    val b = ev.filter(unix_micros(col("ts")) >= tMidUs)
+    def keyed(df: org.apache.spark.sql.DataFrame): Map[(String, String, Long), Long] =
+      df.select(col("day"), col("event_type"), col("bin"), col("n"))
+        .collect().map(r => (r.getDate(0).toString, r.getString(1),
+          r.getLong(2)) -> r.getLong(3)).toMap
+    a.write.parquet(s"$src/events.parquet_a")
+    EventStream.sketchSegmentsOnce(spark, src, table, ckpt)
+    assert(keyed(EventStream.storedValueSketch(spark, table)) ==
+      keyed(TimeSeries.dailyValueSketch(a)),
+      "first-increment segment table diverged from batch sketch of A")
+    // RESTART with the same checkpoint: new file processes against the
+    // SAVED aggregate state, so overlap-day keys emit cumulative counts
+    b.write.parquet(s"$src/events.parquet_b")
+    EventStream.sketchSegmentsOnce(spark, src, table, ckpt)
+    val all = keyed(TimeSeries.dailyValueSketch(ev))
+    assert(keyed(EventStream.storedValueSketch(spark, table)) == all,
+      "restarted segment table diverged from batch sketch of A+B")
+    // CRASH-REPLAY: drop the final commit marker — exactly the state a
+    // crash between sink write and offset commit leaves. Resume
+    // re-executes the last batch through foreachBatch with the SAME
+    // batchId; the overwrite sink must land identical content, not
+    // duplicates
+    val commitsDir = new java.io.File(s"$ckpt/commits")
+    val last = commitsDir.listFiles.map(_.getName)
+      .filterNot(_.startsWith(".")).map(_.toInt).max
+    assert(new java.io.File(commitsDir, last.toString).delete())
+    // the local ChecksumFileSystem keeps a .N.crc sidecar a real HDFS
+    // crash would not leave behind; a stale one makes the replayed
+    // commit's atomic rename throw a misleading "multiple streaming
+    // queries" error, so the crash simulation removes it too
+    new java.io.File(commitsDir, s".$last.crc").delete()
+    EventStream.sketchSegmentsOnce(spark, src, table, ckpt)
+    assert(keyed(EventStream.storedValueSketch(spark, table)) == all,
+      "crash-replayed batch changed the segment table")
+    // the Druid read path: percentiles answered from the STORED table
+    // equal q120's rollup straight off raw events
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(TimeSeries.quantileRollupFrom(
+        EventStream.storedValueSketch(spark, table))) ==
+      rows(TimeSeries.quantileRollup(ev)),
+      "stored-table percentiles diverged from the direct q120 rollup")
+  }
+
   test("session_window operator matches the lag-based sessionize totals") {
     import org.apache.spark.sql.expressions.Window
     val events = Tables.events(spark, dir)
