@@ -529,15 +529,18 @@ object Sampling {
   val QcLabelGate = 17.0 / 32.0
   val QcMomentum = 0.9
 
-  /** `labels` (r14): an optional external (doc_id, y) objective — the
-    * "production run swaps in any document-level label column"
-    * sentence above made executable. None keeps the declared q31
-    * heuristic gate; Some(l) trains against l's labels instead (docs
-    * without a label row drop out — the label's coverage DEFINES the
-    * training corpus). The spec variant trains against q112's
-    * LM-fluency gate — a label the hashed-surface features do NOT
-    * trivially encode, so the train/val gap is informative there
-    * (measured: see QualityClassifierSpec / SURVEY §7j).
+  /** `labels` (r14, spec'd r15): an optional external (doc_id, y)
+    * objective — the "production run swaps in any document-level
+    * label column" sentence above made executable. None keeps the
+    * declared q31 heuristic gate; Some(l) trains against l's labels
+    * instead (docs without a label row drop out — the label's
+    * coverage DEFINES the training corpus). The spec variant trains
+    * against q112's LM-fluency gate — a bigram-ORDER label a bag of
+    * hashed unigrams cannot encode on this corpus: measured train
+    * 0.588 / val 0.458 (chance) across a full hyperparameter sweep,
+    * vs val 0.958 for the built-in surface gate on the same machinery.
+    * The held-out shard is what makes that failure VISIBLE — the
+    * negative control QualityClassifierSpec pins (SURVEY §7j).
     */
   def qualityClassifier(documents: DataFrame, nFeatures: Int = QcFeatures,
                         iters: Int = 12, lrate: Double = 1.0,

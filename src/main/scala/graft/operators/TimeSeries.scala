@@ -296,7 +296,13 @@ object TimeSeries {
     * NULL for non-finite (±Inf) values — see [[vbinFinite]].
     */
   def dailyValueSketch(events: DataFrame): DataFrame =
-    events.filter(!isnan($"value"))
+    // NULL is excluded alongside NaN (r15, ADVICE): isnan(NULL) is
+    // false in Spark, so without the explicit isNotNull a NULL value
+    // sailed through the filter, binned to the NULL sentinel, and
+    // was REPORTED as n_nonfinite — a missing measurement counted as
+    // an infinity. A NULL value is no observation at all; ±Inf is an
+    // observation with unusable magnitude. Only the latter is counted.
+    events.filter($"value".isNotNull && !isnan($"value"))
       .groupBy($"event_type", to_date($"ts").as("day"),
         vbinFinite($"value").as("bin"))
       .agg(count(lit(1)).as("n"))
@@ -315,7 +321,7 @@ object TimeSeries {
   def valueSketchWindowed(events: DataFrame,
                           watermarked: Boolean): DataFrame = {
     val in = if (watermarked) events.withWatermark("ts", "1 day") else events
-    in.filter(!isnan($"value"))
+    in.filter($"value".isNotNull && !isnan($"value")) // NULL ≠ ±Inf, see dailyValueSketch
       .groupBy(window($"ts", "1 day"), $"event_type",
         vbinFinite($"value").as("bin"))
       .agg(count(lit(1)).as("n"))

@@ -614,10 +614,14 @@ object Hdf5 {
       // a multi-element vlen attribute stores n consecutive 16-byte
       // descriptors; resolve ALL of them (r14, ADVICE — reading only
       // the first silently dropped elements 2..n, against the
-      // precise-rejection-over-misread rule), concatenated like the
-      // fixed-string branch concatenates its elements
+      // precise-rejection-over-misread rule), joined with "," so
+      // element boundaries stay recoverable (r15, ADVICE — the bare
+      // concatenation collapsed ["red","green","blue"] into an
+      // unsplittable "redgreenblue"; h5py exposes these as string
+      // arrays, and a flat Attr.str must at least preserve the cut
+      // points)
       Some(Attr(name, Seq.empty,
-        (0L until n).map(i => vlenString(b, b, q + i * dt.size)).mkString))
+        (0L until n).map(i => vlenString(b, b, q + i * dt.size)).mkString(",")))
     else if (dt.cls == 3) Some(Attr(name, Seq.empty, b.ascii(q, dt.size * n).takeWhile(_ != 0)))
     else {
       val nums = (0L until n).map(i => readElem(b.bytes, q + i * dt.size, dt))

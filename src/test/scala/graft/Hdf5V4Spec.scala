@@ -817,8 +817,8 @@ class Hdf5V4Spec extends AnyFunSuite {
   test("multi-element vlen string attribute resolves every descriptor") {
     // r14 (ADVICE r13): parseAttr used to read only the FIRST 16-byte
     // descriptor of a class-9 attribute, silently dropping elements
-    // 2..n — this pins all n resolving (concatenated, the class-3
-    // fixed-string convention)
+    // 2..n — this pins all n resolving, ","-joined (r15, ADVICE:
+    // bare concatenation made element boundaries unrecoverable)
     val values = Seq("red", "green", "blue")
     val bytes = file { w =>
       val gcol = gcolFor(w, values)
@@ -843,8 +843,8 @@ class Hdf5V4Spec extends AnyFunSuite {
     }
     val a = Hdf5.parse(bytes)("d").attrs.find(_.name == "names")
     assert(a.isDefined, "vlen attribute not parsed")
-    assert(a.get.str == "redgreenblue",
-      s"expected all 3 descriptors resolved, got '${a.get.str}'")
+    assert(a.get.str == "red,green,blue",
+      s"expected all 3 descriptors resolved with boundaries, got '${a.get.str}'")
   }
 
   test("v4 virtual-storage layout class is the documented precise rejection") {

@@ -1112,15 +1112,19 @@ class NewOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val ev = Seq(
-      (0L, ts, 1L, "a", 1.0, "{}"),
-      (1L, ts, 1L, "a", Double.NaN, "{}"),
-      (2L, ts, 1L, "a", Double.PositiveInfinity, "{}"),
-      (3L, ts, 1L, "a", -2.5, "{}"),
+      (0L, ts, 1L, "a", Some(1.0), "{}"),
+      (1L, ts, 1L, "a", Some(Double.NaN), "{}"),
+      (2L, ts, 1L, "a", Some(Double.PositiveInfinity), "{}"),
+      (3L, ts, 1L, "a", Some(-2.5), "{}"),
       // the ADVICE r13 scenario: -Inf used to bin to Long.MinValue,
       // whose binMid overflowed abs() and SIGN-FLIPPED the percentile
-      (4L, ts, 1L, "a", Double.NegativeInfinity, "{}"),
+      (4L, ts, 1L, "a", Some(Double.NegativeInfinity), "{}"),
+      // the ADVICE r15 scenario: a NULL value is a MISSING
+      // observation — it must vanish entirely, not be reported as an
+      // infinity (isnan(NULL)=false let it reach the sentinel bin)
+      (6L, ts, 1L, "a", Option.empty[Double], "{}"),
       // a type that is ALL non-finite must report NULL percentiles
-      (5L, ts, 1L, "b", Double.PositiveInfinity, "{}"))
+      (5L, ts, 1L, "b", Some(Double.PositiveInfinity), "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = TimeSeries.quantileRollup(ev).collect()
       .map(r => r.getString(0) -> r).toMap

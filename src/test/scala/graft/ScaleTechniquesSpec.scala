@@ -559,6 +559,15 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       spark.read.parquet(s"$dir100/documents.parquet").count() ==
         declared("documents"),
       "100× manifest inconsistent with data — rerun tools/gen_sf1.py")
+    // generator-scheme guard (r15, ADVICE): the r14 sign-diagonal
+    // change altered embedding CONTENT for copies ≥ 10 without
+    // changing any row count, so copies+rows alone cannot detect a
+    // stale dir generated by the old scheme — the manifest now
+    // carries the scheme id and this spec refuses to grade data it
+    // wasn't written for
+    assume(("\"scheme\":\\s*2").r.findFirstIn(mtxt).isDefined,
+      "100× dir predates generator scheme 2 (r14 sign diagonals) — " +
+        "rerun tools/gen_sf1.py /root/testdata/sf0.1 /tmp/sf10 100")
 
     // q25 prod-K over 500k docs: every exact τ=0.5 jaccard pair must
     // survive the banded LSH (collision prob at j=0.5 with K=128/64
@@ -586,14 +595,22 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(ivfRecall >= 0.8,
       f"trained-IVF recall@5 degraded at 100×: $ivfRecall%.2f")
 
-    // q111: the plan-stats budget WANTS to exceed the cap here —
-    // assert we are actually in the capped regime, then measure
-    // recall AT the cap against the exact top-5
+    // q111: measure recall at whatever budget the plan-stats formula
+    // actually computes for this corpus. The first cut of this spec
+    // asserted auto100 == RerankMax and was wrong — the compressed-
+    // bytes size estimate UNDERcounts rows (by design, see
+    // [[Similarity.autoRerank]]), so the 100× corpus lands just
+    // under the cap (measured r15: R = 984 vs cap 1024). The graded
+    // claim is not "the cap is reached"; it is "the grown budget
+    // holds recall where a FIXED R=64 measurably decays" — so pin
+    // the deep-shortlist regime (≥ half the cap, an order past the
+    // 10× point's R≈296) and measure recall AT the computed R.
     val auto100 = operators.Similarity.autoRerank(emb, 64)
     info(s"auto-R at 100×: $auto100 (cap ${operators.Similarity.RerankMax})")
-    assert(auto100 == operators.Similarity.RerankMax,
-      s"100× corpus no longer reaches the RerankMax cap ($auto100) — " +
-        "this spec exists to measure recall AT the cap; re-measure")
+    assert(auto100 >= operators.Similarity.RerankMax / 2 &&
+      auto100 <= operators.Similarity.RerankMax,
+      s"auto-R at 100× left the deep-shortlist regime ($auto100) — " +
+        "the growth formula or the size estimate changed; re-measure")
     val q = emb.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
     val qs = q.filter(col("vec_id") < 10)
@@ -613,12 +630,31 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       (exactPq(k) intersect got.getOrElse(k, Set.empty)).size.toDouble /
         exactPq(k).size)
     val rAuto = rec.sum / rec.size
-    info(f"q111 shortlist recall@5 at 100× with capped R=$auto100: $rAuto%.2f")
-    // measured r14: see SURVEY §7i — floor sits under the measured
-    // point with the usual regeneration margin
+    info(f"q111 shortlist recall@5 at 100× with auto-R=$auto100: $rAuto%.2f")
+    // measured r15 at R=984: see SURVEY §7j — floor sits under the
+    // measured point with the usual regeneration margin
     assert(rAuto >= 0.55,
-      f"PQ recall@5 at the RerankMax cap fell to $rAuto%.2f at 100× — " +
-        "derive the cap from a recall target instead of the constant")
+      f"PQ shortlist recall@5 at auto-R=$auto100 fell to $rAuto%.2f at " +
+        "100× — derive the budget from a recall target instead")
+
+    // q106 OUTPUT cardinality at 100×: pin the measured chance tail
+    // so the generator's module doc can't drift back to the retracted
+    // "density stays constant" claim (r15). The sign-diagonal scheme
+    // decorrelates cross-copy STRUCTURE, but the τ=0.4 crossing mass
+    // is the generic Gaussian tail — cross-copy cosine ~ N(0, 1/64),
+    // P(cos ≥ 0.4) ≈ 7×10⁻⁴, times the cell-blocked cross-copy
+    // candidate space ⇒ ~1.3M chance pairs, a property of isotropic
+    // data at this τ/dim, NOT of copy correlation (r14's fix attacked
+    // the wrong cause; measured identical before/after). The ENGINE
+    // claim stays linear-candidates (spec-pinned above at 10×); the
+    // OUTPUT at 100× is intra-copy×copies + this pinned tail.
+    val q106n = operators.Dedup.embeddingNearDupSeeded(emb).count()
+    info(s"q106 output pairs at 100×: $q106n (measured r15: 1,319,584)")
+    assert(q106n >= 1200000L && q106n <= 1450000L,
+      s"q106 100× output left the pinned chance-tail band: $q106n — " +
+        "either the generator's cross-copy geometry or the cell " +
+        "kernel changed; re-derive the band from the Gaussian-tail " +
+        "math in tools/gen_sf1.py")
   }
 
   test("schedule: catch-up backfills every complete interval, resume honors lastRun") {

@@ -28,23 +28,36 @@ Scaling rules (chosen so correctness and growth curves stay honest):
   geometry and label clusters are preserved while cross-copy
   similarities decorrelate. Rotation alone is the IDENTITY at
   copy = dim (the 100x probe caught copies >= 64 duplicating copies
-  0..35 exactly -> 19,000x near-dup pairs), AND rotation alone keeps
-  cluster structure partially correlated across copies (r13 measured
-  1.32M genuine tau=0.4 cross-copy pairs at 100x — q106's output
-  grew super-linearly on copies-choose-2 rotation pairs). So (r14)
-  every copy >= SIGN_FROM=10 applies a seeded per-copy Rademacher
-  sign diagonal — still an isometry (intra-copy geometry and label
-  clusters untouched), but cross-copy cosines concentrate near 0
-  (std ~ 1/sqrt(dim) = 0.125 at dim 64, so tau=0.4 is a ~3-sigma
-  tail). The pure-rotation regime is capped at the 10x point:
-  copies 0..9 are byte-identical to the shipped /tmp/sf1 (the r13
-  no-regeneration precedent), their cross-pair contribution is a
-  CONSTANT (fixed 45 copy-pairs), and total near-dup output at
-  higher scale grows ~linearly: intra-copy pairs x copies + const.
-  Sign seeds are a function of (copy, dim) with dim-sized strides —
-  the r13 formula hardcoded stride 64, structurally correlating
-  adjacent copies' sign vectors whenever dim > 64 (latent; caught
-  by r13 ADVICE).
+  0..35 exactly -> 19,000x near-dup pairs). So (r14) every copy >=
+  SIGN_FROM=10 applies a seeded per-copy Rademacher sign diagonal —
+  still an isometry (intra-copy geometry and label clusters
+  untouched) that decorrelates cross-copy cluster STRUCTURE (the
+  rotation-only regime kept adjacent copies' clusters partially
+  aligned). RETRACTION (r15): the r14 commit claimed the sign scheme
+  makes cross-copy tau=0.4 near-dup density "stay constant at 100x".
+  MEASURED FALSE — q106 emits 1,319,584 pairs at 100x under BOTH
+  schemes, because the crossing mass never was copy correlation: it
+  is the generic Gaussian tail. Cross-copy cosine of isotropic
+  unit-ish vectors ~ N(0, 1/dim) with std 1/sqrt(64) = 0.125, so
+  tau=0.4 is a ~3.2-sigma event (p ~ 7e-4); over the cell-blocked
+  cross-copy candidate space at 100 copies that predicts ~1e6 chance
+  pairs — which is what the data shows, and what ANY isometry family
+  must show (no rigid motion of the same cloud can bound pairwise
+  cross-cosines below tau while preserving intra-copy geometry).
+  The honest statement: q106 OUTPUT at 100x = intra-copy pairs x
+  copies + a ~1.3M chance tail pinned by ScaleTechniquesSpec's 100x
+  band; the ENGINE lever — candidate count — stays linear at fixed
+  cell occupancy, spec-measured at 10x. Copies 0..9 stay pure
+  rotation, byte-identical to the shipped /tmp/sf1 (the r13
+  no-regeneration precedent). Sign seeds are a function of
+  (copy, dim) with dim-sized strides — the r13 formula hardcoded
+  stride 64, structurally correlating adjacent copies' sign vectors
+  whenever dim > 64 (latent; caught by r13 ADVICE).
+
+The manifest carries "scheme": SCHEME (r15, ADVICE) — bumped whenever
+a change alters CONTENT without changing row counts (the r14 sign
+diagonals were invisible to the copies+rows stale-guard); scale specs
+that depend on the content assert it.
 - events.ts stays timestamp[ns] (parquet version 2.6, no coercion);
   the engine's nanosAsLong read path depends on it.
 
@@ -60,6 +73,10 @@ import pyarrow.compute as pc
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+# content-scheme id (see module doc): 2 = r14 sign diagonals from
+# copy 10 with dim-sized seed strides. Bump on any content-only change.
+SCHEME = 2
 
 
 ROWS = {}
@@ -195,7 +212,8 @@ def main():
     # truncated data. Row counts let the consumer cross-check.
     import json
     with open(f"{DST}/_MANIFEST.json", "w") as f:
-        json.dump({"src": SRC, "copies": COPIES, "tables": ROWS}, f)
+        json.dump({"src": SRC, "copies": COPIES, "scheme": SCHEME,
+                   "tables": ROWS}, f)
     print("manifest written")
 
 
