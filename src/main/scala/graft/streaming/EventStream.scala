@@ -230,6 +230,11 @@ object EventStream {
     * included.
     */
   def storedValueSketch(spark: SparkSession, tableDir: String): DataFrame = {
+    // a compaction that crashed between its commit point and its
+    // rename leaves the folded rows only in _compact_tmp — finish it
+    // before reading (a driver-side existence check, no job; no-op on
+    // a healthy table) so the reader can never see a half-folded table
+    recoverCompaction(tableDir)
     // resolve segment dirs driver-side instead of handing the reader
     // a `seg=*` glob (r15, VERDICT): a glob over an empty or absent
     // table surfaces as an AnalysisException STACK TRACE in whatever
@@ -237,14 +242,21 @@ object EventStream {
     // re-introduced one layer up in r14) — an explicit listing turns
     // the empty-table case into a precise error and costs one driver
     // listFiles on a directory of O(segments) entries, no job
-    val segs = Option(new java.io.File(tableDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
-      .map(_.toString).sorted
+    val segs = segDirs(tableDir)
     require(segs.nonEmpty,
       s"segment table at $tableDir holds no seg=* directory — " +
         "nothing was ever ingested (or the path is wrong); run " +
         "sketchSegmentsOnce against a non-empty source first")
+    latestWins(spark, tableDir, segs.map(_.toString))
+  }
+
+  /** Latest-wins merge over an explicit segment-dir list — the shared
+    * read kernel of [[storedValueSketch]] and [[compactSegments]]
+    * (the read plan IS the compaction plan, literally the same
+    * DataFrame).
+    */
+  private def latestWins(spark: SparkSession, tableDir: String,
+                         segs: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("day"), col("event_type"), col("bin"))
       .orderBy(col("seg").desc)
@@ -252,6 +264,97 @@ object EventStream {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("day"), col("event_type"), col("bin"), col("n"))
+  }
+
+  private def segDirs(tableDir: String): Array[java.io.File] =
+    Option(new java.io.File(tableDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .sortBy(_.getName.stripPrefix("seg=").toLong)
+
+  private val CompactTmp = "_compact_tmp"
+  private val CompactMarker = "_COMPACT_TARGET"
+
+  /** Fold every segment except the newest `keepNewest` into ONE base
+    * segment under the same latest-wins rule — Druid's segment
+    * compaction, made a tested write path (r15; r14 documented the
+    * read plan as the elided compaction plan, this runs that exact
+    * plan and persists it). The base keeps the fold set's HIGHEST
+    * segment id, so ordering against the surviving newer segments —
+    * and therefore every future read — is unchanged; re-reading the
+    * table before/after is spec-pinned identical.
+    *
+    * Crash-safe without a transaction log, via a commit marker:
+    *   1. the merged base is written to `_compact_tmp` (invisible to
+    *      readers; the folded segments are still intact),
+    *   2. the marker file inside it is the COMMIT POINT — until it
+    *      exists, recovery abandons the tmp dir and the table is
+    *      untouched,
+    *   3. after it exists, recovery (run by every read and every
+    *      compaction) deterministically finishes: delete every
+    *      segment ≤ target, rename tmp to `seg=<target>`. Both steps
+    *      are idempotent, so a crash ANYWHERE re-runs to the same
+    *      table.
+    * Single-writer like the ingest itself: run between
+    * [[sketchSegmentsOnce]] invocations, not concurrently with one.
+    *
+    * At 100 TB this is the operation that bounds read fan-in: segment
+    * count grows with trigger count, the fold touches sketch rows
+    * only (grains × bins, never events), and `keepNewest` leaves the
+    * hot tail of the table out of the fold the way Druid compacts
+    * only sealed segments.
+    *
+    * Returns the number of segments folded (0 = nothing to do).
+    */
+  def compactSegments(spark: SparkSession, tableDir: String,
+                      keepNewest: Int = 1): Int = {
+    require(keepNewest >= 0, s"keepNewest must be >= 0: $keepNewest")
+    recoverCompaction(tableDir)
+    val fold = segDirs(tableDir).dropRight(keepNewest)
+    if (fold.length < 2) return 0
+    val target = fold.last.getName.stripPrefix("seg=").toLong
+    val tmp = new java.io.File(tableDir, CompactTmp)
+    rmRf(tmp.toPath) // an uncommitted earlier attempt is garbage
+    latestWins(spark, tableDir, fold.map(_.toString).toSeq)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // the commit point — written only after the merged data (and its
+    // _SUCCESS) are durable
+    java.nio.file.Files.write(new java.io.File(tmp, CompactMarker).toPath,
+      target.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finishCompaction(tableDir)
+    fold.length
+  }
+
+  /** Completes or abandons a compaction the marker protocol left
+    * behind (see [[compactSegments]]); no-op on a healthy table.
+    */
+  private def recoverCompaction(tableDir: String): Unit = {
+    val tmp = new java.io.File(tableDir, CompactTmp)
+    if (!tmp.isDirectory) return
+    if (new java.io.File(tmp, CompactMarker).isFile) finishCompaction(tableDir)
+    else rmRf(tmp.toPath) // crashed before the commit point: folds intact
+  }
+
+  private def finishCompaction(tableDir: String): Unit = {
+    val tmp = new java.io.File(tableDir, CompactTmp)
+    val markerPath = new java.io.File(tmp, CompactMarker).toPath
+    val target = new String(java.nio.file.Files.readAllBytes(markerPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    segDirs(tableDir)
+      .filter(_.getName.stripPrefix("seg=").toLong <= target)
+      .foreach(d => rmRf(d.toPath))
+    val dst = new java.io.File(tableDir, s"seg=$target")
+    require(tmp.renameTo(dst),
+      s"compaction rename $tmp -> $dst failed — same-filesystem " +
+        "rename is the protocol's atomicity primitive")
+    // marker cleanup comes LAST: until the rename lands, the marker
+    // is the only thing telling recovery the folds' data lives in
+    // tmp — deleting it earlier would open a crash window where
+    // recovery ABANDONS the tmp dir after the folds are gone. A crash
+    // right here merely leaves a "_"-prefixed file inside the
+    // published segment, which every parquet reader ignores.
+    java.nio.file.Files.deleteIfExists(
+      new java.io.File(dst, CompactMarker).toPath)
   }
 
   /** Declared q121 shape: run the full Druid loop — stream `sfDir`'s

@@ -441,6 +441,86 @@ class StreamingFormatsSpec extends AnyFunSuite {
       "stored-table percentiles diverged from the direct q120 rollup")
   }
 
+  test("segment compaction: folds under latest-wins, read-identical, recovers from both crash windows") {
+    import java.nio.file.Files
+    import graft.operators.TimeSeries
+    val src = Files.createTempDirectory("graft_cpt_src").toString
+    val table = Files.createTempDirectory("graft_cpt_tbl").toString
+    val ckpt = Files.createTempDirectory("graft_cpt_ck").toString
+    val ev = Tables.events(spark, dir)
+    // three in-order arrival increments → three segments
+    val cuts = ev.select(
+      percentile_approx(unix_micros(col("ts")), lit(0.33), lit(10000)),
+      percentile_approx(unix_micros(col("ts")), lit(0.66), lit(10000)))
+      .head()
+    val (t1, t2) = (cuts.getLong(0), cuts.getLong(1))
+    def keyed(df: org.apache.spark.sql.DataFrame): Map[(String, String, Long), Long] =
+      df.select(col("day"), col("event_type"), col("bin"), col("n"))
+        .collect().map(r => (r.getDate(0).toString, r.getString(1),
+          r.getLong(2)) -> r.getLong(3)).toMap
+    def segNames = new java.io.File(table).listFiles
+      .map(_.getName).filter(_.startsWith("seg="))
+      .sortBy(_.stripPrefix("seg=").toLong).toSeq
+    ev.filter(unix_micros(col("ts")) < t1)
+      .write.parquet(s"$src/events.parquet_a")
+    EventStream.sketchSegmentsOnce(spark, src, table, ckpt)
+    ev.filter(unix_micros(col("ts")) >= t1 && unix_micros(col("ts")) < t2)
+      .write.parquet(s"$src/events.parquet_b")
+    EventStream.sketchSegmentsOnce(spark, src, table, ckpt)
+    ev.filter(unix_micros(col("ts")) >= t2)
+      .write.parquet(s"$src/events.parquet_c")
+    EventStream.sketchSegmentsOnce(spark, src, table, ckpt)
+    // segment ids come from micro-batch ids, which the AvailableNow
+    // restarts do NOT hand out contiguously (an empty commit batch
+    // sits between runs: 0, 2, 4 today) — the protocol only needs
+    // them monotone, so the spec pins count and order, not the values
+    assert(segNames.length == 3, s"expected 3 segments, got $segNames")
+    val ids = segNames.map(_.stripPrefix("seg=").toLong)
+    val before = keyed(EventStream.storedValueSketch(spark, table))
+    assert(before == keyed(TimeSeries.dailyValueSketch(ev)),
+      "3-segment table diverged from batch sketch before compaction")
+
+    // keepNewest=1: fold the two oldest segments into a base that
+    // keeps the fold set's highest id; the hot tail stays out
+    assert(EventStream.compactSegments(spark, table, keepNewest = 1) == 2)
+    assert(segNames == Seq(s"seg=${ids(1)}", s"seg=${ids(2)}"),
+      s"unexpected dirs $segNames")
+    assert(keyed(EventStream.storedValueSketch(spark, table)) == before,
+      "compaction changed the latest-wins read")
+    // idempotent: one base + the kept tail leaves nothing to fold
+    assert(EventStream.compactSegments(spark, table, keepNewest = 1) == 0)
+
+    // CRASH WINDOW A (pre-commit): a tmp dir without the marker is an
+    // abandoned write — the folded segments are intact, so recovery
+    // must discard it and leave the table untouched
+    val tmp = new java.io.File(table, "_compact_tmp")
+    assert(tmp.mkdir())
+    Files.write(new java.io.File(tmp, "part-junk").toPath,
+      Array[Byte](1, 2, 3))
+    assert(keyed(EventStream.storedValueSketch(spark, table)) == before)
+    assert(!tmp.exists(), "uncommitted compaction tmp not cleaned up")
+
+    // CRASH WINDOW B (post-commit, pre-rename): merged data + marker
+    // durable, folded segments possibly half-deleted — recovery must
+    // FINISH: fold everything ≤ target into seg=<target>. Build the
+    // exact on-disk state a crash there leaves.
+    EventStream.storedValueSketch(spark, table)
+      .write.parquet(tmp.toString)
+    Files.write(new java.io.File(tmp, "_COMPACT_TARGET").toPath,
+      ids(2).toString.getBytes("UTF-8"))
+    assert(keyed(EventStream.storedValueSketch(spark, table)) == before,
+      "post-commit recovery changed the read")
+    assert(segNames == Seq(s"seg=${ids(2)}"),
+      s"recovery did not publish the base segment: $segNames")
+    assert(!tmp.exists())
+    // and the Druid question still answers identically off the
+    // fully-compacted single-segment table
+    assert(TimeSeries.quantileRollupFrom(
+        EventStream.storedValueSketch(spark, table)).collect().map(_.toSeq).toSeq ==
+      TimeSeries.quantileRollup(ev).collect().map(_.toSeq).toSeq,
+      "percentiles off the compacted table diverged from q120")
+  }
+
   test("session_window operator matches the lag-based sessionize totals") {
     import org.apache.spark.sql.expressions.Window
     val events = Tables.events(spark, dir)

@@ -20,16 +20,21 @@ and the per-query outliers: any query where Spark's plan is an order
 off the columnar baseline has a plan bug worth reading.
 
 Usage:
-  python3 tools/oracle_bench.py SF_DIR ORACLE_SQL_JSON [OUT_JSON]
+  python3 tools/oracle_bench.py SF_DIR ORACLE_SQL_JSON [OUT_JSON] [PASSES] [CAP_SEC]
   # e.g. after a Verify dump:
   python3 tools/oracle_bench.py /root/testdata/sf0.1 \
       /tmp/verify_out/oracle_sql.json /tmp/oracle_bench_sf01.json
+  # 10x needs the per-query cap (q63's levenshtein self-join is ~1e10
+  # pairs in DuckDB there; see the cap comment in run()):
+  python3 tools/oracle_bench.py /tmp/sf1 \
+      /tmp/verify_out/oracle_sql.json /tmp/oracle_bench_sf1.json 3 300
 
 tools/yardstick.py merges these with a bench_detail sidecar into the
 committed ORACLE_BENCH.json ratio table.
 """
 import json
 import sys
+import threading
 import time
 
 import duckdb
@@ -38,7 +43,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def run(sf_dir, oracle_path, out_path=None, passes=3, threads=None):
+def run(sf_dir, oracle_path, out_path=None, passes=3, threads=None,
+        cap=None):
     con = duckdb.connect()
     if threads:
         con.execute(f"SET threads TO {threads}")
@@ -47,15 +53,58 @@ def run(sf_dir, oracle_path, out_path=None, passes=3, threads=None):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(oracle_path))
     out = {}
+    capped = []
+    timed_out = []
+
+    # per-query cap (r15): a handful of oracles are super-linear in
+    # DuckDB at 10x (q63's per-brand levenshtein self-join is ~1e10
+    # pairs — its WARM pass alone ran >25 min and stalled two whole
+    # bench runs). Two regimes, both loud, never silent:
+    #   * warm finishes but exceeds the cap -> the warm time IS the
+    #     recorded time (single-pass on a minutes-scale query loses
+    #     nothing to min-of-3); name in `capped_warm_pass_only`.
+    #   * warm itself hits the cap -> a watchdog thread interrupts
+    #     DuckDB and the cap is recorded as a LOWER BOUND; name in
+    #     `timed_out_lower_bound`. Downstream ratios (spark/duck) for
+    #     these entries are UPPER bounds.
+    def timed_fetch(sql):
+        timer = threading.Timer(cap, con.interrupt) if cap else None
+        if timer:
+            timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+        finally:
+            if timer:
+                timer.cancel()
+        return time.perf_counter() - t0
+
     for name, sql in sorted(oracle.items()):
         try:
-            con.execute(sql).fetchall()  # warm: catalog, page cache, JIT-ish
+            try:
+                warm = timed_fetch(sql)
+            except duckdb.InterruptException:
+                out[name] = float(cap)
+                timed_out.append(name)
+                print(f"{name:32s} >{cap:7.0f}s (interrupted at cap; "
+                      "recorded as a lower bound)")
+                continue
+            if cap is not None and warm > cap:
+                out[name] = round(warm, 4)
+                capped.append(name)
+                print(f"{name:32s} {out[name]:8.3f}s (warm pass only: "
+                      f"exceeded {cap:.0f}s cap)")
+                continue
             times = []
-            for _ in range(passes):
-                t0 = time.perf_counter()
-                con.execute(sql).fetchall()
-                times.append(time.perf_counter() - t0)
-            out[name] = round(min(times), 4)
+            try:
+                for _ in range(passes):
+                    times.append(timed_fetch(sql))
+            except duckdb.InterruptException:
+                # a timed pass straddled the cap after a sub-cap warm
+                # (boundary noise) — completed passes (or the warm
+                # pass) still stand
+                capped.append(name)
+            out[name] = round(min(times), 4) if times else round(warm, 4)
             print(f"{name:32s} {out[name]:8.3f}s")
         except Exception as e:  # a failing oracle is a loud entry, not a gap
             out[name] = None
@@ -70,6 +119,8 @@ def run(sf_dir, oracle_path, out_path=None, passes=3, threads=None):
         "total_sec": round(total, 3),
         "n": len(out),
         "failed": sum(1 for v in out.values() if v is None),
+        "capped_warm_pass_only": capped,
+        "timed_out_lower_bound": timed_out,
         "queries": out,
     }
     if out_path:
@@ -85,4 +136,5 @@ if __name__ == "__main__":
     orc = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.json"
     dst = sys.argv[3] if len(sys.argv) > 3 else None
     n_passes = int(sys.argv[4]) if len(sys.argv) > 4 else 3
-    run(sf, orc, dst, passes=n_passes)
+    q_cap = float(sys.argv[5]) if len(sys.argv) > 5 else None
+    run(sf, orc, dst, passes=n_passes, cap=q_cap)

@@ -43,6 +43,11 @@ def section(duck_path, spark_path, outlier=10.0):
         # noise and would manufacture 1000x "outliers" out of nothing
         rows[name] = {"spark_sec": ssec, "duckdb_sec": dsec,
                       "ratio": round(ssec / max(dsec, 0.001), 2)}
+        # a DuckDB time the cap turned into a lower bound makes the
+        # ratio an UPPER bound — carry the flag so no one reads a
+        # bounded entry as a point measurement (r15)
+        if name in duck.get("timed_out_lower_bound", []):
+            rows[name]["duckdb_sec_is_lower_bound"] = True
     ratios = sorted(r["ratio"] for r in rows.values()
                     if r["ratio"] is not None)
     outliers = {n: r for n, r in rows.items()
@@ -50,7 +55,11 @@ def section(duck_path, spark_path, outlier=10.0):
     return {
         "duckdb": {"file": duck_path, "engine": duck.get("engine"),
                    "threads": duck.get("threads"),
-                   "total_sec": duck.get("total_sec")},
+                   "total_sec": duck.get("total_sec"),
+                   "capped_warm_pass_only":
+                       duck.get("capped_warm_pass_only", []),
+                   "timed_out_lower_bound":
+                       duck.get("timed_out_lower_bound", [])},
         "spark": {"file": spark_path,
                   "total_sec": round(sum(v for n, v in sq.items()
                                          if n in duck["queries"]), 3),
