@@ -30,10 +30,15 @@ import scala.collection.mutable.ArrayBuffer
   *    actually uses (creation-order tracking forces dense storage)
   *  - compact Link messages (small new-style groups)
   *  - datatypes: fixed-point (1/2/4/8 B, either endianness, signed
-  *    or not), IEEE float (4/8 B), fixed-size strings, and
+  *    or not), IEEE float (4/8 B), fixed-size strings,
   *    variable-length STRINGS (r13: class-9 descriptors resolved
   *    through `GCOL` global heap collections — the netCDF-4 string
-  *    variable/attribute encoding; null descriptors read as empty)
+  *    variable/attribute encoding; null descriptors read as empty),
+  *    variable-length SEQUENCES with numeric bases (r15: ragged
+  *    per-record vectors via [[readDoubleSeqs]]), and COMPOUND
+  *    datatypes v1-v3 (r15: per-member column reads via
+  *    [[readCompoundDoubles]]/[[readCompoundStrings]] — the
+  *    table-shaped calibration/legend datasets)
   *  - dataspace v1/v2; layout v3 AND v4 compact / contiguous /
   *    chunked (v4 = libver-latest encodings)
   *  - chunk indexes: v1 B-tree (`TREE` type 1, any nesting level)
@@ -58,9 +63,11 @@ import scala.collection.mutable.ArrayBuffer
   * library geometry never produces them), virtual
   * storage (layout class 3), B-tree v2 depth > 1 and multi-level
   * indirect fractal-heap blocks (groups with ~100k+ links),
-  * variable-length SEQUENCES (non-string vlen), compound and
-  * reference datatypes, dense attribute storage (compact attributes
-  * cover the netCDF-4 per-variable metadata the ETL reads).
+  * reference/enum/array datatypes, vlen sequences over non-numeric
+  * bases, array-valued compound members, compound/vlen-sequence
+  * ATTRIBUTE values (names parse, values stay empty), dense
+  * attribute storage (compact attributes cover the netCDF-4
+  * per-variable metadata the ETL reads).
   *
   * Scale shape: identical to [[NetCdf]] — one file is one task; the
   * byte array arrives via Spark's `binaryFile` source and is parsed
@@ -72,7 +79,13 @@ object Hdf5 {
   private val Undef = -1L // 0xffffffffffffffff as signed
 
   final case class Dtype(cls: Int, size: Int, littleEndian: Boolean,
-                         signed: Boolean, vlenString: Boolean = false)
+                         signed: Boolean, vlenString: Boolean = false,
+                         base: Option[Dtype] = None,
+                         members: Seq[Member] = Seq.empty)
+  /** One compound-datatype member: name, byte offset within the
+    * compound element, and the member's own datatype.
+    */
+  final case class Member(name: String, offset: Int, dtype: Dtype)
   final case class Attr(name: String, num: Seq[Double], str: String)
   /** Version-4 chunked-layout index description (libver-latest files).
     * `flags` bit 0 = partial boundary chunks stored unfiltered; bit 1
@@ -504,21 +517,65 @@ object Hdf5 {
   // messages: datatype / dataspace / layout / filters / attribute
   // ---------------------------------------------------------------
 
-  private def parseDtype(b: Buf, p: Long): Dtype = {
+  private def parseDtype(b: Buf, p: Long): Dtype = parseDtypeSized(b, p)._1
+
+  /** Parses a datatype message and also returns its ENCODED byte
+    * length. The spec never records a nested datatype's length, yet
+    * vlen properties embed the base datatype and compound properties
+    * embed one datatype per member — walking past them requires
+    * computing each class's fixed property size (fixed-point 4,
+    * float 12, string 0, vlen 8+base, compound 8+Σmembers).
+    */
+  private def parseDtypeSized(b: Buf, p: Long): (Dtype, Long) = {
+    val ver = b.u8(p) >> 4
     val cls = b.u8(p) & 0xf
     val bit0 = b.u8(p + 1)
     val size = b.u32(p + 4).toInt
     cls match {
-      case 0 => Dtype(0, size, (bit0 & 1) == 0, (bit0 & 0x8) != 0) // fixed-point
-      case 1 => Dtype(1, size, (bit0 & 1) == 0, signed = true)     // IEEE float
-      case 3 => Dtype(3, size, littleEndian = true, signed = false) // string
+      case 0 => (Dtype(0, size, (bit0 & 1) == 0, (bit0 & 0x8) != 0), 12L) // fixed-point
+      case 1 => (Dtype(1, size, (bit0 & 1) == 0, signed = true), 20L)     // IEEE float
+      case 3 => (Dtype(3, size, littleEndian = true, signed = false), 8L) // string
+      case 6 => // compound: member list, layout differs by version
+        require(ver >= 1 && ver <= 3,
+          s"unsupported compound datatype version $ver")
+        val nMembers = bit0 | (b.u8(p + 2) << 8)
+        // v3 offsets use the minimum bytes that can encode the
+        // compound's total size
+        var offBytes = 1
+        while ((1L << (8 * offBytes)) <= size) offBytes += 1
+        var q = p + 8
+        val ms = (0 until nMembers).map { _ =>
+          val name = b.cstr(q)
+          q += (if (ver == 3) name.length + 1L
+                else ((name.length + 8L) / 8L) * 8L) // NUL + pad to 8
+          val off = (if (ver == 3) b.uN(q, offBytes)
+                     else b.u32(q)).toInt
+          q += (if (ver == 3) offBytes.toLong else 4L)
+          // v1 carries dimensionality info v2/v3 dropped: dim count,
+          // 3 reserved, permutation, reserved, 4 dim sizes
+          if (ver == 1) {
+            require(b.u8(q) == 0,
+              "array-valued compound member unsupported (scalar members only)")
+            q += 28
+          }
+          val (mdt, mlen) = parseDtypeSized(b, q)
+          q += mlen
+          require(off + mdt.size <= size,
+            s"compound member $name [$off, ${off + mdt.size}) overruns the $size-byte element")
+          Member(name, off, mdt)
+        }
+        (Dtype(6, size, littleEndian = true, signed = false, members = ms), q - p)
       case 9 => // variable-length: bit-field bits 0-3 = 0 sequence / 1 string
-        require((bit0 & 0xf) == 1,
-          "variable-length SEQUENCE datatype unsupported (vlen strings only)")
         require(size == 16,
           s"unexpected vlen element size $size (length 4 + heap address 8 + index 4)")
-        Dtype(9, size, littleEndian = true, signed = false, vlenString = true)
-      case c => sys.error(s"unsupported HDF5 datatype class $c (compound/reference out of scope)")
+        val (baseDt, baseLen) = parseDtypeSized(b, p + 8)
+        if ((bit0 & 0xf) == 1)
+          (Dtype(9, size, littleEndian = true, signed = false, vlenString = true),
+            8L + baseLen)
+        else
+          (Dtype(9, size, littleEndian = true, signed = false, base = Some(baseDt)),
+            8L + baseLen)
+      case c => sys.error(s"unsupported HDF5 datatype class $c (reference/enum/array out of scope)")
     }
   }
 
@@ -610,6 +667,12 @@ object Hdf5 {
       try parseDtype(b, dtP)
       catch { case _: RuntimeException => return Some(Attr(name, Seq.empty, "")) }
     val n = parseDims(b, dsP) match { case Nil => 1L; case d => d.product }
+    // compound / vlen-SEQUENCE attribute VALUES are out of scope: keep
+    // the name visible but never decode bytes under the wrong shape
+    // (the precise-rejection-over-misread rule) — dataset-shaped
+    // compound/vlen data goes through the typed readers instead
+    if (dt.cls == 6 || (dt.cls == 9 && !dt.vlenString))
+      return Some(Attr(name, Seq.empty, ""))
     if (dt.cls == 9)
       // a multi-element vlen attribute stores n consecutive 16-byte
       // descriptors; resolve ALL of them (r14, ADVICE — reading only
@@ -1250,7 +1313,9 @@ object Hdf5 {
     */
   def readDoubles(bytes: Array[Byte], v: H5Var): Array[Double] = {
     require(v.dtype.cls != 9,
-      s"${v.name} is variable-length — read it via readStrings")
+      s"${v.name} is variable-length — read it via readStrings/readDoubleSeqs")
+    require(v.dtype.cls != 6,
+      s"${v.name} is compound — read members via readCompoundDoubles")
     val raw = readRaw(bytes, v)
     val n = (raw.length / v.dtype.size).toInt
     val out = new Array[Double](n)
@@ -1267,6 +1332,8 @@ object Hdf5 {
     require(v.dtype.cls == 3 || v.dtype.cls == 9,
       s"${v.name} is not a string/char dataset")
     if (v.dtype.cls == 9) {
+      require(v.dtype.vlenString,
+        s"${v.name} is a vlen SEQUENCE — read it via readDoubleSeqs")
       // variable-length: the dataset stores 16-byte descriptors; the
       // characters live in global heap collections
       val b = new Buf(bytes)
@@ -1282,5 +1349,86 @@ object Hdf5 {
       new String(raw, i * rowLen, rowLen, java.nio.charset.StandardCharsets.UTF_8)
         .takeWhile(_ != 0)
     }.toArray
+  }
+
+  /** Variable-length SEQUENCE dataset (datatype class 9, non-string,
+    * numeric base): one `Array[Double]` per element — the ragged
+    * per-record vectors netCDF-4 stores for, e.g., per-scan channel
+    * lists. Each stored element is the same 16-byte descriptor the
+    * vlen-string path resolves (length, global-heap collection
+    * address, object index); the heap object holds `length`
+    * base-type values. A null descriptor (the unwritten-element
+    * convention) reads as an empty array; a heap object shorter than
+    * its descriptor claims is a precise error, never a short read.
+    */
+  def readDoubleSeqs(bytes: Array[Byte], v: H5Var): Array[Array[Double]] = {
+    require(v.dtype.cls == 9 && v.dtype.base.isDefined,
+      s"${v.name} is not a variable-length sequence dataset")
+    val base = v.dtype.base.get
+    require(base.cls == 0 || base.cls == 1,
+      s"${v.name}: vlen base class ${base.cls} unsupported (numeric bases only)")
+    val b = new Buf(bytes)
+    val desc = new Buf(readRaw(bytes, v))
+    val n = desc.bytes.length / v.dtype.size
+    Array.tabulate(n) { i =>
+      val p = i.toLong * v.dtype.size
+      val len = desc.u32(p)
+      val addr = desc.u64(p + 4)
+      val idx = desc.u32(p + 12).toInt
+      if (addr == 0 || addr == Undef || len == 0) Array.empty[Double]
+      else {
+        val (dataAt, objSize) = globalHeapObject(b, addr, idx)
+        require(objSize >= len * base.size,
+          s"${v.name}[$i]: heap object holds $objSize bytes but the " +
+            s"descriptor claims $len × ${base.size}-byte elements")
+        Array.tabulate(len.toInt)(j =>
+          readElem(bytes, dataAt + j.toLong * base.size, base))
+      }
+    }
+  }
+
+  /** Member names of a compound dataset, in declaration order. */
+  def compoundMembers(v: H5Var): Seq[String] = {
+    require(v.dtype.cls == 6, s"${v.name} is not a compound dataset")
+    v.dtype.members.map(_.name)
+  }
+
+  private def compoundMember(v: H5Var, member: String): Member =
+    v.dtype.members.find(_.name == member).getOrElse(sys.error(
+      s"${v.name} has no member $member; have ${v.dtype.members.map(_.name).mkString(", ")}"))
+
+  /** One numeric member column of a compound dataset, flattened
+    * row-major — the table-shaped datasets (per-band calibration
+    * records, DQF legend tables) netCDF-4 writes as compounds. The
+    * stride is the compound element size; the member's own offset and
+    * datatype decode each row's slot, so interleaved non-numeric
+    * members are simply never touched.
+    */
+  def readCompoundDoubles(bytes: Array[Byte], v: H5Var, member: String): Array[Double] = {
+    require(v.dtype.cls == 6, s"${v.name} is not a compound dataset")
+    val m = compoundMember(v, member)
+    require(m.dtype.cls == 0 || m.dtype.cls == 1,
+      s"${v.name}.$member is not numeric (class ${m.dtype.cls}) — " +
+        "string members read via readCompoundStrings")
+    val raw = readRaw(bytes, v)
+    val n = raw.length / v.dtype.size
+    Array.tabulate(n)(i =>
+      readElem(raw, i.toLong * v.dtype.size + m.offset, m.dtype))
+  }
+
+  /** One fixed-size-string member column of a compound dataset,
+    * NUL-trimmed per row.
+    */
+  def readCompoundStrings(bytes: Array[Byte], v: H5Var, member: String): Array[String] = {
+    require(v.dtype.cls == 6, s"${v.name} is not a compound dataset")
+    val m = compoundMember(v, member)
+    require(m.dtype.cls == 3,
+      s"${v.name}.$member is not a fixed-size string (class ${m.dtype.cls})")
+    val raw = readRaw(bytes, v)
+    val n = raw.length / v.dtype.size
+    Array.tabulate(n) { i =>
+      new String(raw, i * v.dtype.size + m.offset, m.dtype.size,
+        java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != 0)
+    }
   }
 }

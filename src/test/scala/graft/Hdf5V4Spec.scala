@@ -923,4 +923,203 @@ class Hdf5V4Spec extends AnyFunSuite {
       (0 until cols).map(j => (100 * i + j).toDouble))
     assert(readVar(bytes).toSeq == want)
   }
+
+  // ----------------------------------------------------------------
+  // vlen SEQUENCES and COMPOUND datatypes (r15)
+  // ----------------------------------------------------------------
+
+  /** One GCOL collection holding raw byte payloads as objects 1..n —
+    * the storage vlen SEQUENCES resolve through (same layout as
+    * [[gcolFor]]'s string objects).
+    */
+  private def gcolRawFor(w: W, values: Seq[Array[Byte]]): Long = {
+    val gcol = w.pos
+    w.ascii("GCOL"); w.u8(1); w.pad(3)
+    val sizeAt = w.pos; w.u64(0)
+    values.zipWithIndex.foreach { case (v, i) =>
+      w.u16(i + 1); w.u16(1); w.pad(4); w.u64(v.length.toLong)
+      w.bytes(v); w.pad((8 - v.length % 8) % 8)
+    }
+    w.u16(0); w.u16(0); w.pad(4); w.u64(0)
+    w.patchU64(sizeAt, w.pos - gcol)
+    gcol
+  }
+
+  /** datatype v1 class 9 SEQUENCE (bit field 0) over an f64 base */
+  private def vlenF64SeqMsg: Array[Byte] = msgBytes { w =>
+    w.u8(0x19); w.u8(0x00); w.u8(0); w.u8(0)
+    w.u32(16)
+    w.bytes(f64Msg)
+  }
+
+  private def f64le(x: Double): Array[Byte] =
+    msgBytes(_.u64(java.lang.Double.doubleToLongBits(x)))
+
+  /** datatype v1 fixed-size string of `n` bytes */
+  private def strMsg(n: Int): Array[Byte] = msgBytes { w =>
+    w.u8(0x13); w.u8(0); w.u8(0); w.u8(0); w.u32(n.toLong)
+  }
+
+  /** compound datatype v1: names NUL-padded to 8, u32 offset, 28-byte
+    * scalar dimensionality block, then the member datatype
+    */
+  private def compoundV1Msg(size: Int, members: Seq[(String, Int, Array[Byte])]): Array[Byte] =
+    msgBytes { w =>
+      w.u8(0x16); w.u8(members.length); w.u8(members.length >> 8); w.u8(0)
+      w.u32(size.toLong)
+      members.foreach { case (name, off, dt) =>
+        w.ascii(name); w.u8(0); w.pad((8 - (name.length + 1) % 8) % 8)
+        w.u32(off.toLong)
+        w.u8(0); w.pad(3)          // dimensionality 0 (scalar member)
+        w.u32(0); w.u32(0)         // permutation + reserved
+        (0 until 4).foreach(_ => w.u32(0))
+        w.bytes(dt)
+      }
+    }
+
+  /** compound datatype v3: bare NUL-terminated names, minimal-width
+    * offsets, no dimensionality block
+    */
+  private def compoundV3Msg(size: Int, members: Seq[(String, Int, Array[Byte])]): Array[Byte] =
+    msgBytes { w =>
+      w.u8(0x36); w.u8(members.length); w.u8(members.length >> 8); w.u8(0)
+      w.u32(size.toLong)
+      var offBytes = 1
+      while ((1L << (8 * offBytes)) <= size) offBytes += 1
+      members.foreach { case (name, off, dt) =>
+        w.ascii(name); w.u8(0)
+        w.uN(off.toLong, offBytes)
+        w.bytes(dt)
+      }
+    }
+
+  test("vlen f64 sequence dataset reads ragged rows through the global heap") {
+    val rows = Seq(Seq(1.5, -2.25, 3.0), Seq(42.0), Seq(0.125, 8.5))
+    val bytes = file { w =>
+      val gcol = gcolRawFor(w, rows.map(r => r.flatMap(f64le(_)).toArray))
+      val data = w.pos
+      rows.zipWithIndex.foreach { case (r, i) =>
+        w.u32(r.length.toLong); w.u64(gcol); w.u32((i + 1).toLong)
+      }
+      w.u32(0); w.u64(0); w.u32(0) // null descriptor: unwritten element
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(4))), (3, vlenF64SeqMsg),
+        (8, contiguousMsg(data, 4 * 16))))
+      rootFor(w, "d" -> d)
+    }
+    val h5 = Hdf5.parse(bytes)
+    val v = h5("d")
+    assert(v.dtype.cls == 9 && !v.dtype.vlenString &&
+      v.dtype.base.exists(b => b.cls == 1 && b.size == 8))
+    val got = Hdf5.readDoubleSeqs(bytes, v)
+    assert(got.map(_.toSeq).toSeq == rows :+ Seq.empty)
+    // the scalar and string paths must refuse a sequence precisely
+    assert(intercept[IllegalArgumentException](Hdf5.readDoubles(bytes, v))
+      .getMessage.contains("variable-length"))
+    assert(intercept[IllegalArgumentException](Hdf5.readStrings(bytes, v))
+      .getMessage.contains("vlen SEQUENCE"))
+  }
+
+  test("vlen sequence descriptor claiming more elements than its heap object holds is a precise error") {
+    val bytes = file { w =>
+      val gcol = gcolRawFor(w, Seq(f64le(1.0) ++ f64le(2.0))) // 2 doubles
+      val data = w.pos
+      w.u32(5); w.u64(gcol); w.u32(1) // claims 5
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(1))), (3, vlenF64SeqMsg),
+        (8, contiguousMsg(data, 16))))
+      rootFor(w, "d" -> d)
+    }
+    val h5 = Hdf5.parse(bytes)
+    val e = intercept[IllegalArgumentException](Hdf5.readDoubleSeqs(bytes, h5("d")))
+    assert(e.getMessage.contains("descriptor claims 5"), e.getMessage)
+  }
+
+  /** 20-byte compound rows: int32 id @0, f64 val @4, char[4] tag @12,
+    * 4 trailing pad bytes — the pad proves the stride is the declared
+    * element size, not the member sum.
+    */
+  private val cpdMembers = Seq(
+    ("id", 0, int32Msg), ("val", 4, f64Msg), ("tag", 12, strMsg(4)))
+
+  private def cpdRow(w: W, id: Int, v: Double, tag: String): Unit = {
+    w.u32(id.toLong); w.bytes(f64le(v))
+    w.ascii(tag); w.pad(4 - tag.length) // NUL-padded char[4]
+    w.bytes(Array[Byte](0x7f, 0x7f, 0x7f, 0x7f)) // garbage pad, never read
+  }
+
+  private def compoundFixture(dtypeMsg: Array[Byte]): Array[Byte] = file { w =>
+    val data = w.pos
+    cpdRow(w, 7, 1.5, "abc"); cpdRow(w, -3, -0.25, "z"); cpdRow(w, 11, 64.0, "qrst")
+    val d = v1Header(w, Seq(
+      (1, dataspaceMsg(Seq(3))), (3, dtypeMsg),
+      (8, contiguousMsg(data, 3 * 20))))
+    rootFor(w, "d" -> d)
+  }
+
+  test("compound v1 dataset reads per-member columns at their offsets") {
+    val bytes = compoundFixture(compoundV1Msg(20, cpdMembers))
+    val h5 = Hdf5.parse(bytes)
+    val v = h5("d")
+    assert(Hdf5.compoundMembers(v) == Seq("id", "val", "tag"))
+    assert(Hdf5.readCompoundDoubles(bytes, v, "id").toSeq == Seq(7.0, -3.0, 11.0))
+    assert(Hdf5.readCompoundDoubles(bytes, v, "val").toSeq == Seq(1.5, -0.25, 64.0))
+    assert(Hdf5.readCompoundStrings(bytes, v, "tag").toSeq == Seq("abc", "z", "qrst"))
+    // precise refusals: whole-dataset scalar read, wrong-class member,
+    // unknown member (naming what IS there)
+    assert(intercept[IllegalArgumentException](Hdf5.readDoubles(bytes, v))
+      .getMessage.contains("compound"))
+    assert(intercept[IllegalArgumentException](
+      Hdf5.readCompoundDoubles(bytes, v, "tag")).getMessage.contains("not numeric"))
+    assert(intercept[RuntimeException](
+      Hdf5.readCompoundDoubles(bytes, v, "nope")).getMessage.contains("id, val, tag"))
+  }
+
+  test("compound v3 dataset (bare names, minimal-width offsets) reads identically") {
+    val bytes = compoundFixture(compoundV3Msg(20, cpdMembers))
+    val h5 = Hdf5.parse(bytes)
+    val v = h5("d")
+    assert(Hdf5.compoundMembers(v) == Seq("id", "val", "tag"))
+    assert(Hdf5.readCompoundDoubles(bytes, v, "val").toSeq == Seq(1.5, -0.25, 64.0))
+    assert(Hdf5.readCompoundStrings(bytes, v, "tag").toSeq == Seq("abc", "z", "qrst"))
+  }
+
+  test("compound member overrunning the declared element size is a precise parse error") {
+    val e = intercept[IllegalArgumentException] {
+      Hdf5.parse(compoundFixture(compoundV1Msg(20,
+        Seq(("id", 0, int32Msg), ("val", 16, f64Msg))))) // 16+8 > 20
+    }
+    assert(e.getMessage.contains("overruns"), e.getMessage)
+  }
+
+  test("compound and vlen-sequence ATTRIBUTE values parse as named-but-empty, never misread") {
+    val bytes = file { w =>
+      def attrMsg(aname: String, dtb: Array[Byte], payload: Array[Byte]): Array[Byte] =
+        msgBytes { x =>
+          val dsb = dataspaceMsg(Seq(1))
+          x.u8(1); x.u8(0)
+          x.u16(aname.length + 1)
+          x.u16(dtb.length); x.u16(dsb.length)
+          x.ascii(aname); x.u8(0); x.pad((8 - (aname.length + 1) % 8) % 8)
+          x.bytes(dtb); x.pad((8 - dtb.length % 8) % 8)
+          x.bytes(dsb); x.pad((8 - dsb.length % 8) % 8)
+          x.bytes(payload)
+        }
+      val data = w.pos
+      w.u32(7)
+      val cpdPayload = msgBytes { x => x.u32(1); x.bytes(f64le(2.0)); x.ascii("ab"); x.pad(6) }
+      val seqPayload = msgBytes { x => x.u32(3); x.u64(0); x.u32(0) }
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(1))), (3, int32Msg),
+        (8, contiguousMsg(data, 4)),
+        (12, attrMsg("cal", compoundV1Msg(20, cpdMembers), cpdPayload)),
+        (12, attrMsg("chans", vlenF64SeqMsg, seqPayload))))
+      rootFor(w, "d" -> d)
+    }
+    val attrs = Hdf5.parse(bytes)("d").attrs
+    val cal = attrs.find(_.name == "cal")
+    val chans = attrs.find(_.name == "chans")
+    assert(cal.exists(a => a.num.isEmpty && a.str.isEmpty), s"$cal")
+    assert(chans.exists(a => a.num.isEmpty && a.str.isEmpty), s"$chans")
+  }
 }
