@@ -82,6 +82,24 @@ class BenchLineSpec extends AnyFunSuite {
       .contains("value_norm"))
   }
 
+  test("a spike-suspect calib omits value_norm and flags itself instead") {
+    // r15 contract: a transient load spike during the pre-suite probe
+    // once inflated value_norm 2.2x. When the post-suite cross-check
+    // disproves the pre sample, the line must NOT carry a normalized
+    // number at all — calib stays (it is the raw observation), the
+    // calib_suspect flag explains the absence, and the sidecar carries
+    // the (calib, calib_post) pair for forensics.
+    val line = Bench.renderLine(fakeResults, "/tmp/sf", "d.json",
+      calib = Some(0.402), calibSuspect = true)
+    assert(line.contains("\"calib\":0.402"))
+    assert(line.contains("\"calib_suspect\":true"), line.take(300))
+    assert(!line.contains("value_norm"), "suspect run must not publish value_norm")
+    val detail = Bench.renderDetail(fakeResults, "/tmp/sf",
+      Some(0.402), Some(0.25), calibPost = Some(0.112), calibSuspect = true)
+    assert(detail.contains("\"calib_post\":0.112"), "sidecar missing calib_post")
+    assert(detail.contains("\"calib_suspect\":true") && !detail.contains("value_norm"))
+  }
+
   test("detail sidecar carries every query") {
     val detail = Bench.renderDetail(fakeResults, "/root/testdata/sf0.1")
     for (k <- SparkEntry.queries.keys)
