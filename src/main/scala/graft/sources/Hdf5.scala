@@ -35,10 +35,14 @@ import scala.collection.mutable.ArrayBuffer
   *    through `GCOL` global heap collections — the netCDF-4 string
   *    variable/attribute encoding; null descriptors read as empty),
   *    variable-length SEQUENCES with numeric bases (r15: ragged
-  *    per-record vectors via [[readDoubleSeqs]]), and COMPOUND
+  *    per-record vectors via [[readDoubleSeqs]]), COMPOUND
   *    datatypes v1-v3 (r15: per-member column reads via
-  *    [[readCompoundDoubles]]/[[readCompoundStrings]] — the
-  *    table-shaped calibration/legend datasets)
+  *    [[readCompoundDoubles]]/[[readCompoundStrings]]/
+  *    [[readCompoundArrays]] — the table-shaped calibration/legend
+  *    datasets), ENUMS over fixed-point bases (r15: values decode as
+  *    the base everywhere, [[enumLabels]] carries the flag legend),
+  *    and ARRAY datatypes v2/v3 as compound members (per-band fixed
+  *    blocks)
   *  - dataspace v1/v2; layout v3 AND v4 compact / contiguous /
   *    chunked (v4 = libver-latest encodings)
   *  - chunk indexes: v1 B-tree (`TREE` type 1, any nesting level)
@@ -63,11 +67,12 @@ import scala.collection.mutable.ArrayBuffer
   * library geometry never produces them), virtual
   * storage (layout class 3), B-tree v2 depth > 1 and multi-level
   * indirect fractal-heap blocks (groups with ~100k+ links),
-  * reference/enum/array datatypes, vlen sequences over non-numeric
-  * bases, array-valued compound members, compound/vlen-sequence
-  * ATTRIBUTE values (names parse, values stay empty), dense
-  * attribute storage (compact attributes cover the netCDF-4
-  * per-variable metadata the ETL reads).
+  * reference datatypes, vlen sequences over non-numeric bases,
+  * enums over non-fixed-point bases, standalone array-datatype
+  * datasets, compound/vlen-sequence/array ATTRIBUTE values (names
+  * parse, values stay empty), dense attribute storage (compact
+  * attributes cover the netCDF-4 per-variable metadata the ETL
+  * reads).
   *
   * Scale shape: identical to [[NetCdf]] — one file is one task; the
   * byte array arrives via Spark's `binaryFile` source and is parsed
@@ -81,7 +86,9 @@ object Hdf5 {
   final case class Dtype(cls: Int, size: Int, littleEndian: Boolean,
                          signed: Boolean, vlenString: Boolean = false,
                          base: Option[Dtype] = None,
-                         members: Seq[Member] = Seq.empty)
+                         members: Seq[Member] = Seq.empty,
+                         labels: Seq[(String, Double)] = Seq.empty,
+                         arrayDims: Seq[Int] = Seq.empty)
   /** One compound-datatype member: name, byte offset within the
     * compound element, and the member's own datatype.
     */
@@ -565,6 +572,26 @@ object Hdf5 {
           Member(name, off, mdt)
         }
         (Dtype(6, size, littleEndian = true, signed = false, members = ms), q - p)
+      case 8 => // enumeration: base datatype + named values (netCDF-4
+        // flag variables); reads decode as the base, labels carry the
+        // name→value map for callers that want the legend
+        val nVals = bit0 | (b.u8(p + 2) << 8)
+        val (baseDt, baseLen) = parseDtypeSized(b, p + 8)
+        require(baseDt.cls == 0,
+          s"enum base class ${baseDt.cls} unsupported (fixed-point only)")
+        var q = p + 8 + baseLen
+        val names = (0 until nVals).map { _ =>
+          val name = b.cstr(q)
+          q += (if (ver == 3) name.length + 1L
+                else ((name.length + 8L) / 8L) * 8L)
+          name
+        }
+        val values = (0 until nVals).map { i =>
+          readElem(b.bytes, q + i.toLong * baseDt.size, baseDt)
+        }
+        q += nVals.toLong * baseDt.size
+        (Dtype(8, size, baseDt.littleEndian, baseDt.signed,
+          base = Some(baseDt), labels = names.zip(values)), q - p)
       case 9 => // variable-length: bit-field bits 0-3 = 0 sequence / 1 string
         require(size == 16,
           s"unexpected vlen element size $size (length 4 + heap address 8 + index 4)")
@@ -575,7 +602,21 @@ object Hdf5 {
         else
           (Dtype(9, size, littleEndian = true, signed = false, base = Some(baseDt)),
             8L + baseLen)
-      case c => sys.error(s"unsupported HDF5 datatype class $c (reference/enum/array out of scope)")
+      case 10 => // array: fixed extra dims over a base — appears as
+        // compound members (per-band fields); v2 carries reserved +
+        // permutation words that v3 dropped
+        val rank = b.u8(p + 8)
+        val dimsAt = if (ver == 2) p + 12 else p + 9
+        val dims = (0 until rank).map(i => b.u32(dimsAt + 4L * i).toInt)
+        val baseAt = dimsAt + 4L * rank + (if (ver == 2) 4L * rank else 0L)
+        val (baseDt, baseLen) = parseDtypeSized(b, baseAt)
+        require(baseDt.cls == 0 || baseDt.cls == 1,
+          s"array-datatype base class ${baseDt.cls} unsupported (numeric only)")
+        require(dims.nonEmpty && dims.product.toLong * baseDt.size == size,
+          s"array datatype size $size != ${dims.mkString("x")} × ${baseDt.size}")
+        (Dtype(10, size, baseDt.littleEndian, baseDt.signed,
+          base = Some(baseDt), arrayDims = dims), baseAt + baseLen - p)
+      case c => sys.error(s"unsupported HDF5 datatype class $c (reference out of scope)")
     }
   }
 
@@ -667,11 +708,12 @@ object Hdf5 {
       try parseDtype(b, dtP)
       catch { case _: RuntimeException => return Some(Attr(name, Seq.empty, "")) }
     val n = parseDims(b, dsP) match { case Nil => 1L; case d => d.product }
-    // compound / vlen-SEQUENCE attribute VALUES are out of scope: keep
-    // the name visible but never decode bytes under the wrong shape
-    // (the precise-rejection-over-misread rule) — dataset-shaped
-    // compound/vlen data goes through the typed readers instead
-    if (dt.cls == 6 || (dt.cls == 9 && !dt.vlenString))
+    // compound / vlen-SEQUENCE / array attribute VALUES are out of
+    // scope: keep the name visible but never decode bytes under the
+    // wrong shape (the precise-rejection-over-misread rule) —
+    // dataset-shaped data of these classes goes through the typed
+    // readers instead (enums DO decode below: they are their base)
+    if (dt.cls == 6 || dt.cls == 10 || (dt.cls == 9 && !dt.vlenString))
       return Some(Attr(name, Seq.empty, ""))
     if (dt.cls == 9)
       // a multi-element vlen attribute stores n consecutive 16-byte
@@ -1316,6 +1358,9 @@ object Hdf5 {
       s"${v.name} is variable-length — read it via readStrings/readDoubleSeqs")
     require(v.dtype.cls != 6,
       s"${v.name} is compound — read members via readCompoundDoubles")
+    require(v.dtype.cls != 10,
+      s"${v.name} is an array datatype — supported as a compound member " +
+        "(readCompoundArrays), not as a standalone dataset")
     val raw = readRaw(bytes, v)
     val n = (raw.length / v.dtype.size).toInt
     val out = new Array[Double](n)
@@ -1407,13 +1452,41 @@ object Hdf5 {
   def readCompoundDoubles(bytes: Array[Byte], v: H5Var, member: String): Array[Double] = {
     require(v.dtype.cls == 6, s"${v.name} is not a compound dataset")
     val m = compoundMember(v, member)
-    require(m.dtype.cls == 0 || m.dtype.cls == 1,
+    require(m.dtype.cls == 0 || m.dtype.cls == 1 || m.dtype.cls == 8,
       s"${v.name}.$member is not numeric (class ${m.dtype.cls}) — " +
-        "string members read via readCompoundStrings")
+        "string members read via readCompoundStrings, array members " +
+        "via readCompoundArrays")
     val raw = readRaw(bytes, v)
     val n = raw.length / v.dtype.size
     Array.tabulate(n)(i =>
       readElem(raw, i.toLong * v.dtype.size + m.offset, m.dtype))
+  }
+
+  /** One ARRAY-datatype member column of a compound dataset: each row
+    * yields the member's fixed block, row-major over `arrayDims` —
+    * the per-band / per-channel vectors netCDF-4 compounds carry.
+    */
+  def readCompoundArrays(bytes: Array[Byte], v: H5Var, member: String): Array[Array[Double]] = {
+    require(v.dtype.cls == 6, s"${v.name} is not a compound dataset")
+    val m = compoundMember(v, member)
+    require(m.dtype.cls == 10,
+      s"${v.name}.$member is not an array-datatype member (class ${m.dtype.cls})")
+    val base = m.dtype.base.get
+    val k = m.dtype.arrayDims.product
+    val raw = readRaw(bytes, v)
+    val n = raw.length / v.dtype.size
+    Array.tabulate(n)(i => Array.tabulate(k)(j =>
+      readElem(raw, i.toLong * v.dtype.size + m.offset + j.toLong * base.size, base)))
+  }
+
+  /** The name→value legend of an enum dataset (or enum compound
+    * member datatype) — flag meanings travel with the data in
+    * netCDF-4, and the values themselves read numerically through the
+    * ordinary paths since an enum IS its fixed-point base.
+    */
+  def enumLabels(dt: Dtype): Seq[(String, Double)] = {
+    require(dt.cls == 8, s"not an enum datatype (class ${dt.cls})")
+    dt.labels
   }
 
   /** One fixed-size-string member column of a compound dataset,

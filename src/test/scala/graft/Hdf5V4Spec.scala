@@ -1092,6 +1092,92 @@ class Hdf5V4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("overruns"), e.getMessage)
   }
 
+  /** datatype v1 class 8 ENUM over int32: names NUL-padded to 8, then
+    * base-sized values back to back
+    */
+  private def enumI32Msg(labels: Seq[(String, Int)]): Array[Byte] = msgBytes { w =>
+    w.u8(0x18); w.u8(labels.length); w.u8(labels.length >> 8); w.u8(0)
+    w.u32(4)
+    w.bytes(int32Msg)
+    labels.foreach { case (n, _) =>
+      w.ascii(n); w.u8(0); w.pad((8 - (n.length + 1) % 8) % 8)
+    }
+    labels.foreach { case (_, v) => w.u32(v.toLong) }
+  }
+
+  /** datatype v3 class 10 ARRAY: rank + dims, then the base */
+  private def arrayMsg(dims: Seq[Int], base: Array[Byte], totalSize: Int): Array[Byte] =
+    msgBytes { w =>
+      w.u8(0x3a); w.u8(0); w.u8(0); w.u8(0)
+      w.u32(totalSize.toLong)
+      w.u8(dims.length)
+      dims.foreach(d => w.u32(d.toLong))
+      w.bytes(base)
+    }
+
+  test("enum dataset decodes as its base; enumLabels carries the flag legend") {
+    val labels = Seq("good" -> 0, "degraded" -> 1, "bad" -> 2, "missing" -> 255)
+    val values = Seq(0, 1, 255, 2, 0)
+    val bytes = file { w =>
+      val data = w.pos
+      values.foreach(v => w.u32(v.toLong))
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(values.length.toLong))),
+        (3, enumI32Msg(labels)),
+        (8, contiguousMsg(data, values.length * 4L))))
+      rootFor(w, "dqf" -> d)
+    }
+    val v = Hdf5.parse(bytes)("dqf")
+    assert(v.dtype.cls == 8 && v.dtype.base.exists(_.cls == 0))
+    assert(Hdf5.readDoubles(bytes, v).toSeq == values.map(_.toDouble))
+    assert(Hdf5.enumLabels(v.dtype) ==
+      labels.map { case (n, x) => (n, x.toDouble) })
+  }
+
+  test("compound with an array-datatype member reads per-row fixed blocks") {
+    // rows: int32 band @0, f64[3] gains @4 — 28-byte elements
+    val members = Seq(
+      ("band", 0, int32Msg),
+      ("gains", 4, arrayMsg(Seq(3), f64Msg, 24)))
+    val rows = Seq((1, Seq(0.5, 1.0, 2.0)), (2, Seq(-1.0, 0.0, 4.5)))
+    val bytes = file { w =>
+      val data = w.pos
+      rows.foreach { case (b, gs) =>
+        w.u32(b.toLong); gs.foreach(g => w.bytes(f64le(g)))
+      }
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(rows.length.toLong))),
+        (3, compoundV3Msg(28, members)),
+        (8, contiguousMsg(data, rows.length * 28L))))
+      rootFor(w, "cal" -> d)
+    }
+    val v = Hdf5.parse(bytes)("cal")
+    assert(Hdf5.compoundMembers(v) == Seq("band", "gains"))
+    assert(Hdf5.readCompoundDoubles(bytes, v, "band").toSeq == Seq(1.0, 2.0))
+    assert(Hdf5.readCompoundArrays(bytes, v, "gains").map(_.toSeq).toSeq ==
+      rows.map(_._2))
+    // the scalar member reader names the right escape hatch
+    assert(intercept[IllegalArgumentException](
+      Hdf5.readCompoundDoubles(bytes, v, "gains"))
+      .getMessage.contains("readCompoundArrays"))
+  }
+
+  test("standalone array-datatype dataset is refused precisely") {
+    val bytes = file { w =>
+      val data = w.pos
+      (0 until 6).foreach(i => w.bytes(f64le(i.toDouble)))
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(2))),
+        (3, arrayMsg(Seq(3), f64Msg, 24)),
+        (8, contiguousMsg(data, 48))))
+      rootFor(w, "a" -> d)
+    }
+    val v = Hdf5.parse(bytes)("a")
+    assert(v.dtype.cls == 10 && v.dtype.arrayDims == Seq(3))
+    assert(intercept[IllegalArgumentException](Hdf5.readDoubles(bytes, v))
+      .getMessage.contains("array datatype"))
+  }
+
   test("compound and vlen-sequence ATTRIBUTE values parse as named-but-empty, never misread") {
     val bytes = file { w =>
       def attrMsg(aname: String, dtb: Array[Byte], payload: Array[Byte]): Array[Byte] =
