@@ -286,6 +286,14 @@ object SparkEntry {
         .select(col("cid"), posexplode(col("cv")).as(Seq("dim", "c_q")))
         .orderBy("cid", "dim")
     }),
+    // CCNet-style keep-first span dedup with per-doc text
+    // reconstruction (the REMOVAL counterpart to q98's measurement)
+    "q122_line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(Tables.documents(s, d))),
+    // retention decision over q66's clusters: keep the single
+    // highest-quality (q31) doc per duplicate cluster
+    "q123_dedup_keep_best" -> ((s, d) =>
+      Dedup.dedupKeepBest(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1777,5 +1785,79 @@ object SparkEntry {
         SELECT cid, COUNT(*) AS n_vectors,
           CAST(SUM(d2) AS BIGINT) AS sum_d2, MAX(d2) AS max_d2
         FROM assigned GROUP BY 1 ORDER BY 1""",
+    // keep-first span dedup: non-overlapping 5-token spans, each span
+    // survives only at its globally-first (doc_id, pos); docs rebuilt
+    // from surviving spans in order (mirrors Dedup.lineDedup)
+    "q122_line_dedup" ->
+      """WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        flat AS (
+          SELECT doc_id, sp.pos AS pos, sp.s AS s FROM (
+            SELECT doc_id, unnest(list_transform(
+              range(0, CAST(ceil(len(w) / 5.0) AS BIGINT)),
+              p -> struct_pack(pos := p,
+                s := array_to_string(w[p*5+1:p*5+5], ' ')))) AS sp
+            FROM toks WHERE len(w) >= 1) t),
+        kept AS (
+          SELECT doc_id, pos, s FROM (
+            SELECT doc_id, pos, s, ROW_NUMBER() OVER
+              (PARTITION BY s ORDER BY doc_id, pos) AS rn
+            FROM flat) t WHERE rn = 1),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS kept_spans,
+            string_agg(s, ' ' ORDER BY pos) AS dedup_text
+          FROM kept GROUP BY 1)
+        SELECT t.doc_id,
+          CAST(ceil(len(t.w) / 5.0) AS BIGINT) AS n_spans,
+          CAST(COALESCE(a.kept_spans, 0) AS BIGINT) AS kept_spans,
+          COALESCE(a.dedup_text, '') AS dedup_text
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id""",
+    // q66's connected components + q31's quality: keep the single
+    // best-quality doc per duplicate cluster, min doc_id on ties
+    // (mirrors Dedup.dedupKeepBest)
+    "q123_dedup_keep_best" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+        near AS (
+          SELECT doc_a, doc_b FROM scored_pairs WHERE jaccard >= 0.1),
+        hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+        roots AS (SELECT h, MIN(doc_id) AS root FROM hashes GROUP BY 1),
+        exact_e AS (
+          SELECT r.root AS doc_a, d.doc_id AS doc_b
+          FROM hashes d JOIN roots r ON d.h = r.h
+          WHERE d.doc_id != r.root),
+        edges AS (
+          SELECT doc_a, doc_b FROM near
+          UNION SELECT doc_a, doc_b FROM exact_e),
+        und AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION SELECT doc_b, doc_a FROM edges),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, r.lbl FROM reach r JOIN und e ON r.node = e.u),
+        cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+        cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY 1),
+        qual AS (
+          SELECT doc_id,
+            (stop_count * 1.0 / n_tokens) * 0.5
+              + (1.0 - punct_count * 1.0 / n_chars_actual) * 0.3
+              + CASE WHEN n_chars_actual * 1.0 / n_tokens BETWEEN 3.0 AND 8.0
+                     THEN 0.2 ELSE 0.0 END AS quality
+          FROM (
+            SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars_actual,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+              CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct_count,
+              CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS stop_count
+            FROM documents) t)
+        SELECT c.doc_id, c.cluster_id, s.cluster_size, q.quality,
+          ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+            ORDER BY q.quality DESC, c.doc_id) = 1 AS keep
+        FROM cc c JOIN cs s ON c.cluster_id = s.cluster_id
+        JOIN qual q ON q.doc_id = c.doc_id
+        ORDER BY c.doc_id""",
   )
 }

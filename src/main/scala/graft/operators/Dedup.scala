@@ -542,4 +542,96 @@ object Dedup {
         coalesce($"seen", lit(false)).as("is_dup"))
       .orderBy($"doc_id")
   }
+
+  /** Span-level exact dedup with text reconstruction (q122) — the
+    * CCNet/RefinedWeb "duplicated paragraph removal" stage (Wenzek et
+    * al. 2019 §4.1 dedups paragraph hashes; Penedo et al. 2023 drops
+    * duplicated lines), adapted to this corpus's newline-free texts by
+    * treating each run of `span` consecutive tokens as the paragraph
+    * unit. Unlike [[substringDedup]] (q98), which *measures* shared
+    * rolling windows, this operator *removes*: every span keeps only
+    * its globally-first occurrence (min (doc_id, pos) over the whole
+    * corpus — CCNet's keep-first rule made deterministic), and each
+    * document is re-assembled from its surviving spans in order.
+    *
+    * Shape: one tokenize+slice pass explodes each doc into
+    * non-overlapping spans — amplification is exactly 1× the token
+    * stream (spans tile the text; contrast q98's k× rolling windows).
+    * First occurrences come from groupBy(span).agg(min(struct(doc_id,
+    * pos))) — an *aggregate*, not a window: boilerplate spans are
+    * low-cardinality-heavy BY DESIGN (a nav-bar line can repeat 10⁸
+    * times at 100 TB), so partial aggregation crushes the duplicate
+    * mass map-side before the shuffle, where a row_number window over
+    * the span key would sort the entire hot partition in one task.
+    * The join back to the span stream is an equi-join on the span
+    * text; its skew (the same hot spans) is the AQE skew-join case —
+    * OptimizeSkewedJoin splits the fat partition, which works here
+    * precisely because the firsts side is one row per span. At 100 TB
+    * the join key would be xxhash64(span) (8 bytes on the wire, like
+    * q98's production mode); the test-scale form keeps the string so
+    * the oracle reproduces it byte-for-byte.
+    *
+    * Output: per document, total span count, surviving span count,
+    * and the reconstructed text (empty when every span lost — the doc
+    * is a pure re-crawl and would be dropped).
+    */
+  def lineDedup(documents: DataFrame, span: Int = 5): DataFrame = {
+    val toks = documents
+      .withColumn("w", graft.operators.TextAnalysis.tokens($"text"))
+    val spans = toks
+      .filter(size($"w") >= 1) // sequence(0,-1) would DESCEND on an empty doc
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(0), ceil(size($"w") / lit(span.toDouble))
+            .cast("int") - 1),
+          p => concat_ws(" ", slice($"w", p * span + 1, lit(span))))))
+      .withColumnRenamed("col", "s")
+    val firsts = spans.groupBy($"s")
+      .agg(min(struct($"doc_id", $"pos")).as("first"))
+    val kept = spans.join(firsts, Seq("s"))
+      .filter($"doc_id" === $"first.doc_id" && $"pos" === $"first.pos")
+    val rebuilt = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("kept_spans"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct($"pos", $"s"))),
+          e => e("s"))).as("dedup_text"))
+    // n_spans is a pure projection of the token count — a second
+    // cheap scan of `documents`, never a second explode
+    toks.select($"doc_id",
+        ceil(size($"w") / lit(span.toDouble)).cast("long").as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_spans",
+        coalesce($"kept_spans", lit(0L)).as("kept_spans"),
+        coalesce($"dedup_text", lit("")).as("dedup_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Cluster-representative selection (q123) — the retention decision
+    * that follows clustering: within every duplicate cluster from
+    * [[dupClusters]] (q66), keep the single highest-quality document
+    * (TextAnalysis.qualityScore, q31) and drop the rest. This is the
+    * "keep best, not first" policy production pipelines prefer over
+    * q66's min-id keeper: re-crawls often carry the cleaner copy.
+    * Ties break on min doc_id so the decision is deterministic.
+    *
+    * Shape: quality is one scan of `documents`; the argmax per
+    * cluster is a row_number window partitioned by cluster_id —
+    * safe here (unlike the span case above) because dup clusters are
+    * shallow stars/chains whose size is bounded by the dedup
+    * signal itself, not by corpus growth; the partition count grows
+    * with the corpus, the partition width does not.
+    */
+  def dedupKeepBest(documents: DataFrame, n: Int = 3,
+                    tau: Double = 0.1): DataFrame = {
+    val clusters = dupClusters(documents, n, tau)
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+    val quality = graft.operators.TextAnalysis.qualityScore(documents)
+      .select($"doc_id", $"quality")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"quality".desc, $"doc_id")
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"quality",
+        ($"rk" === 1).as("keep"))
+      .orderBy($"doc_id")
+  }
 }

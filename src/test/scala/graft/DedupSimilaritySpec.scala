@@ -423,4 +423,96 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.head.features.toSeq ==
       Seq(4.0, 2.0, 90.75, 90.75, 90.75, 0.0, 8.0, 255.0))
   }
+
+  // ---- q122 lineDedup: keep-first span dedup with reconstruction ----
+
+  test("q122 line dedup keeps exactly the first occurrence of every span") {
+    import spark.implicits._
+    // 10-token docs tile into two 5-token spans; doc 11 re-crawls doc
+    // 10's opening span, doc 12 is pure boilerplate (both spans are
+    // doc 10's second span — including an IN-DOC repeat)
+    val docs = Seq(
+      (10L, "a b c d e f g h i j", "en", "s", 19L),
+      (11L, "a b c d e x y z w v", "en", "s", 19L),
+      (12L, "f g h i j f g h i j", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.lineDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(out == Seq(
+      (10L, 2L, 2L, "a b c d e f g h i j"),
+      (11L, 2L, 1L, "x y z w v"),
+      (12L, 2L, 0L, "")),
+      s"keep-first span dedup mismatch: $out")
+  }
+
+  test("q122 partial tail span tiles the full text (n_spans = ceil)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.lineDedup(docs).collect().head
+    assert(r.getLong(1) == 2L, "7 tokens must tile into ceil(7/5)=2 spans")
+    assert(r.getString(3) == "a b c d e f g",
+      "unique spans must reconstruct the original text exactly")
+  }
+
+  test("q122 corpus invariant: kept spans == distinct spans, text is a sub-tiling") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val out = Dedup.lineDedup(docs).cache()
+    try {
+      // per-doc sanity: kept <= total, empty text iff kept == 0
+      assert(out.filter(col("kept_spans") > col("n_spans")).count() == 0)
+      assert(out.filter((col("kept_spans") === 0) =!=
+        (col("dedup_text") === "")).count() == 0)
+      // corpus identity: every span survives exactly once, so the sum
+      // of kept spans equals the number of DISTINCT spans
+      val kept = out.agg(sum("kept_spans")).head().getLong(0)
+      val distinctSpans = docs
+        .withColumn("w", split(trim(col("text")), "\\s+"))
+        .select(explode(transform(
+          sequence(lit(0), ceil(size(col("w")) / lit(5.0)).cast("int") - 1),
+          p => concat_ws(" ", slice(col("w"), p * 5 + 1, lit(5))))).as("s"))
+        .select("s").distinct().count()
+      assert(kept == distinctSpans,
+        s"kept=$kept != distinct spans=$distinctSpans")
+    } finally out.unpersist()
+  }
+
+  // ---- q123 dedupKeepBest: cluster-representative selection ----
+
+  test("q123 keeps the higher-quality near-dup, not the lower id") {
+    import spark.implicits._
+    // docs 1/2 differ in the last token only (same 3-gram shingles up
+    // front -> one q66 cluster); doc 2 carries one more stopword, so
+    // its q31 quality is strictly higher and must win despite id 1 < 2
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60L),
+      (2L, "the quick brown fox jumps over the lazy dog again and the", "en", "s", 58L),
+      (3L, "completely different words about spark query engines at scale", "en", "s", 61L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.dedupKeepBest(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toSeq
+    assert(out.toSet == Set(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 3L, 1L, true)),
+      s"keep-best decision mismatch: $out")
+  }
+
+  test("q123 emits one row per doc and exactly one keeper per cluster") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val out = Dedup.dedupKeepBest(docs).cache()
+    try {
+      assert(out.count() == docs.count(), "one decision row per document")
+      val perCluster = out.groupBy("cluster_id")
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          max(when(col("keep"), col("quality"))).as("kept_q"),
+          max(col("quality")).as("max_q"))
+      assert(perCluster.filter(col("n_keep") =!= 1L).count() == 0,
+        "every cluster keeps exactly one doc")
+      assert(perCluster.filter(col("kept_q") =!= col("max_q")).count() == 0,
+        "the kept doc carries the cluster's max quality")
+    } finally out.unpersist()
+  }
 }

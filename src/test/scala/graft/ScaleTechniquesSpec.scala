@@ -305,6 +305,26 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"trained-cell pairs outside the brute force: ${(got -- all).take(5)}")
   }
 
+  test("10×: q122 span dedup output is exactly linear in copies") {
+    import org.apache.spark.sql.functions.sum
+    val dir10 = "/tmp/sf1"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir10/_MANIFEST.json")),
+      "10× scale point absent — python3 tools/gen_sf1.py")
+    // the generator suffixes every word per copy, a token bijection:
+    // span-equality structure inside each copy is isomorphic to copy
+    // 0 and spans never collide across copies, so keep-first output
+    // must be EXACTLY 10× the 1× output — any deviation means the
+    // dedup key leaked across the blocking structure (sub-10× =
+    // false merges, super-10× = lost dedups)
+    def keptTotal(dir: String): Long =
+      operators.Dedup.lineDedup(Tables.documents(spark, dir))
+        .agg(sum("kept_spans")).head().getLong(0)
+    val k1 = keptTotal("/root/testdata/sf0.1")
+    val k10 = keptTotal(dir10)
+    assert(k10 == 10 * k1, s"10× kept spans $k10 != 10 × $k1")
+  }
+
   test("10×: fuzzy dictionary grows on its natural axis; plan-stats pick flips to PassJoin with scale") {
     import org.apache.spark.sql.functions.{concat, xxhash64}
     val dir10 = "/tmp/sf1"
