@@ -240,6 +240,29 @@ class StreamingFormatsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "no click-purchase pairs in testdata")
   }
 
+  test("stream-static dim enrichment matches batch, keeps every event, broadcasts the dim") {
+    val customer = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val events = Tables.events(spark, dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(2), r.getString(3),
+        Option(r.getString(5)), Option(r.getString(6)))
+    val batchDf = EventStream.enrichWithDims(events, customer, nation)
+    // the static side must reach the join as a broadcast — a per-batch
+    // shuffle of the dim would repeat at every trigger
+    assert(batchDf.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "dim side not broadcast in the enrichment join")
+    val batch = batchDf.collect().map(key).toSet
+    val got = EventStream.runEnrichOnce(spark, dir, customer, nation)
+      .collect().map(key).toSet
+    assert(got == batch,
+      s"stream/batch enrichment diverge: ${(got diff batch).take(3)} / ${(batch diff got).take(3)}")
+    // left join: every event survives enrichment, matched or not
+    assert(got.size.toLong == events.count())
+    assert(got.exists(_._4.isDefined), "no event matched a dim row")
+  }
+
   test("left-outer stream-stream join: exact matches, nulls only past the watermark") {
     val events = Tables.events(spark, dir)
     val streamed = EventStream
