@@ -566,19 +566,23 @@ object Dedup {
     * The join back to the span stream is an equi-join on the span
     * text; its skew (the same hot spans) is the AQE skew-join case —
     * OptimizeSkewedJoin splits the fat partition, which works here
-    * precisely because the firsts side is one row per span. At 100 TB
-    * the join key would be xxhash64(span) (8 bytes on the wire, like
-    * q98's production mode); the test-scale form keeps the string so
-    * the oracle reproduces it byte-for-byte.
+    * precisely because the firsts side is one row per span. Joined
+    * spans are MARKED keep/drop rather than filtered, so the one
+    * per-doc aggregation yields totals, survivor counts, and the
+    * reconstruction together — the whole plan is the two sides of
+    * the keep-first self-join (ScanCountGate allowance 2), never a
+    * third pass over the text. At 100 TB the join key would be
+    * xxhash64(span) (8 bytes on the wire, like q98's production
+    * mode); the test-scale form keeps the string so the oracle
+    * reproduces it byte-for-byte.
     *
     * Output: per document, total span count, surviving span count,
     * and the reconstructed text (empty when every span lost — the doc
     * is a pure re-crawl and would be dropped).
     */
   def lineDedup(documents: DataFrame, span: Int = 5): DataFrame = {
-    val toks = documents
+    val spans = documents
       .withColumn("w", graft.operators.TextAnalysis.tokens($"text"))
-    val spans = toks
       .filter(size($"w") >= 1) // sequence(0,-1) would DESCEND on an empty doc
       .select($"doc_id", posexplode(
         transform(sequence(lit(0), ceil(size($"w") / lit(span.toDouble))
@@ -587,21 +591,16 @@ object Dedup {
       .withColumnRenamed("col", "s")
     val firsts = spans.groupBy($"s")
       .agg(min(struct($"doc_id", $"pos")).as("first"))
-    val kept = spans.join(firsts, Seq("s"))
-      .filter($"doc_id" === $"first.doc_id" && $"pos" === $"first.pos")
-    val rebuilt = kept.groupBy($"doc_id")
-      .agg(count(lit(1)).as("kept_spans"),
+    spans.join(firsts, Seq("s"))
+      .withColumn("keep",
+        $"doc_id" === $"first.doc_id" && $"pos" === $"first.pos")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"keep", 1L).otherwise(0L)).as("kept_spans"),
         concat_ws(" ", transform(
-          array_sort(collect_list(struct($"pos", $"s"))),
+          filter(array_sort(collect_list(struct($"pos", $"s", $"keep"))),
+            e => e("keep")),
           e => e("s"))).as("dedup_text"))
-    // n_spans is a pure projection of the token count — a second
-    // cheap scan of `documents`, never a second explode
-    toks.select($"doc_id",
-        ceil(size($"w") / lit(span.toDouble)).cast("long").as("n_spans"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_spans",
-        coalesce($"kept_spans", lit(0L)).as("kept_spans"),
-        coalesce($"dedup_text", lit("")).as("dedup_text"))
       .orderBy($"doc_id")
   }
 

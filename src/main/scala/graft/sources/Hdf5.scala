@@ -41,8 +41,9 @@ import scala.collection.mutable.ArrayBuffer
   *    [[readCompoundArrays]] — the table-shaped calibration/legend
   *    datasets), ENUMS over fixed-point bases (r15: values decode as
   *    the base everywhere, [[enumLabels]] carries the flag legend),
-  *    and ARRAY datatypes v2/v3 as compound members (per-band fixed
-  *    blocks)
+  *    and ARRAY datatypes v2/v3 — as compound members AND as
+  *    standalone datasets (per-record fixed blocks via
+  *    [[readArrayBlocks]])
   *  - dataspace v1/v2; layout v3 AND v4 compact / contiguous /
   *    chunked (v4 = libver-latest encodings)
   *  - chunk indexes: v1 B-tree (`TREE` type 1, any nesting level)
@@ -68,8 +69,8 @@ import scala.collection.mutable.ArrayBuffer
   * storage (layout class 3), B-tree v2 depth > 1 and multi-level
   * indirect fractal-heap blocks (groups with ~100k+ links),
   * reference datatypes, vlen sequences over non-numeric bases,
-  * enums over non-fixed-point bases, standalone array-datatype
-  * datasets, compound/vlen-sequence/array ATTRIBUTE values (names
+  * enums over non-fixed-point bases,
+  * compound/vlen-sequence/array ATTRIBUTE values (names
   * parse, values stay empty), dense attribute storage (compact
   * attributes cover the netCDF-4 per-variable metadata the ETL
   * reads).
@@ -93,7 +94,14 @@ object Hdf5 {
     * compound element, and the member's own datatype.
     */
   final case class Member(name: String, offset: Int, dtype: Dtype)
-  final case class Attr(name: String, num: Seq[Double], str: String)
+  /** One attribute: numeric values in `num` (array-datatype attrs
+    * flatten row-major, the [[readDoubles]] convention), strings in
+    * `str`, and all-numeric COMPOUND attr values as per-member
+    * columns in `fields` (r15) — undecodable shapes keep the name
+    * with every payload slot empty.
+    */
+  final case class Attr(name: String, num: Seq[Double], str: String,
+                        fields: Seq[(String, Seq[Double])] = Seq.empty)
   /** Version-4 chunked-layout index description (libver-latest files).
     * `flags` bit 0 = partial boundary chunks stored unfiltered; bit 1
     * = the Single Chunk is filtered (then `singleSize`/`singleMask`
@@ -708,12 +716,28 @@ object Hdf5 {
       try parseDtype(b, dtP)
       catch { case _: RuntimeException => return Some(Attr(name, Seq.empty, "")) }
     val n = parseDims(b, dsP) match { case Nil => 1L; case d => d.product }
-    // compound / vlen-SEQUENCE / array attribute VALUES are out of
-    // scope: keep the name visible but never decode bytes under the
-    // wrong shape (the precise-rejection-over-misread rule) —
-    // dataset-shaped data of these classes goes through the typed
-    // readers instead (enums DO decode below: they are their base)
-    if (dt.cls == 6 || dt.cls == 10 || (dt.cls == 9 && !dt.vlenString))
+    // fixed-shape structured attr values decode (r15): all-numeric
+    // compounds as per-member columns, numeric-base arrays flattened
+    // row-major (the readDoubles convention — parseDtype already
+    // rejects non-numeric array bases). Ragged (vlen-SEQUENCE) and
+    // mixed compounds keep the name with empty payloads — the
+    // precise-rejection-over-misread rule for shapes a flat Attr
+    // cannot carry without losing boundaries
+    if (dt.cls == 6) {
+      if (dt.members.nonEmpty &&
+          dt.members.forall(m => m.dtype.cls == 0 || m.dtype.cls == 1))
+        return Some(Attr(name, Seq.empty, "", dt.members.map(m =>
+          m.name -> (0L until n).map(i =>
+            readElem(b.bytes, q + i * dt.size + m.offset, m.dtype)))))
+      return Some(Attr(name, Seq.empty, ""))
+    }
+    if (dt.cls == 10) {
+      val base = dt.base.get
+      val k = dt.arrayDims.product
+      return Some(Attr(name, (0L until n).flatMap(i => (0 until k).map(j =>
+        readElem(b.bytes, q + i * dt.size + j.toLong * base.size, base))), ""))
+    }
+    if (dt.cls == 9 && !dt.vlenString)
       return Some(Attr(name, Seq.empty, ""))
     if (dt.cls == 9)
       // a multi-element vlen attribute stores n consecutive 16-byte
@@ -1359,8 +1383,8 @@ object Hdf5 {
     require(v.dtype.cls != 6,
       s"${v.name} is compound — read members via readCompoundDoubles")
     require(v.dtype.cls != 10,
-      s"${v.name} is an array datatype — supported as a compound member " +
-        "(readCompoundArrays), not as a standalone dataset")
+      s"${v.name} is an array datatype — read per-record blocks via " +
+        "readArrayBlocks")
     val raw = readRaw(bytes, v)
     val n = (raw.length / v.dtype.size).toInt
     val out = new Array[Double](n)
@@ -1477,6 +1501,24 @@ object Hdf5 {
     val n = raw.length / v.dtype.size
     Array.tabulate(n)(i => Array.tabulate(k)(j =>
       readElem(raw, i.toLong * v.dtype.size + m.offset + j.toLong * base.size, base)))
+  }
+
+  /** Standalone array-datatype dataset as one fixed block per record:
+    * a dataset of shape (N,) over T[d₁,…,dₖ] reads as N blocks of
+    * d₁·…·dₖ base values each — the same per-record block shape
+    * [[readCompoundArrays]] returns for array MEMBERS, so per-band
+    * calibration tables read identically whether they were written
+    * as a bare array dataset or wrapped in a compound.
+    */
+  def readArrayBlocks(bytes: Array[Byte], v: H5Var): Array[Array[Double]] = {
+    require(v.dtype.cls == 10,
+      s"${v.name} is not an array-datatype dataset (class ${v.dtype.cls})")
+    val base = v.dtype.base.get
+    val k = v.dtype.arrayDims.product
+    val raw = readRaw(bytes, v)
+    val n = raw.length / v.dtype.size
+    Array.tabulate(n)(i => Array.tabulate(k)(j =>
+      readElem(raw, i.toLong * v.dtype.size + j.toLong * base.size, base)))
   }
 
   /** The name→value legend of an enum dataset (or enum compound

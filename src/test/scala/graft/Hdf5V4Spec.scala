@@ -82,6 +82,13 @@ class Hdf5V4Spec extends AnyFunSuite {
     w.u16(0); w.u16(32)                       // bit offset / precision
   }
 
+  /** datatype v1 fixed-point int16 LE signed */
+  private def int16Msg: Array[Byte] = msgBytes { w =>
+    w.u8(0x10); w.u8(0x08); w.u8(0); w.u8(0) // class 0 v1; signed LE
+    w.u32(2)                                  // size
+    w.u16(0); w.u16(16)                       // bit offset / precision
+  }
+
   /** datatype v1 IEEE float64 LE */
   private def f64Msg: Array[Byte] = msgBytes { w =>
     w.u8(0x11); w.u8(0x20); w.u8(0x3f); w.u8(0) // class 1 v1; LE, canonical bit fields
@@ -1162,7 +1169,7 @@ class Hdf5V4Spec extends AnyFunSuite {
       .getMessage.contains("readCompoundArrays"))
   }
 
-  test("standalone array-datatype dataset is refused precisely") {
+  test("standalone array-datatype dataset reads per-record blocks; scalar reader names the escape hatch") {
     val bytes = file { w =>
       val data = w.pos
       (0 until 6).foreach(i => w.bytes(f64le(i.toDouble)))
@@ -1174,38 +1181,91 @@ class Hdf5V4Spec extends AnyFunSuite {
     }
     val v = Hdf5.parse(bytes)("a")
     assert(v.dtype.cls == 10 && v.dtype.arrayDims == Seq(3))
+    assert(Hdf5.readArrayBlocks(bytes, v).map(_.toSeq).toSeq ==
+      Seq(Seq(0.0, 1.0, 2.0), Seq(3.0, 4.0, 5.0)))
     assert(intercept[IllegalArgumentException](Hdf5.readDoubles(bytes, v))
-      .getMessage.contains("array datatype"))
+      .getMessage.contains("readArrayBlocks"))
   }
 
-  test("compound and vlen-sequence ATTRIBUTE values parse as named-but-empty, never misread") {
+  test("standalone int16 array-datatype dataset honors the base element size") {
+    // 2 records of i16[2][2] — mixed rank, 8-byte elements
+    val vals = Seq(Seq(1, -2, 300, 4), Seq(-5, 6, 7, -8000))
     val bytes = file { w =>
-      def attrMsg(aname: String, dtb: Array[Byte], payload: Array[Byte]): Array[Byte] =
-        msgBytes { x =>
-          val dsb = dataspaceMsg(Seq(1))
-          x.u8(1); x.u8(0)
-          x.u16(aname.length + 1)
-          x.u16(dtb.length); x.u16(dsb.length)
-          x.ascii(aname); x.u8(0); x.pad((8 - (aname.length + 1) % 8) % 8)
-          x.bytes(dtb); x.pad((8 - dtb.length % 8) % 8)
-          x.bytes(dsb); x.pad((8 - dsb.length % 8) % 8)
-          x.bytes(payload)
-        }
+      val data = w.pos
+      vals.flatten.foreach(x => w.u16(x & 0xffff))
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(2))),
+        (3, arrayMsg(Seq(2, 2), int16Msg, 8)),
+        (8, contiguousMsg(data, 16))))
+      rootFor(w, "m" -> d)
+    }
+    val v = Hdf5.parse(bytes)("m")
+    assert(v.dtype.arrayDims == Seq(2, 2))
+    assert(Hdf5.readArrayBlocks(bytes, v).map(_.toSeq).toSeq ==
+      vals.map(_.map(_.toDouble)))
+  }
+
+  private def attrMsgV1(aname: String, dtb: Array[Byte], dims: Seq[Long],
+                        payload: Array[Byte]): Array[Byte] =
+    msgBytes { x =>
+      val dsb = dataspaceMsg(dims)
+      x.u8(1); x.u8(0)
+      x.u16(aname.length + 1)
+      x.u16(dtb.length); x.u16(dsb.length)
+      x.ascii(aname); x.u8(0); x.pad((8 - (aname.length + 1) % 8) % 8)
+      x.bytes(dtb); x.pad((8 - dtb.length % 8) % 8)
+      x.bytes(dsb); x.pad((8 - dsb.length % 8) % 8)
+      x.bytes(payload)
+    }
+
+  test("mixed-compound and vlen-sequence ATTRIBUTE values parse as named-but-empty, never misread") {
+    val bytes = file { w =>
       val data = w.pos
       w.u32(7)
+      // cal has a char[4] member -> NOT all-numeric -> stays empty
       val cpdPayload = msgBytes { x => x.u32(1); x.bytes(f64le(2.0)); x.ascii("ab"); x.pad(6) }
       val seqPayload = msgBytes { x => x.u32(3); x.u64(0); x.u32(0) }
       val d = v1Header(w, Seq(
         (1, dataspaceMsg(Seq(1))), (3, int32Msg),
         (8, contiguousMsg(data, 4)),
-        (12, attrMsg("cal", compoundV1Msg(20, cpdMembers), cpdPayload)),
-        (12, attrMsg("chans", vlenF64SeqMsg, seqPayload))))
+        (12, attrMsgV1("cal", compoundV1Msg(20, cpdMembers), Seq(1), cpdPayload)),
+        (12, attrMsgV1("chans", vlenF64SeqMsg, Seq(1), seqPayload))))
       rootFor(w, "d" -> d)
     }
     val attrs = Hdf5.parse(bytes)("d").attrs
     val cal = attrs.find(_.name == "cal")
     val chans = attrs.find(_.name == "chans")
-    assert(cal.exists(a => a.num.isEmpty && a.str.isEmpty), s"$cal")
-    assert(chans.exists(a => a.num.isEmpty && a.str.isEmpty), s"$chans")
+    assert(cal.exists(a => a.num.isEmpty && a.str.isEmpty && a.fields.isEmpty), s"$cal")
+    assert(chans.exists(a => a.num.isEmpty && a.str.isEmpty && a.fields.isEmpty), s"$chans")
+  }
+
+  test("all-numeric compound ATTRIBUTE decodes per-member columns; array ATTRIBUTE flattens") {
+    val bytes = file { w =>
+      val data = w.pos
+      w.u32(7)
+      // rng: 2 records of {lo int32 @0, hi f64 @4} — 12-byte elements
+      val rngPayload = msgBytes { x =>
+        x.u32(1); x.bytes(f64le(2.5)); x.u32((-4).toLong & 0xffffffffL); x.bytes(f64le(9.0))
+      }
+      // gains: one f64[3] element, flattened row-major
+      val gainsPayload = msgBytes { x =>
+        Seq(0.5, 1.0, -2.0).foreach(g => x.bytes(f64le(g)))
+      }
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(1))), (3, int32Msg),
+        (8, contiguousMsg(data, 4)),
+        (12, attrMsgV1("rng",
+          compoundV3Msg(12, Seq(("lo", 0, int32Msg), ("hi", 4, f64Msg))),
+          Seq(2), rngPayload)),
+        (12, attrMsgV1("gains", arrayMsg(Seq(3), f64Msg, 24), Seq(1),
+          gainsPayload))))
+      rootFor(w, "d" -> d)
+    }
+    val attrs = Hdf5.parse(bytes)("d").attrs
+    val rng = attrs.find(_.name == "rng").get
+    assert(rng.fields == Seq(
+      "lo" -> Seq(1.0, -4.0), "hi" -> Seq(2.5, 9.0)), s"$rng")
+    val gains = attrs.find(_.name == "gains").get
+    assert(gains.num == Seq(0.5, 1.0, -2.0), s"$gains")
   }
 }

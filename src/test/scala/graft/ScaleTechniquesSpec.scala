@@ -556,6 +556,31 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(acc >= 0.9, f"classifier 10× accuracy regressed: $acc%.3f")
   }
 
+  test("100×: q122 span dedup output is exactly linear in copies") {
+    import org.apache.spark.sql.functions.sum
+    val dir100 = "/tmp/sf10"
+    val manifest = new java.io.File(s"$dir100/_MANIFEST.json")
+    assume(manifest.exists(),
+      "100× scale point absent — python3 tools/gen_sf1.py " +
+        "/root/testdata/sf0.1 /tmp/sf10 100")
+    val mtxt = new String(java.nio.file.Files.readAllBytes(manifest.toPath))
+    val docRows = ("\"documents\":\\s*(\\d+)").r.findFirstMatchIn(mtxt)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    assume(("\"copies\":\\s*100").r.findFirstIn(mtxt).isDefined &&
+      spark.read.parquet(s"$dir100/documents.parquet").count() == docRows,
+      "100× manifest inconsistent with data — rerun tools/gen_sf1.py")
+    // same argument as the 10× twin, at 50M span rows: per-copy word
+    // suffixes are a token bijection, so keep-first output must be
+    // EXACTLY 100× the 1× output — the strongest possible statement
+    // that the span key never leaks across the copy structure
+    def keptTotal(dir: String): Long =
+      operators.Dedup.lineDedup(Tables.documents(spark, dir))
+        .agg(sum("kept_spans")).head().getLong(0)
+    val k1 = keptTotal("/root/testdata/sf0.1")
+    val k100 = keptTotal(dir100)
+    assert(k100 == 100 * k1, s"100× kept spans $k100 != 100 × $k1")
+  }
+
   test("100×: approximate-tier recall — q25 prod-K lossless, q45 trained IVF, q111 auto-R at its cap") {
     // The 1× and 10× recall floors said nothing about the 100× point,
     // and q111's RerankMax=1024 cap was specifically untested where

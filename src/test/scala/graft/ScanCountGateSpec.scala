@@ -92,6 +92,11 @@ class ScanCountGateSpec extends AnyFunSuite {
     // more eager 1-row pass outside this plan, documented at the
     // operator)
     "q105_bloom_screen" -> Map("documents" -> 3),
+    // span-aggregate (first-occurrence) build + probe sides of the
+    // keep-first self-join; the probe side carries every span marked
+    // keep/drop so doc totals, survivor counts and the reconstruction
+    // come from ONE per-doc aggregation — no third pass over text
+    "q122_line_dedup" -> Map("documents" -> 2),
     // ADC shortlist code scan + exact re-rank vector fetch — the
     // two-stage PQ deployment by construction (at 100 TB the first
     // scan reads 4-byte codes, only the second touches vectors, for
