@@ -394,7 +394,13 @@ object TimeSeries {
     * smallest distinct hashes (K = min([[KmvK]], |union|)), let θ be
     * the K-th smallest mapped to u ∈ (0,1): est_union = (K-1)/u, and
     * est_inter = (n_both / K) · est_union where n_both counts kept
-    * hashes present in BOTH sketches. Losslessness is decided from
+    * hashes present in BOTH sketches. The same combined sketch
+    * answers Druid's full set-operation triple (r15): n_a_only /
+    * n_b_only count kept hashes on exactly one side, and
+    * est_a_not_b / est_b_not_a scale them by the identical
+    * est_union/K factor — so est_inter + est_a_not_b + est_b_not_a
+    * ≡ est_union by construction (the counts partition K),
+    * spec-asserted. Losslessness is decided from
     * per-type SATURATION (distinct count exceeded [[KmvK]]), not from
     * the union size: when neither source sketch saturated, both hold
     * every distinct hash of their type, so the pair's union — even
@@ -461,17 +467,26 @@ object TimeSeries {
       .agg(count(lit(1)).as("kmv_k"),
         max(when($"rk" <= KmvK, $"h")).as("theta"),
         sum(when($"in_a" === 1 && $"in_b" === 1, 1L).otherwise(0L))
-          .as("n_both"))
+          .as("n_both"),
+        sum(when($"in_a" === 1 && $"in_b" === 0, 1L).otherwise(0L))
+          .as("n_a_only"),
+        sum(when($"in_a" === 0 && $"in_b" === 1, 1L).otherwise(0L))
+          .as("n_b_only"))
     // signed-long hash mapped to u ∈ (0,1): (θ + 2^63 + 1) / 2^64
     val u = ($"theta".cast("double") + 9.223372036854776e18 + 1.0) /
       1.8446744073709552e19
     val exactRegime = $"lossless" || $"kmv_k" < KmvK
+    def est(n: Column): Column =
+      when(exactRegime, n.cast("double"))
+        .otherwise(n.cast("double") / $"kmv_k" *
+          (($"kmv_k" - 1).cast("double") / u))
     stats.select($"type_a", $"type_b", $"kmv_k", $"n_both",
       when(exactRegime, $"kmv_k".cast("double"))
         .otherwise(($"kmv_k" - 1).cast("double") / u).as("est_union"),
-      when(exactRegime, $"n_both".cast("double"))
-        .otherwise($"n_both".cast("double") / $"kmv_k" *
-          (($"kmv_k" - 1).cast("double") / u)).as("est_inter"))
+      est($"n_both").as("est_inter"),
+      $"n_a_only", $"n_b_only",
+      est($"n_a_only").as("est_a_not_b"),
+      est($"n_b_only").as("est_b_not_a"))
       .orderBy($"type_a", $"type_b")
   }
 

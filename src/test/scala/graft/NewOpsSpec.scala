@@ -930,6 +930,17 @@ class NewOpsSpec extends AnyFunSuite {
       s"union estimate $estU vs 6000")
     assert(math.abs(estI - 2000) / 2000.0 <= 0.35,
       s"intersection estimate $estI vs 2000")
+    // A-not-B (planted: users 0..1999 a-only, 4000..5999 b-only) and
+    // the partition identity: the three set-op estimates scale counts
+    // that partition K by one common factor, so they must reassemble
+    // the union estimate exactly
+    val (estAnB, estBnA) = (br.getDouble(8), br.getDouble(9))
+    assert(math.abs(estAnB - 2000) / 2000.0 <= 0.35,
+      s"a-not-b estimate $estAnB vs 2000")
+    assert(math.abs(estBnA - 2000) / 2000.0 <= 0.35,
+      s"b-not-a estimate $estBnA vs 2000")
+    assert(math.abs(estI + estAnB + estBnA - estU) <= 1e-6 * estU,
+      s"set-op estimates do not partition the union: $estI + $estAnB + $estBnA vs $estU")
     // lossless collapse: a corpus whose per-pair union fits in K rows
     // must estimate EXACTLY (the synopsis holds every distinct hash)
     val tiny = Seq.tabulate(300) { i =>
@@ -972,6 +983,10 @@ class NewOpsSpec extends AnyFunSuite {
     assert(br.getDouble(4) == K.toDouble && br.getDouble(5) == exactOverlap.toDouble,
       s"boundary pair must collapse to exact counts, got " +
         s"union=${br.getDouble(4)} inter=${br.getDouble(5)}")
+    assert(br.getDouble(8) == (150 - exactOverlap).toDouble &&
+      br.getDouble(9) == (150 - exactOverlap).toDouble,
+      s"boundary a-not-b/b-not-a must be exact, got " +
+        s"${br.getDouble(8)} / ${br.getDouble(9)}")
     // past the boundary: union > K but each side holds exactly K
     // distinct (still complete — saturation means EXCEEDING K) — the
     // pair keeps its full union and stays exact
@@ -984,6 +999,9 @@ class NewOpsSpec extends AnyFunSuite {
       pr.getDouble(5) == (K - 200).toDouble,
       s"complete pair must stay exact past the K boundary, got " +
         s"union=${pr.getDouble(4)} inter=${pr.getDouble(5)}")
+    assert(pr.getDouble(8) == 200.0 && pr.getDouble(9) == 200.0,
+      s"complete-pair a-not-b/b-not-a must be exact, got " +
+        s"${pr.getDouble(8)} / ${pr.getDouble(9)}")
     // one side saturated (K+1 distinct): the pair is estimator-regime
     // and truncates to K — the flag, not the union size, decides
     val sat = ev((0L until (K + 1).toLong).map((_, "a")) ++
