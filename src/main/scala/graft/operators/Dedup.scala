@@ -571,16 +571,19 @@ object Dedup {
     * per-doc aggregation yields totals, survivor counts, and the
     * reconstruction together — the whole plan is the two sides of
     * the keep-first self-join (ScanCountGate allowance 2), never a
-    * third pass over the text. At 100 TB the join key would be
-    * xxhash64(span) (8 bytes on the wire, like q98's production
-    * mode); the test-scale form keeps the string so the oracle
-    * reproduces it byte-for-byte.
+    * third pass over the text. `hashKeys = true` is the production
+    * key (the q98 pattern): the aggregate and the join run on
+    * xxhash64(span) — 8 bytes through the shuffle instead of the
+    * span string — with identical output barring a 2⁻⁶⁴ collision
+    * (spec-asserted equal); the declared query keeps the string key
+    * so the oracle reproduces it byte-for-byte.
     *
     * Output: per document, total span count, surviving span count,
     * and the reconstructed text (empty when every span lost — the doc
     * is a pure re-crawl and would be dropped).
     */
-  def lineDedup(documents: DataFrame, span: Int = 5): DataFrame = {
+  def lineDedup(documents: DataFrame, span: Int = 5,
+                hashKeys: Boolean = false): DataFrame = {
     val spans = documents
       .withColumn("w", graft.operators.TextAnalysis.tokens($"text"))
       .filter(size($"w") >= 1) // sequence(0,-1) would DESCEND on an empty doc
@@ -589,9 +592,13 @@ object Dedup {
             .cast("int") - 1),
           p => concat_ws(" ", slice($"w", p * span + 1, lit(span))))))
       .withColumnRenamed("col", "s")
-    val firsts = spans.groupBy($"s")
+    // hash path adds the 8-byte key NEXT TO the span; string path
+    // joins on the span itself (no duplicated payload either way)
+    val keyed = if (hashKeys) spans.withColumn("k", xxhash64($"s")) else spans
+    val key = if (hashKeys) "k" else "s"
+    val firsts = keyed.groupBy(col(key))
       .agg(min(struct($"doc_id", $"pos")).as("first"))
-    spans.join(firsts, Seq("s"))
+    keyed.join(firsts, Seq(key))
       .withColumn("keep",
         $"doc_id" === $"first.doc_id" && $"pos" === $"first.pos")
       .groupBy($"doc_id")

@@ -479,6 +479,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("q122 production hash keys produce identical output to string keys") {
+    val docs = Tables.documents(spark, dir)
+    def sig(hash: Boolean) = Dedup.lineDedup(docs, hashKeys = hash)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(sig(true) == sig(false),
+      "xxhash64 span keys changed the keep-first output")
+  }
+
   // ---- q123 dedupKeepBest: cluster-representative selection ----
 
   test("q123 keeps the higher-quality near-dup, not the lower id") {
