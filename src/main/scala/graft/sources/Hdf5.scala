@@ -96,12 +96,15 @@ object Hdf5 {
   final case class Member(name: String, offset: Int, dtype: Dtype)
   /** One attribute: numeric values in `num` (array-datatype attrs
     * flatten row-major, the [[readDoubles]] convention), strings in
-    * `str`, and all-numeric COMPOUND attr values as per-member
-    * columns in `fields` (r15) — undecodable shapes keep the name
-    * with every payload slot empty.
+    * `str`, all-numeric COMPOUND attr values as per-member columns
+    * in `fields` (r15), and multi-element vlen-string attrs as a
+    * REAL sequence in `strs` (r15 — h5py exposes these as string
+    * arrays; `str` keeps the ","-joined form for flat consumers) —
+    * undecodable shapes keep the name with every payload slot empty.
     */
   final case class Attr(name: String, num: Seq[Double], str: String,
-                        fields: Seq[(String, Seq[Double])] = Seq.empty)
+                        fields: Seq[(String, Seq[Double])] = Seq.empty,
+                        strs: Seq[String] = Seq.empty)
   /** Version-4 chunked-layout index description (libver-latest files).
     * `flags` bit 0 = partial boundary chunks stored unfiltered; bit 1
     * = the Single Chunk is filtered (then `singleSize`/`singleMask`
@@ -749,8 +752,10 @@ object Hdf5 {
       // unsplittable "redgreenblue"; h5py exposes these as string
       // arrays, and a flat Attr.str must at least preserve the cut
       // points)
-      Some(Attr(name, Seq.empty,
-        (0L until n).map(i => vlenString(b, b, q + i * dt.size)).mkString(",")))
+      Some({
+        val elems = (0L until n).map(i => vlenString(b, b, q + i * dt.size))
+        Attr(name, Seq.empty, elems.mkString(","), strs = elems)
+      })
     else if (dt.cls == 3) Some(Attr(name, Seq.empty, b.ascii(q, dt.size * n).takeWhile(_ != 0)))
     else {
       val nums = (0L until n).map(i => readElem(b.bytes, q + i * dt.size, dt))

@@ -852,6 +852,10 @@ class Hdf5V4Spec extends AnyFunSuite {
     assert(a.isDefined, "vlen attribute not parsed")
     assert(a.get.str == "red,green,blue",
       s"expected all 3 descriptors resolved with boundaries, got '${a.get.str}'")
+    // the lossless form: h5py exposes these as string ARRAYS, and a
+    // value containing "," is unsplittable from the joined view alone
+    assert(a.get.strs == Seq("red", "green", "blue"),
+      s"expected the element sequence, got ${a.get.strs}")
   }
 
   test("v4 virtual-storage layout class is the documented precise rejection") {

@@ -261,6 +261,15 @@ class StreamingFormatsSpec extends AnyFunSuite {
     // left join: every event survives enrichment, matched or not
     assert(got.size.toLong == events.count())
     assert(got.exists(_._4.isDefined), "no event matched a dim row")
+    // the late-dim case the left join exists for: drop half the dim
+    // rows and every event must STILL come through, orphans with NULLs
+    val partialDim = customer.filter(col("c_custkey") % 2 === 0)
+    val sparse = EventStream.enrichWithDims(events, partialDim, nation)
+      .collect().map(key).toSet
+    assert(sparse.size.toLong == events.count(),
+      "events dropped when their dim row is missing")
+    assert(sparse.exists(_._4.isEmpty) && sparse.exists(_._4.isDefined),
+      "expected both matched and NULL-dim events under a partial dim")
   }
 
   test("left-outer stream-stream join: exact matches, nulls only past the watermark") {
