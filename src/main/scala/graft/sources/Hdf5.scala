@@ -60,7 +60,11 @@ import scala.collection.mutable.ArrayBuffer
   *    precise error, not silently-wrong data
   *  - compact attribute messages v1/v3 (numeric + string values) —
   *    enough for `units` / `scale_factor` / `add_offset` /
-  *    `_FillValue`
+  *    `_FillValue` — AND dense attribute storage (r15: Attribute
+  *    Info message → fractal heap of serialized attribute messages
+  *    indexed by a type-8 v2 name B-tree, the layout libver-latest
+  *    switches to past ~8 attributes; reuses the dense-group
+  *    structures verbatim)
   *
   * Out of scope, by design (throws with a precise message rather
   * than misreading): paged data blocks attached DIRECTLY to the EA
@@ -71,9 +75,8 @@ import scala.collection.mutable.ArrayBuffer
   * reference datatypes, vlen sequences over non-numeric bases,
   * enums over non-fixed-point bases,
   * compound/vlen-sequence/array ATTRIBUTE values (names
-  * parse, values stay empty), dense attribute storage (compact
-  * attributes cover the netCDF-4 per-variable metadata the ETL
-  * reads).
+  * parse, values stay empty), and shared (SOHM-table) dense
+  * attribute messages.
   *
   * Scale shape: identical to [[NetCdf]] — one file is one task; the
   * byte array arrives via Spark's `binaryFile` source and is parsed
@@ -345,10 +348,43 @@ object Hdf5 {
       case (8, p, _) => layout = parseLayout(b, p)
       case (11, p, _) => filters = parseFilters(b, p)
       case (12, p, sz) => parseAttr(b, p, sz).foreach(attrs += _)
+      case (21, p, _) => attrs ++= denseAttrs(b, p)
       case _ => ()
     }
     require(dtype != null && layout != null, s"dataset $name missing datatype/layout")
     H5Var(name, dtype, dims, layout, filters, attrs.toSeq, maxDims)
+  }
+
+  /** Dense attribute storage (r15) — the libver-latest layout once a
+    * variable crosses the compact-attribute threshold (default >8):
+    * an Attribute Info message (type 21) points at a fractal heap of
+    * serialized attribute messages indexed by a v2 name B-tree
+    * (record type 8: heap ID, message flags, creation order, name
+    * hash) — the SAME two structures dense groups already use, so
+    * this reuses [[FractalHeap]] and [[btreeV2Records]] verbatim.
+    * Iteration order follows the name index (hash order), matching
+    * how the reader surfaces attrs as an unordered bag.
+    */
+  private def denseAttrs(b: Buf, p: Long): Seq[Attr] = {
+    val flags = b.u8(p + 1)
+    var q = p + 2
+    if ((flags & 0x1) != 0) q += 2 // max creation index
+    val fheapAddr = b.u64(q)
+    val nameBtAddr = b.u64(q + 8)
+    if (fheapAddr == Undef || nameBtAddr == Undef) return Seq.empty
+    val heap = new FractalHeap(b, fheapAddr)
+    val (recSize, recs) = btreeV2Records(b, nameBtAddr)
+    require(recSize >= heap.idLen + 9,
+      s"attribute name-index record size $recSize too small for " +
+        s"heap ID ${heap.idLen} + flags/order/hash")
+    recs.flatMap { r =>
+      val (addr, len) = heap.get(b.slice(r, heap.idLen))
+      // shared-message flag on the record would point into the SOHM
+      // table, which this reader does not model — reject precisely
+      require(b.u8(r + heap.idLen) == 0,
+        "shared dense attribute message unsupported (SOHM table)")
+      parseAttr(b, addr, len.toInt)
+    }
   }
 
   // ---------------------------------------------------------------

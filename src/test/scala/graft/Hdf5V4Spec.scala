@@ -1222,6 +1222,87 @@ class Hdf5V4Spec extends AnyFunSuite {
       x.bytes(payload)
     }
 
+  /** Minimal dense-attribute store: one direct-root fractal heap
+    * (flags=0, so no direct-block checksums) holding each serialized
+    * v3 attribute message, plus a type-8 v2 name B-tree of
+    * (heapId 8, msgFlags 1, creationOrder 4, nameHash 4) records.
+    * Returns the Attribute Info (type 21) message body.
+    */
+  private def denseAttrStore(w: W, attrMsgs: Seq[Array[Byte]]): Array[Byte] = {
+    val offSz = 4; val lenSz = 3; val idLen = 1 + offSz + lenSz
+    // direct root block first: sig, ver, heap-header addr (patched),
+    // then this block's own heap-space offset (0)
+    val blk = w.pos
+    w.ascii("FHDB"); w.u8(0)
+    val hdrAddrAt = w.pos; w.u64(0)
+    w.uN(0, offSz)
+    val ids = attrMsgs.map { m =>
+      val off = w.pos - blk
+      w.bytes(m)
+      msgBytes { x => x.u8(0); x.uN(off, offSz); x.uN(m.length.toLong, lenSz) }
+    }
+    // heap header
+    val hdr = w.pos
+    w.patchU64(hdrAddrAt, hdr)
+    w.ascii("FRHP"); w.u8(0)
+    w.u16(idLen); w.u16(0) // no I/O filters
+    w.u8(0)                // flags: no block checksums
+    w.u32(4096)            // max managed object size
+    (0 until 12).foreach(_ => w.u64(0)) // statistics (unread)
+    w.u16(4)               // table width
+    w.u64(512)             // starting block size
+    w.u64(512)             // max direct size
+    w.u16(32)              // max heap bits -> offSz 4
+    w.u16(1)               // starting rows
+    w.u64(blk)             // root = the direct block
+    w.u16(1)               // current rows
+    w.u32(0)
+    w.patchU32(hdr + 142, w.cksum(hdr, hdr + 142))
+    // type-8 name index: heapId + msgFlags(0) + creation order + hash
+    val recs = ids.zipWithIndex.map { case (id, i) =>
+      msgBytes { x => x.bytes(id); x.u8(0); x.u32(i.toLong); x.u32(0xabc0L + i) }
+    }
+    val bt = btreeV2(w, btype = 8, recSize = idLen + 9, recs)
+    msgBytes { x => x.u8(0); x.u8(0); x.u64(hdr); x.u64(bt) }
+  }
+
+  /** v3 attribute message body (the dense-storage encoding). */
+  private def attrV3(aname: String, dtb: Array[Byte], dims: Seq[Long],
+                     payload: Array[Byte]): Array[Byte] =
+    msgBytes { x =>
+      val dsb = dataspaceMsg(dims)
+      x.u8(3); x.u8(0)
+      x.u16(aname.length + 1)
+      x.u16(dtb.length); x.u16(dsb.length)
+      x.u8(0) // name charset: ASCII
+      x.ascii(aname); x.u8(0)
+      x.bytes(dtb); x.bytes(dsb); x.bytes(payload)
+    }
+
+  test("dense attribute storage reads through the fractal heap + type-8 name index") {
+    val bytes = file { w =>
+      val data = w.pos
+      w.u32(7)
+      val attrInfo = denseAttrStore(w, Seq(
+        attrV3("scale_factor", f64Msg, Seq(1), f64le(0.25)),
+        attrV3("units", strMsg(8), Seq(1),
+          "W m-2".getBytes("ASCII") ++ Array[Byte](0, 0, 0)),
+        attrV3("valid_range", f64Msg, Seq(2),
+          f64le(-1.5) ++ f64le(99.0))))
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(1))), (3, int32Msg),
+        (8, contiguousMsg(data, 4)),
+        (21, attrInfo)))
+      rootFor(w, "d" -> d)
+    }
+    val attrs = Hdf5.parse(bytes)("d").attrs
+    assert(attrs.map(_.name).toSet ==
+      Set("scale_factor", "units", "valid_range"), s"$attrs")
+    assert(attrs.find(_.name == "scale_factor").get.num == Seq(0.25))
+    assert(attrs.find(_.name == "units").get.str == "W m-2")
+    assert(attrs.find(_.name == "valid_range").get.num == Seq(-1.5, 99.0))
+  }
+
   test("mixed-compound and vlen-sequence ATTRIBUTE values parse as named-but-empty, never misread") {
     val bytes = file { w =>
       val data = w.pos
