@@ -586,7 +586,13 @@ object Dedup {
                 hashKeys: Boolean = false): DataFrame = {
     val spans = documents
       .withColumn("w", graft.operators.TextAnalysis.tokens($"text"))
-      .filter(size($"w") >= 1) // sequence(0,-1) would DESCEND on an empty doc
+      // NOT an empty-doc exclusion: split(trim(text)) yields [""]
+      // (size 1) on an empty/whitespace doc, so such docs flow
+      // through as one ""-span that dedups against every other empty
+      // doc BY DESIGN (the oracle's len(w) >= 1 matches). What the
+      // guard does filter is a NULL text (size = -1), where
+      // sequence(0, -1) would descend (r16, ADVICE comment fix).
+      .filter(size($"w") >= 1)
       .select($"doc_id", posexplode(
         transform(sequence(lit(0), ceil(size($"w") / lit(span.toDouble))
             .cast("int") - 1),

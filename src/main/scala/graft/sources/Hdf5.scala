@@ -379,9 +379,15 @@ object Hdf5 {
         s"heap ID ${heap.idLen} + flags/order/hash")
     recs.flatMap { r =>
       val (addr, len) = heap.get(b.slice(r, heap.idLen))
-      // shared-message flag on the record would point into the SOHM
-      // table, which this reader does not model — reject precisely
-      require(b.u8(r + heap.idLen) == 0,
+      // the record's message-flags byte carries header-message flags;
+      // only the SHARED bit (0x02) changes what the heap object IS (a
+      // pointer into the SOHM table this reader does not model) —
+      // reject that bit specifically. Other bits (constant 0x01, the
+      // fail-on-unknown family) describe handling policy, not body
+      // layout, so the message still parses as a plain attribute
+      // (r16, ADVICE — a constant attribute used to trip the SOHM
+      // error with a misleading message).
+      require((b.u8(r + heap.idLen) & 0x02) == 0,
         "shared dense attribute message unsupported (SOHM table)")
       parseAttr(b, addr, len.toInt)
     }
@@ -500,6 +506,17 @@ object Hdf5 {
     }
 
     def get(heapId: Array[Byte]): (Long, Long) = { // (fileAddr, len)
+      // heap ID byte 0: bits 4-5 type (0 managed / 1 huge / 2 tiny),
+      // bits 6-7 version. Only MANAGED ids carry the offset+length
+      // layout decoded below — a HUGE id (an object past the heap's
+      // max managed size, e.g. a long dense-attribute value) stores a
+      // v2 B-tree key and a TINY id inlines the object bytes, so
+      // decoding either as offset/length would silently read garbage.
+      // Reject precisely (r16, ADVICE).
+      require((heapId(0) & 0x30) == 0,
+        f"huge/tiny fractal-heap object IDs unsupported (id type byte 0x${heapId(0) & 0xff}%02x)")
+      require((heapId(0) & 0xc0) == 0,
+        f"fractal-heap ID version ${(heapId(0) & 0xc0) >> 6} unsupported")
       val ib = new Buf(heapId)
       val off = ib.uN(1, offSz)
       val len = ib.uN(1 + offSz, lenSz)
@@ -763,8 +780,14 @@ object Hdf5 {
     // precise-rejection-over-misread rule for shapes a flat Attr
     // cannot carry without losing boundaries
     if (dt.cls == 6) {
+      // enum members (cls 8) decode as their fixed-point base through
+      // readElem, same as the dataset compound path's member guard at
+      // readCompound — parseDtype already rejects non-fixed-point
+      // enum bases (r16, ADVICE: the attribute path was the one
+      // consumer that left enum-over-int compounds named-but-empty)
       if (dt.members.nonEmpty &&
-          dt.members.forall(m => m.dtype.cls == 0 || m.dtype.cls == 1))
+          dt.members.forall(m =>
+            m.dtype.cls == 0 || m.dtype.cls == 1 || m.dtype.cls == 8))
         return Some(Attr(name, Seq.empty, "", dt.members.map(m =>
           m.name -> (0L until n).map(i =>
             readElem(b.bytes, q + i * dt.size + m.offset, m.dtype)))))

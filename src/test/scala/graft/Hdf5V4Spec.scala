@@ -1228,7 +1228,9 @@ class Hdf5V4Spec extends AnyFunSuite {
     * (heapId 8, msgFlags 1, creationOrder 4, nameHash 4) records.
     * Returns the Attribute Info (type 21) message body.
     */
-  private def denseAttrStore(w: W, attrMsgs: Seq[Array[Byte]]): Array[Byte] = {
+  private def denseAttrStore(w: W, attrMsgs: Seq[Array[Byte]],
+                             idTypeByte: Int = 0,
+                             msgFlags: Int = 0): Array[Byte] = {
     val offSz = 4; val lenSz = 3; val idLen = 1 + offSz + lenSz
     // direct root block first: sig, ver, heap-header addr (patched),
     // then this block's own heap-space offset (0)
@@ -1239,7 +1241,7 @@ class Hdf5V4Spec extends AnyFunSuite {
     val ids = attrMsgs.map { m =>
       val off = w.pos - blk
       w.bytes(m)
-      msgBytes { x => x.u8(0); x.uN(off, offSz); x.uN(m.length.toLong, lenSz) }
+      msgBytes { x => x.u8(idTypeByte); x.uN(off, offSz); x.uN(m.length.toLong, lenSz) }
     }
     // heap header
     val hdr = w.pos
@@ -1260,7 +1262,7 @@ class Hdf5V4Spec extends AnyFunSuite {
     w.patchU32(hdr + 142, w.cksum(hdr, hdr + 142))
     // type-8 name index: heapId + msgFlags(0) + creation order + hash
     val recs = ids.zipWithIndex.map { case (id, i) =>
-      msgBytes { x => x.bytes(id); x.u8(0); x.u32(i.toLong); x.u32(0xabc0L + i) }
+      msgBytes { x => x.bytes(id); x.u8(msgFlags); x.u32(i.toLong); x.u32(0xabc0L + i) }
     }
     val bt = btreeV2(w, btype = 8, recSize = idLen + 9, recs)
     msgBytes { x => x.u8(0); x.u8(0); x.u64(hdr); x.u64(bt) }
@@ -1352,5 +1354,70 @@ class Hdf5V4Spec extends AnyFunSuite {
       "lo" -> Seq(1.0, -4.0), "hi" -> Seq(2.5, 9.0)), s"$rng")
     val gains = attrs.find(_.name == "gains").get
     assert(gains.num == Seq(0.5, 1.0, -2.0), s"$gains")
+  }
+
+  /** One dense-attribute fixture with the store knobs exposed — the
+    * three r16 ADVICE paths exercise it with a HUGE-typed heap ID, a
+    * constant-flagged record, and a shared-flagged record.
+    */
+  private def denseFixture(idTypeByte: Int = 0, msgFlags: Int = 0): Array[Byte] =
+    file { w =>
+      val data = w.pos
+      w.u32(7)
+      val attrInfo = denseAttrStore(w,
+        Seq(attrV3("scale_factor", f64Msg, Seq(1), f64le(0.25))),
+        idTypeByte = idTypeByte, msgFlags = msgFlags)
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(1))), (3, int32Msg),
+        (8, contiguousMsg(data, 4)),
+        (21, attrInfo)))
+      rootFor(w, "d" -> d)
+    }
+
+  test("HUGE/TINY fractal-heap object IDs reject precisely, never decode as managed offsets") {
+    // type bits 0x10 = HUGE: the ID body is a v2 B-tree key, so the
+    // managed offset/length decode would read garbage — must reject
+    val huge = intercept[IllegalArgumentException](
+      Hdf5.parse(denseFixture(idTypeByte = 0x10)))
+    assert(huge.getMessage.contains("huge/tiny"), huge.getMessage)
+    val tiny = intercept[IllegalArgumentException](
+      Hdf5.parse(denseFixture(idTypeByte = 0x20)))
+    assert(tiny.getMessage.contains("huge/tiny"), tiny.getMessage)
+    val ver = intercept[IllegalArgumentException](
+      Hdf5.parse(denseFixture(idTypeByte = 0x40)))
+    assert(ver.getMessage.contains("version"), ver.getMessage)
+  }
+
+  test("constant-flagged dense attribute parses; only the SHARED bit is the SOHM rejection") {
+    // 0x01 = constant: handling policy, not body layout — must parse
+    val attrs = Hdf5.parse(denseFixture(msgFlags = 0x01))("d").attrs
+    assert(attrs.exists(a => a.name == "scale_factor" && a.num == Seq(0.25)),
+      s"$attrs")
+    // 0x02 = shared: the heap object is a SOHM pointer, not a message
+    val shared = intercept[IllegalArgumentException](
+      Hdf5.parse(denseFixture(msgFlags = 0x02)))
+    assert(shared.getMessage.contains("SOHM"), shared.getMessage)
+  }
+
+  test("compound ATTRIBUTE with an enum-over-int member decodes as the base") {
+    val labels = Seq("clear" -> 0, "cloudy" -> 1, "missing" -> 2)
+    val bytes = file { w =>
+      val data = w.pos
+      w.u32(7)
+      // {flag enum-i32 @0, v int32 @4} — 8-byte elements, 2 records
+      val payload = msgBytes { x =>
+        x.u32(2); x.u32(7); x.u32(0); x.u32((-3).toLong & 0xffffffffL)
+      }
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(1))), (3, int32Msg),
+        (8, contiguousMsg(data, 4)),
+        (12, attrMsgV1("qc",
+          compoundV3Msg(8, Seq(("flag", 0, enumI32Msg(labels)), ("v", 4, int32Msg))),
+          Seq(2), payload))))
+      rootFor(w, "d" -> d)
+    }
+    val qc = Hdf5.parse(bytes)("d").attrs.find(_.name == "qc").get
+    assert(qc.fields == Seq(
+      "flag" -> Seq(2.0, 0.0), "v" -> Seq(7.0, -3.0)), s"$qc")
   }
 }
