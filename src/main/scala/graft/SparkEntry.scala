@@ -294,6 +294,12 @@ object SparkEntry {
     // highest-quality (q31) doc per duplicate cluster
     "q123_dedup_keep_best" -> ((s, d) =>
       Dedup.dedupKeepBest(Tables.documents(s, d))),
+    // ExactSubstr-style removal at ARBITRARY alignment: rolling
+    // k-token windows (q98's measurement) composed into per-doc
+    // covered-interval cuts — catches the offset duplicates q122's
+    // fixed tiles provably miss
+    "q124_exact_substring_removal" -> ((s, d) =>
+      Dedup.exactSubstrRemoval(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1859,5 +1865,43 @@ object SparkEntry {
         FROM cc c JOIN cs s ON c.cluster_id = s.cluster_id
         JOIN qual q ON q.doc_id = c.doc_id
         ORDER BY c.doc_id""",
+    // rolling 8-token windows; every occurrence after the globally
+    // first (doc_id, pos) covers its 8 tokens; covered tokens cut and
+    // docs rebuilt from the survivors (mirrors Dedup.exactSubstrRemoval)
+    "q124_exact_substring_removal" ->
+      """WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        wins AS (
+          SELECT doc_id, wp.pos AS pos, wp.fp AS fp FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+              i -> struct_pack(pos := i,
+                fp := md5(array_to_string(w[i:i+7], ' '))))) AS wp
+            FROM toks WHERE len(w) >= 8) t),
+        dups AS (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, ROW_NUMBER() OVER
+              (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+            FROM wins) t WHERE rn > 1),
+        idx AS (
+          SELECT doc_id, unnest(range(1, len(w) + 1)) AS ti FROM toks),
+        cov AS (
+          SELECT DISTINCT i.doc_id, i.ti FROM idx i JOIN dups d
+            ON i.doc_id = d.doc_id
+            AND i.ti >= d.pos AND i.ti <= d.pos + 7),
+        kept AS (
+          SELECT i.doc_id, i.ti FROM idx i LEFT JOIN cov c
+            ON i.doc_id = c.doc_id AND i.ti = c.ti
+          WHERE c.ti IS NULL),
+        agg AS (
+          SELECT k.doc_id, COUNT(*) AS n_kept,
+            string_agg(t.w[CAST(k.ti AS INT)], ' ' ORDER BY k.ti) AS clean_text
+          FROM kept k JOIN toks t USING (doc_id) GROUP BY 1)
+        SELECT t.doc_id,
+          CAST(len(t.w) AS BIGINT) AS n_tokens,
+          CAST(len(t.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS removed_tokens,
+          COALESCE(a.clean_text, '') AS clean_text
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id""",
   )
 }

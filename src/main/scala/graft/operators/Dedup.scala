@@ -617,6 +617,98 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Exact-substring REMOVAL at arbitrary alignment (q124) — the Lee
+    * et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499) ExactSubstr semantics that the
+    * tile-aligned [[lineDedup]] (q122) cannot express: a duplicated
+    * passage OFFSET by one token slips between q122's fixed 5-token
+    * tiles and survives removal, while [[substringDedup]] (q98)
+    * already *measures* it via rolling windows. This operator closes
+    * the loop: every rolling k-token window that also occurs at an
+    * earlier (doc_id, pos) — the same globally-first rule as q122,
+    * made alignment-free by the rolling step — marks its k tokens as
+    * covered; covered positions are cut and the document reassembled
+    * from the survivors, so only the corpus-first copy of any
+    * duplicated run of ≥ k tokens keeps it.
+    *
+    * Shape (three corpus passes, ScanCountGate allowance 3 — the q107
+    * precedent where passes beat materializing): (1) the rolling
+    * window stream (|tokens| rows of (fingerprint, doc_id, pos) —
+    * the k× string amplification never leaves the row, q98's trick);
+    * (2) first occurrences as groupBy(fp).agg(min(struct(doc_id,
+    * pos))) — an AGGREGATE, not a window, because duplicated windows
+    * are hot keys by definition (q122's 10⁸-repeat nav-bar argument:
+    * partial agg crushes them map-side, and the join back is the AQE
+    * skew-join case with a one-row-per-fp build side); duplicated
+    * occurrences then collapse to ONE bounded row per document
+    * (sorted position array — bounded by the document's own token
+    * count, never by corpus growth); (3) the reconstruction joins
+    * that per-doc row back to the token arrays on doc_id. The
+    * interval union + complement + reassembly is a single O(tokens +
+    * dups) fold per document — pure per-row expression work, no
+    * shuffle. `hashFingerprints = true` is the production key (q98's
+    * rule): xxhash64 windows put 8 bytes through both shuffles
+    * instead of 32-hex md5, identical output barring a 2⁻⁶⁴
+    * collision; the declared query keeps md5 so the oracle reproduces
+    * the grouping byte-for-byte.
+    *
+    * Output: per document, token total, removed-token count, and the
+    * cleaned text (the q122 contract; empty when every token was
+    * covered — a pure re-crawl).
+    */
+  def exactSubstrRemoval(documents: DataFrame, k: Int = 8,
+                         hashFingerprints: Boolean = false): DataFrame = {
+    require(k >= 2, s"window width k=$k must be >= 2")
+    val fpOf: Column => Column =
+      if (hashFingerprints) xxhash64(_) else md5(_)
+    val wins = documents
+      .withColumn("w", TextAnalysis.tokens($"text"))
+      .filter(size($"w") >= k)
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(1), size($"w") - (k - 1)), i =>
+          fpOf(concat_ws(" ", (0 until k).map(j => element_at($"w", i + j)): _*))))
+        .as(Seq("p0", "fp")))
+      .select($"doc_id", ($"p0" + 1).as("pos"), $"fp")
+    val firsts = wins.groupBy($"fp")
+      .agg(min(struct($"doc_id", $"pos")).as("first"))
+    // one bounded row per affected doc: the sorted start positions of
+    // its non-first (duplicated) windows
+    val dups = wins.join(firsts, Seq("fp"))
+      .filter(!($"doc_id" === $"first.doc_id" && $"pos" === $"first.pos"))
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list($"pos")).as("dups"))
+    val toks = documents
+      .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
+      // NULL-text guard only — empty docs flow through as one ""
+      // token, the lineDedup/oracle convention
+      .filter(size($"w") >= 1)
+      .withColumn("n", size($"w"))
+    // fold the sorted duplicated starts into the KEPT index list
+    // directly: `nxt` is the next still-uncovered candidate position;
+    // each dup start p contributes the gap [nxt, p-1] (when nonempty)
+    // and advances coverage through p+k-1. O(tokens + dups) per doc.
+    val zero = struct(
+      array().cast("array<int>").as("kept"), lit(1).as("nxt"))
+    val keptIdx = aggregate(
+      coalesce($"dups", array().cast("array<int>")),
+      zero,
+      (acc, p) => struct(
+        concat(acc("kept"),
+          when(p > acc("nxt"), sequence(acc("nxt"), p - 1))
+            .otherwise(array().cast("array<int>"))).as("kept"),
+        greatest(acc("nxt"), p + k).as("nxt")),
+      acc => concat(acc("kept"),
+        when($"n" >= acc("nxt"), sequence(acc("nxt"), $"n"))
+          .otherwise(array().cast("array<int>"))))
+    toks.join(dups, Seq("doc_id"), "left")
+      .withColumn("kept_idx", keptIdx)
+      .select($"doc_id", $"n".cast("long").as("n_tokens"),
+        ($"n" - size($"kept_idx")).cast("long").as("removed_tokens"),
+        concat_ws(" ",
+          transform($"kept_idx", t => element_at($"w", t))).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
   /** Cluster-representative selection (q123) — the retention decision
     * that follows clustering: within every duplicate cluster from
     * [[dupClusters]] (q66), keep the single highest-quality document

@@ -325,6 +325,26 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(k10 == 10 * k1, s"10× kept spans $k10 != 10 × $k1")
   }
 
+  test("10×: q124 substring removal is exactly linear in copies") {
+    import org.apache.spark.sql.functions.sum
+    val dir10 = "/tmp/sf1"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir10/_MANIFEST.json")),
+      "10× scale point absent — python3 tools/gen_sf1.py")
+    // same bijection argument as the q122 twins: per-copy word
+    // suffixes keep rolling windows from ever colliding across
+    // copies, and doc-id order within a copy mirrors copy 0, so the
+    // global-first decision replays per copy and the removed-token
+    // total must be EXACTLY 10× the 1× total
+    def removedTotal(dir: String): Long =
+      operators.Dedup.exactSubstrRemoval(Tables.documents(spark, dir))
+        .agg(sum("removed_tokens")).head().getLong(0)
+    val r1 = removedTotal("/root/testdata/sf0.1")
+    val r10 = removedTotal(dir10)
+    assert(r1 > 0, "1× corpus has no duplicated windows to remove")
+    assert(r10 == 10 * r1, s"10× removed tokens $r10 != 10 × $r1")
+  }
+
   test("10×: fuzzy dictionary grows on its natural axis; plan-stats pick flips to PassJoin with scale") {
     import org.apache.spark.sql.functions.{concat, xxhash64}
     val dir10 = "/tmp/sf1"

@@ -97,6 +97,14 @@ class ScanCountGateSpec extends AnyFunSuite {
     // keep/drop so doc totals, survivor counts and the reconstruction
     // come from ONE per-doc aggregation — no third pass over text
     "q122_line_dedup" -> Map("documents" -> 2),
+    // rolling-window first-occurrence aggregate + join probe side
+    // (q122's two), plus the reconstruction join of the ONE-row-per-
+    // doc covered-interval frame back to the token arrays — unlike
+    // q122 the removal unit (rolling window) is not a tiling, so the
+    // cleaned text cannot be reassembled from the window stream
+    // itself; the third bounded pass beats materializing the corpus
+    // (the q107 argument)
+    "q124_exact_substring_removal" -> Map("documents" -> 3),
     // ADC shortlist code scan + exact re-rank vector fetch — the
     // two-stage PQ deployment by construction (at 100 TB the first
     // scan reads 4-byte codes, only the second touches vectors, for
