@@ -300,6 +300,11 @@ object SparkEntry {
     // fixed tiles provably miss
     "q124_exact_substring_removal" -> ((s, d) =>
       Dedup.exactSubstrRemoval(Tables.documents(s, d))),
+    // perceptual-hash (dHash) image dedup over the decoded image
+    // shard, hamming-banded (rows-only: DuckDB has no PPM decoder;
+    // brightness-invariance + planted-collision specs pin it)
+    "q125_image_near_dup" -> ((s, d) =>
+      Dedup.imageNearDup(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented

@@ -192,22 +192,46 @@ object Dedup {
     voted.select($"doc_id", hashExpr.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on 4 × 16-bit bands (two docs
-    * within hamming distance 3 must agree on ≥1 band), then verify
-    * with exact popcount of the XOR.
+  /** Shared hamming-band pairing kernel: block a (doc_id, <hash>)
+    * frame on 4 × 16-bit bands of the 64-bit hash (two hashes within
+    * hamming distance 3 must agree on ≥1 band — pigeonhole), then
+    * verify candidates with the exact popcount of the XOR. Candidate
+    * generation is an equi-join on (band, band_val), never all pairs.
+    *
+    * `maxBandDf` is the hot-bucket guard (the [[MaxShingleDf]] move
+    * applied to bands): a DEGENERATE band — one whose value is shared
+    * corpus-wide, e.g. the all-zero band a uniform image region or an
+    * all-stopword simhash tail produces — would put the whole corpus
+    * in one bucket and turn the join quadratic. Band buckets above
+    * the cap are dropped from candidate generation only; the
+    * documented recall trade is a pair whose ≤`maxHamming` differing
+    * bits hit every NON-hot band it shares (a pair held together only
+    * by a signal-free uniform band), while any pair agreeing on one
+    * discriminative band — every planted near-dup spec — is
+    * unaffected.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(documents)
-    val banded = sh.select($"doc_id", $"simhash",
+  private[graft] def hammingBandPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int, maxBandDf: Long = Long.MaxValue): DataFrame = {
+    val banded = hashes.select($"doc_id", col(hashCol).as("h"),
         explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("band_val",
-        expr("(simhash >> (band * 16)) & 65535").as("band_val"))
-    val cands = banded.as("a").join(banded.as("b"),
+      .withColumn("band_val", expr("(h >> (band * 16)) & 65535"))
+    val kept =
+      if (maxBandDf == Long.MaxValue) banded
+      else {
+        // the hot set is tiny by construction (≤ 4·n/maxBandDf
+        // buckets), so the anti-join broadcasts
+        val hot = banded.groupBy($"band", $"band_val")
+          .agg(count(lit(1)).as("df"))
+          .filter($"df" > maxBandDf)
+          .select($"band", $"band_val")
+        banded.join(broadcast(hot), Seq("band", "band_val"), "left_anti")
+      }
+    val cands = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
       .dropDuplicates("doc_a", "doc_b")
     cands
       .withColumn("hamming", bit_count($"h_a".bitwiseXOR($"h_b")))
@@ -215,6 +239,13 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"hamming")
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** SimHash near-dup pairs: block on 4 × 16-bit bands (two docs
+    * within hamming distance 3 must agree on ≥1 band), then verify
+    * with exact popcount of the XOR.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(simhash(documents), "simhash", maxHamming)
 
   /** Duplicate-cluster assignment: connected components over the union
     * of exact-dup edges (same content digest) and near-dup edges
@@ -615,6 +646,43 @@ object Dedup {
             e => e("keep")),
           e => e("s"))).as("dedup_text"))
       .orderBy($"doc_id")
+  }
+
+  /** Default band-bucket document-frequency cap for [[imageNearDup]]:
+    * above any bucket occupancy the sf0.1 corpus produces in a
+    * DISCRIMINATIVE band (output provably unchanged there), low
+    * enough that the degenerate uniform-region bands — the
+    * dot-padding tail of the synthesized image shard puts ~every
+    * image's bands 2-3 at the same value — cannot keep the candidate
+    * join quadratic as the corpus grows (they are dropped the moment
+    * their occupancy crosses the cap, spec-measured at 10×).
+    */
+  val MaxImageBandDf: Long = 2000L
+
+  /** Image near-duplicate dedup (q125) — perceptual-hash dedup over
+    * the DECODED image shard: [[Multimodal.MediaDecoder.dHash]] (a
+    * 9×8 luma-gradient difference hash, exactly invariant under
+    * uniform brightness shift — re-encode/brighten copies collide at
+    * hamming 0) bucketed through the q26 simhash band machinery
+    * ([[hammingBandPairs]]). The standard production shape for image
+    * corpora: decode once (`mapPartitions`, codec init amortized per
+    * partition), keep 8 bytes per image, and pair inside hamming
+    * bands — never all pairs.
+    *
+    * The hash frame is localCheckpointed so the two band-join sides
+    * reuse ONE decode pass (the minhashLsh signature precedent) —
+    * at 100 TB the decode dominates and must not run twice. The
+    * degenerate-band hazard is real here, not theoretical: uniform
+    * image regions (borders, letterboxing, the test shard's dot
+    * padding) zero out whole bands corpus-wide, so the
+    * [[MaxImageBandDf]] cap is what keeps candidates linear — the
+    * 10× spec measures the drop engaging.
+    */
+  def imageNearDup(documents: DataFrame, maxHamming: Int = 3,
+                   maxBandDf: Long = MaxImageBandDf): DataFrame = {
+    val hashes = Multimodal.imageDHashes(Multimodal.asMultimodal(documents))
+      .localCheckpoint(true)
+    hammingBandPairs(hashes, "dhash", maxHamming, maxBandDf)
   }
 
   /** Exact-substring REMOVAL at arbitrary alignment (q124) — the Lee

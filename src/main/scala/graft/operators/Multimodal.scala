@@ -139,6 +139,49 @@ object Multimodal {
         img.maxval.toDouble)
     }
 
+    /** 64-bit difference hash (dHash) of a decoded raster — the
+      * standard perceptual image fingerprint (average-pool the luma
+      * onto a 9×8 grid, one bit per horizontally-adjacent cell pair:
+      * right cell brighter than left). All integer math: cell sums
+      * are exact longs and the mean comparison is done by
+      * cross-multiplication (sumR·cntL > sumL·cntR), so the hash is
+      * deterministic on any partitioning AND exactly invariant under
+      * a uniform brightness shift — adding c to every channel adds c
+      * to the integer luma (r+2g+b+4c)/4 = luma + c, which cancels in
+      * the cross-multiplied compare (spec-pinned). Cells that receive
+      * no pixels (width < 9) compare 0 vs 0 → bit 0.
+      */
+    def dHash(img: PpmImage): Long = {
+      val gw = 9; val gh = 8
+      val sums = Array.ofDim[Long](gh, gw)
+      val cnts = Array.ofDim[Long](gh, gw)
+      val n = img.width.toLong * img.height
+      var p = 0L; var i = 0
+      while (p < n) {
+        val r = img.pixels(i) & 0xFF
+        val g = img.pixels(i + 1) & 0xFF
+        val b = img.pixels(i + 2) & 0xFF
+        val x = (p % img.width).toInt; val y = (p / img.width).toInt
+        val gx = (x.toLong * gw / img.width).toInt
+        val gy = (y.toLong * gh / img.height).toInt
+        sums(gy)(gx) += (r + 2 * g + b) / 4
+        cnts(gy)(gx) += 1
+        i += 3; p += 1
+      }
+      var h = 0L; var bit = 0
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw - 1) {
+          if (sums(gy)(gx + 1) * cnts(gy)(gx) >
+              sums(gy)(gx) * cnts(gy)(gx + 1)) h |= 1L << bit
+          bit += 1; gx += 1
+        }
+        gy += 1
+      }
+      h
+    }
+
     /** Deterministic byte statistics for non-image modalities — the
       * same output shape as the image path, over the raw bytes.
       */
@@ -228,6 +271,29 @@ object Multimodal {
         element_at($"features", 2).as("f_distinct_bytes"),
         element_at($"features", 3).as("f_mean_byte"))
       .orderBy($"doc_id")
+
+  /** Per-image 64-bit dHash table: decode every `image`-modality
+    * payload and emit its perceptual fingerprint. Undecodable
+    * payloads are DROPPED (flatMap on the decode Option) — a
+    * near-dup pair over garbage bytes is meaningless, unlike
+    * [[decodeFeatures]] whose -1 marker keeps them visible for
+    * data-quality accounting. One `mapPartitions` pass, 1 long out
+    * per image — the hash table is the tiny artifact the pairing
+    * self-join runs on.
+    */
+  def imageDHashes(multimodal: DataFrame): DataFrame = {
+    val spark = multimodal.sparkSession
+    import spark.implicits.newProductEncoder
+    multimodal
+      .filter($"modality" === "image")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        MediaDecoder.decodePpm(payload)
+          .map(img => (id, MediaDecoder.dHash(img)))
+      })
+      .toDF("doc_id", "dhash")
+  }
 
   /** Frame sampling: split each payload into fixed-width frames and
     * keep every `stride`-th one — the video keyframe-sampling access

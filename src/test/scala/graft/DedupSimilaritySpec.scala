@@ -488,6 +488,81 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "xxhash64 span keys changed the keep-first output")
   }
 
+  // ---- q125 imageNearDup: perceptual-hash image dedup ----
+
+  /** A 16×16 P6 payload with the given pixel-byte generator. */
+  private def ppm16(px: Int => Int): Array[Byte] =
+    ("P6\n16 16\n255\n").getBytes("ASCII") ++
+      Array.tabulate(768)(i => (px(i) & 0xFF).toByte)
+
+  test("q125 dHash is exactly invariant under uniform brightness shift; distinct images separate") {
+    import graft.operators.Multimodal.MediaDecoder
+    // pseudo-random pixels capped at 240 so +10 never clamps
+    val rng = new scala.util.Random(11)
+    val base = Array.fill(768)(rng.nextInt(241))
+    val img = MediaDecoder.decodePpm(ppm16(base(_))).get
+    val brighter = MediaDecoder.decodePpm(ppm16(i => base(i) + 10)).get
+    assert(MediaDecoder.dHash(img) == MediaDecoder.dHash(brighter),
+      "brightness shift changed the dHash — the cross-multiplied " +
+        "integer compare should cancel a uniform +c exactly")
+    // a genuinely different image (reversed pixel stream) must be far
+    // in hamming space — the separation side of the invariance claim
+    val other = MediaDecoder.decodePpm(ppm16(i => base(767 - i))).get
+    val d = java.lang.Long.bitCount(
+      MediaDecoder.dHash(img) ^ MediaDecoder.dHash(other))
+    assert(d > 3, s"distinct images landed within the near-dup radius: hamming $d")
+  }
+
+  test("q125 planted pipeline: identical-text images collide at hamming 0, different text does not") {
+    import spark.implicits._
+    // ids 0/5/10 all land in the image shard (doc_id % 5 == 0)
+    val textA = "the quick brown fox jumps over the lazy dog and keeps going for a while"
+    val textB = "zzzzz qqqqq wwwww mmmmm xxxxx zzzzz qqqqq wwwww mmmmm xxxxx zzzzz qqqqq"
+    val docs = Seq(
+      (0L, textA, "en", "s", textA.length.toLong),
+      (5L, textA, "en", "s", textA.length.toLong),
+      (10L, textB, "en", "s", textB.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.imageNearDup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((0L, 5L, 0L)),
+      s"planted image collision mismatch: $out")
+  }
+
+  test("q125 hot-band cap drops the degenerate-band blob but keeps diverse-band pairs") {
+    import spark.implicits._
+    // six hashes, all sharing zeroed bands 2-3 (the uniform-region
+    // degenerate case); docs 1/2 identical (agree on the diverse band
+    // 0), docs 3-6 far apart everywhere else
+    val h12 = 0x1234L | (0xABCDL << 16)
+    val hashes = (Seq((1L, h12), (2L, h12)) ++
+      Seq(3L -> 0x00FFL, 4L -> 0xFF00L, 5L -> 0x0F0FL, 6L -> 0xF0F0L)
+        .map { case (id, b0) => (id, b0 | (id * 0x1111L) << 16) })
+      .toDF("doc_id", "dhash")
+    val capped = Dedup.hammingBandPairs(hashes, "dhash",
+        maxHamming = 3, maxBandDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(capped == Seq((1L, 2L, 0L)),
+      s"capped banding mismatch: $capped")
+    // without the cap the verify stage filters the same blob — the cap
+    // changes candidate COST, not this corpus's output
+    val uncapped = Dedup.hammingBandPairs(hashes, "dhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(uncapped == capped, s"cap changed output: $uncapped vs $capped")
+  }
+
+  test("q125 undecodable image payloads are dropped, not hashed") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val df = Seq(
+      (0L, "image", "P6\n2 2\n255\n".getBytes("ASCII") ++ Array.fill[Byte](12)(7)),
+      (5L, "image", "NOT A PPM".getBytes("ASCII")),
+      (7L, "text", "hello".getBytes("ASCII")))
+      .toDF("doc_id", "modality", "payload")
+    val ids = Multimodal.imageDHashes(df).collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(0L), s"unexpected hash rows: $ids")
+  }
+
   // ---- q124 exactSubstrRemoval: alignment-free substring removal ----
 
   test("q124 removes the offset duplicate that q122's fixed tiles provably miss") {

@@ -345,6 +345,41 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(r10 == 10 * r1, s"10× removed tokens $r10 != 10 × $r1")
   }
 
+  test("10×: q125 hot-band cap engages while every exact image dup stays found") {
+    import org.apache.spark.sql.functions._
+    val dir10 = "/tmp/sf1"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir10/_MANIFEST.json")),
+      "10× scale point absent — python3 tools/gen_sf1.py")
+    // the synthesized image shard's dot-padding zeroes bands 2-3
+    // corpus-wide, so their buckets cross MaxImageBandDf at 10× and
+    // get dropped — candidate generation must NOT be quadratic there
+    val h10 = operators.Multimodal.imageDHashes(
+      operators.Multimodal.asMultimodal(Tables.documents(spark, dir10)))
+      .localCheckpoint(true)
+    val occ = h10.select(col("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("band"),
+        col("dhash"))
+      .withColumn("bv", expr("(dhash >> (band * 16)) & 65535"))
+      .groupBy("band", "bv").count()
+    val hotBuckets = occ.filter(col("count") > operators.Dedup.MaxImageBandDf).count()
+    assert(hotBuckets >= 2,
+      s"expected the degenerate dot-padding bands to cross the cap at 10×, got $hotBuckets hot buckets")
+    // recall under the engaged cap: every 1× hamming-0 pair (copy 0 is
+    // byte-identical in the 10× corpus) must still be found — identical
+    // hashes agree on the DIVERSE text bands, which stay under the cap
+    def zeroPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.filter(col("hamming") === 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val z1 = zeroPairs(operators.Dedup.imageNearDup(
+      Tables.documents(spark, "/root/testdata/sf0.1")))
+    val z10 = zeroPairs(operators.Dedup.imageNearDup(
+      Tables.documents(spark, dir10)))
+    assert(z1.nonEmpty, "1× corpus has no exact image dups to track")
+    assert(z1.subsetOf(z10),
+      s"cap lost exact image dups at 10×: ${(z1 -- z10).take(5)}")
+  }
+
   test("10×: fuzzy dictionary grows on its natural axis; plan-stats pick flips to PassJoin with scale") {
     import org.apache.spark.sql.functions.{concat, xxhash64}
     val dir10 = "/tmp/sf1"
