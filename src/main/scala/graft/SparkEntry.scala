@@ -305,6 +305,12 @@ object SparkEntry {
     // brightness-invariance + planted-collision specs pin it)
     "q125_image_near_dup" -> ((s, d) =>
       Dedup.imageNearDup(Tables.documents(s, d))),
+    // FAISS-style IVFPQ fusion: q45's trained coarse cells restrict
+    // q111's ADC code scan to nProbe cells before the exact re-rank
+    // (rows-only: iterative two-trainer composition; recall floors
+    // and the candidate-volume law are spec-pinned)
+    "q126_ivfpq_topk" -> ((s, d) =>
+      Similarity.ivfpqTopK(Tables.embeddings(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented

@@ -686,6 +686,171 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** One map-only projection emitting BOTH the coarse-cell assignment
+    * and the PQ codes — the IVFPQ encode pass. Cell argmin and every
+    * sub-codebook argmin run against inlined literals inside the same
+    * scan projection (no join, no shuffle); `coarse` must be sorted
+    * by cid so positional tie-break equals [[assignCells]]'s (d2, cid)
+    * rule.
+    */
+  private def encodeCellsLit(embeddings: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Seq[Long]]],
+      coarse: IndexedSeq[(Long, Seq[Long])]): DataFrame = {
+    val spans = spansOf(cents)
+    val coarseLit = typedlit(coarse.map(_._2.toList).toList)
+    val cidsLit = typedlit(coarse.map(_._1).toList)
+    quantizedNonEmpty(embeddings).select(
+      $"vec_id" +:
+      element_at(cidsLit, bestCode($"v", coarseLit, coarse.size) + 1).as("cid") +:
+      cents.indices.map { m =>
+        val (start, len) = spans(m)
+        bestCode(slice($"v", start + 1, len),
+          typedlit(cents(m).map(_.toSeq)), cents(m).size).as(s"c$m")
+      }: _*)
+  }
+
+  /** The IVFPQ scan core: ADC shortlist restricted to each query's
+    * `nProbe` nearest coarse cells. The probe lists and per-query
+    * distance tables are driver-computed (nQueries × nCells and
+    * nQueries × nSub × kCodes longs) and inlined; the INVERSE probe
+    * map (cell → queries) drives an explode, so a corpus row fans out
+    * ONLY to the queries that probe its cell — unprobed (query, vec)
+    * pairs never exist, neither as ADC arithmetic nor as shuffle
+    * rows. The only shuffle is the per-query top-r window over the
+    * surviving candidates — nProbe/nCells of the flat-PQ q111 volume.
+    */
+  private def ivfpqCore(embeddings: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Seq[Long]]],
+      coarse: IndexedSeq[(Long, Seq[Long])],
+      qRows: Array[org.apache.spark.sql.Row],
+      nProbe: Int, r: Int): DataFrame = {
+    val spans = spansOf(cents)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // per-query probed cells: argmin-d2 with (d2, cid) tie-break —
+    // the assignCellsProbed rule, replayed on the driver
+    val probe: Map[Long, Seq[Long]] = qRows.map { row =>
+      val v = row.getSeq[Long](1)
+      row.getLong(0) -> coarse.map { case (cid, cv) => (d2(v, cv), cid) }
+        .sorted.take(nProbe).map(_._2)
+    }.toMap
+    val inv: Map[Long, List[Long]] = probe.toSeq
+      .flatMap { case (q, cells) => cells.map(_ -> q) }
+      .groupBy(_._1).map { case (c, qs) => c -> qs.map(_._2).sorted.toList }
+    val dtab: Map[Long, List[List[Long]]] = qRows.map { row =>
+      val v = row.getSeq[Long](1)
+      row.getLong(0) -> cents.indices.map { m =>
+        val (start, len) = spans(m)
+        val qs = v.slice(start, start + len)
+        cents(m).map(cv => d2(qs, cv)).toList
+      }.toList
+    }.toMap
+    val invLit = typedlit(inv)
+    val dtabLit = typedlit(dtab)
+    val adc = cents.indices.map { m =>
+      element_at(element_at(element_at(dtabLit, $"query_id"), m + 1),
+        col(s"c$m") + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy($"query_id").orderBy($"adc_d2", $"vec_id")
+    encodeCellsLit(embeddings, cents, coarse)
+      .select($"vec_id" +: $"cid" +: cents.indices.map(m => col(s"c$m")) :+
+        explode(coalesce(element_at(invLit, $"cid"),
+          typedlit(List.empty[Long]))).as("query_id"): _*)
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("adc_d2", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= r)
+      .select($"query_id", $"vec_id", $"cid", $"adc_d2", $"rank")
+  }
+
+  private def ivfpqTrained(embeddings: DataFrame, nCells: Int, nSub: Int,
+      kCodes: Int, iters: Int, nQueries: Int) = {
+    val coarse = kmeansTrain(embeddings, nCells, iters).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toIndexedSeq.sortBy(_._1)
+    val cents = pqTrainDriver(embeddings, nSub, kCodes, iters)
+    val qRows = quantizedNonEmpty(embeddings)
+      .filter($"vec_id" < nQueries).orderBy($"vec_id").collect()
+    (coarse, cents, qRows)
+  }
+
+  /** IVFPQ shortlist with its own training pass — exposed so the
+    * candidate-volume law (∝ nProbe/nCells at constant occupancy) is
+    * spec-measurable with an unbounded `r`.
+    */
+  def ivfpqShortlist(embeddings: DataFrame, nCells: Int = 16,
+                     nProbe: Int = 4, nSub: Int = 4, kCodes: Int = 16,
+                     iters: Int = 3, nQueries: Int = 10,
+                     r: Int = 64): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val (coarse, cents, qRows) =
+      ivfpqTrained(embeddings, nCells, nSub, kCodes, iters, nQueries)
+    if (coarse.isEmpty || cents.head.isEmpty || qRows.isEmpty)
+      return embeddings.select($"vec_id".as("query_id"), $"vec_id",
+        lit(0L).as("cid"), lit(0L).as("adc_d2"), lit(0).as("rank"))
+        .filter(lit(false))
+    ivfpqCore(embeddings, cents, coarse, qRows, nProbe, r)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** IVFPQ top-k search (q126) — the FAISS IndexIVFPQ production
+    * shape, composed from the two trainers this engine already runs:
+    * q45's coarse quantizer ([[kmeansTrain]]) partitions the store
+    * into cells, q111's product quantizer ([[pqTrainDriver]]) shrinks
+    * every vector to `nSub` one-byte codes, and the ADC scan reads
+    * codes ONLY from each query's `nProbe` nearest cells before the
+    * exact re-rank fetches full vectors for the shortlist.
+    *
+    * When IVFPQ beats flat PQ (q111): the flat ADC pass reads the
+    * ENTIRE code store per query batch and shuffles every (query,
+    * vec) distance into the top-r window. At a 100-TB store even
+    * 64×-shrunk codes are 1.6 TB of scan per batch; IVFPQ cuts both
+    * the scan (cid is the natural partition key, so probed cells are
+    * partition-pruned I/O — here the inverse-probe explode keeps
+    * unprobed pairs from ever existing) and the window shuffle to
+    * nProbe/nCells of that. Memory budget tells the same story:
+    * FAISS composes them precisely because codes alone fit where
+    * vectors don't, and cell-restricting the scan is what makes the
+    * code store's size irrelevant to per-query latency. The price is
+    * recall capped by cell recall (a true neighbor in an unprobed
+    * cell is unreachable regardless of code quality — the q45 nProbe
+    * knob), which is why the spec floor is measured against exact L2
+    * with flat-PQ (q111) alongside as the code-quality control.
+    *
+    * All integer arithmetic on the 1/1000 grid; codebooks, probe
+    * lists, and distance tables are driver-resident literals (the
+    * MLlib KMeans discipline), so the whole search is one map-only
+    * encode projection + one shortlist window + one broadcast
+    * re-rank join.
+    */
+  def ivfpqTopK(embeddings: DataFrame, nCells: Int = 16, nProbe: Int = 4,
+                nSub: Int = 4, kCodes: Int = 16, iters: Int = 3,
+                nQueries: Int = 10, k: Int = 5,
+                rerank: Option[Int] = None): DataFrame = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val (coarse, cents, qRows) =
+      ivfpqTrained(embeddings, nCells, nSub, kCodes, iters, nQueries)
+    if (coarse.isEmpty || cents.head.isEmpty || qRows.isEmpty)
+      return embeddings.select($"vec_id".as("query_id"), $"vec_id",
+        lit(0L).as("d2"), lit(0).as("rank")).filter(lit(false))
+    val dim = qRows.head.getSeq[Long](1).size
+    val r = rerank.getOrElse(autoRerank(embeddings, dim))
+    val short = ivfpqCore(embeddings, cents, coarse, qRows, nProbe, r)
+      .select($"query_id", $"vec_id")
+    val qmap = typedlit(qRows.map(row =>
+      row.getLong(0) -> row.getSeq[Long](1).toList).toMap)
+    val exactD2 = aggregate(
+      zip_with($"v", element_at(qmap, $"query_id"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy($"query_id").orderBy($"d2", $"vec_id")
+    quantizedNonEmpty(embeddings).join(broadcast(short), Seq("vec_id"))
+      .select($"query_id", $"vec_id", exactD2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id", $"d2", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** IVF-index cell manifest (q119): per-cell occupancy and residual
     * stats — n_vectors, Σd2 and max d2 to the assigned centroid — the
     * index-health table an ANN deployment watches to decide when a

@@ -916,6 +916,45 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("10×: IVFPQ recall holds and its candidate volume follows nProbe/nCells at scale") {
+    import org.apache.spark.sql.functions._
+    val dir10 = "/tmp/sf1"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir10/_MANIFEST.json")),
+      "10× scale point absent — python3 tools/gen_sf1.py")
+    val emb = Tables.embeddings(spark, dir10)
+    val q = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
+    val qs = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val d2 = expr("aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+    val exact = q.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), d2.as("d2"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+      .select(col("query_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = operators.Similarity.ivfpqTopK(emb)
+      .select(col("query_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rec = exact.keys.toSeq.map(k =>
+      (exact(k) intersect got.getOrElse(k, Set.empty)).size.toDouble / exact(k).size)
+    val mean = rec.sum / rec.size
+    info(f"IVFPQ 10× recall@5: $mean%.2f")
+    // measured 0.76 at 10× (nProbe=4/16, auto-R); floor with headroom
+    assert(mean >= 0.55, f"IVFPQ 10× recall@5 regressed: $mean%.2f")
+    // the candidate-volume law at scale: cell restriction keeps the
+    // shortlist input at ~nProbe/nCells of the flat-PQ volume (the
+    // whole point of the fusion at a 100-TB store) — 2× slack for
+    // trained-cell occupancy skew
+    val c4 = operators.Similarity.ivfpqShortlist(emb, nProbe = 4,
+      r = Int.MaxValue).count()
+    val n = emb.count()
+    assert(c4 <= 2L * 10 * (n - 1) * 4 / 16,
+      s"10× IVFPQ candidates $c4 exceed 2× the nProbe/nCells fraction")
+  }
+
   test("10×: z-order day-dim pruning holds; rewrite amplification bounded") {
     // the sf0.001 test above proves the mechanism; this one proves it
     // at the 10× point (1.5 M orders), where row-group min/max spans

@@ -110,7 +110,11 @@ class ScanCountGateSpec extends AnyFunSuite {
     // scan reads 4-byte codes, only the second touches vectors, for
     // nQueries × rerank ids). Codebook training runs eagerly at plan
     // construction (the bpeEncode precedent) and is not in this plan.
-    "q111_pq_topk" -> Map("embeddings" -> 2))
+    "q111_pq_topk" -> Map("embeddings" -> 2),
+    // q111's two-stage shape with the code scan cell-restricted:
+    // encode+shortlist scan + exact re-rank vector fetch (coarse and
+    // PQ training run eagerly at plan construction, as in q111)
+    "q126_ivfpq_topk" -> Map("embeddings" -> 2))
 
   test("every query's plan scans each table at most its allowed count") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
