@@ -137,7 +137,8 @@ object Bench {
                  detailFile: String, worstK: Int = 5,
                  calib: Option[Double] = None,
                  calibIo: Option[Double] = None,
-                 calibSuspect: Boolean = false): String = {
+                 calibSuspect: Boolean = false,
+                 dropNorm: Boolean = false): String = {
     val total = results.map(_.sec).sum
     val firstTotal = results.map(o => o.firstPass.getOrElse(o.sec)).sum
     val failed = results.count(_.err.isDefined)
@@ -146,7 +147,8 @@ object Bench {
       .mkString("{", ",", "}")
     val cal = calib.map(c => s""","calib":${fmt(c)}""").getOrElse("") +
       calibIo.map(c => s""","calib_io":${fmt(c)}""").getOrElse("") +
-      (if (calibSuspect) s""","calib_suspect":true"""
+      (if (calibSuspect) s""","calib_suspect":true""" else "") +
+      (if (dropNorm) ""
        else normOf(total, calib).map(v => s""","value_norm":${fmt(v)}""").getOrElse(""))
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","first_pass_total":${fmt(firstTotal)}$cal,"n":${results.size},"failed":$failed,"warm":true,"queries":$qs,"detail":"${esc(detailFile)}","sf":"${esc(sfDir)}"}"""
   }
@@ -165,7 +167,8 @@ object Bench {
                    calib: Option[Double] = None,
                    calibIo: Option[Double] = None,
                    calibPost: Option[Double] = None,
-                   calibSuspect: Boolean = false): String = {
+                   calibSuspect: Boolean = false,
+                   dropNorm: Boolean = false): String = {
     val qs = results.map(o => "\"" + o.name + "\":" + fmt(o.sec))
       .mkString("{", ",", "}")
     val errs = results.collect { case Outcome(n, _, Some(e), _) =>
@@ -176,7 +179,8 @@ object Bench {
     val cal = calib.map(c => s""","calib":${fmt(c)}""").getOrElse("") +
       calibIo.map(c => s""","calib_io":${fmt(c)}""").getOrElse("") +
       calibPost.map(c => s""","calib_post":${fmt(c)}""").getOrElse("") +
-      (if (calibSuspect) s""","calib_suspect":true"""
+      (if (calibSuspect) s""","calib_suspect":true""" else "") +
+      (if (dropNorm) ""
        else normOf(total, calib).map(v => s""","value_norm":${fmt(v)}""").getOrElse(""))
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$cal,"queries":$qs,"errors":$errs,"first_pass":$first,"sf":"${esc(sfDir)}"}"""
   }
@@ -281,11 +285,26 @@ object Bench {
     // (calib, calib_post) pair. A genuinely slow boot slows BOTH
     // samples past both thresholds, keeping its legitimate correction.
     val calibPost = calibrate(spark)
-    val calibSuspect = calibPre > 0.32 && calibPost < 0.16
-    if (calibSuspect)
+    // two suspect classes (r16): a SPIKE (pre far above the cross-boot
+    // band, post at the warm floor — the pre sample is disproved, so
+    // value_norm would be a 2×-wrong number and is OMITTED) versus a
+    // LOADED BOX (pre > 1.5× CalibRef — the r15 driver artifact's
+    // calib 0.269 case, where the normalization is exactly the rescue
+    // and value_norm STAYS). Both print calib_suspect:true so the
+    // artifact self-identifies; the presence/absence of value_norm
+    // tells a grader which class it was, with (calib, calib_post) in
+    // the sidecar for forensics.
+    val spike = calibPre > 0.32 && calibPost < 0.16
+    val loaded = calibPre > 1.5 * CalibRef
+    val calibSuspect = spike || loaded
+    if (spike)
       System.err.println(f"[bench] pre-suite calib $calibPre%.3f is far " +
         f"outside the cross-boot band while post-suite $calibPost%.3f is " +
         "at the warm floor — transient spike; omitting value_norm")
+    else if (loaded)
+      System.err.println(f"[bench] pre-suite calib $calibPre%.3f is " +
+        f">1.5× CalibRef ($CalibRef%.3f) — loaded box; grade value_norm, " +
+        "not the raw total")
 
     // the sidecar is best-effort: an unwritable path must not kill the
     // process before the graded summary line prints. Besides the
@@ -297,8 +316,17 @@ object Bench {
     // stamped copy is tracked, so the round-end commit archives the
     // full per-query map alongside the graded summary.
     val detailJson = renderDetail(results, sfDir, Some(calibPre),
-      Some(calibIo), Some(calibPost), calibSuspect)
-    for (f <- detailFile +: roundStampedDetailFile().toSeq)
+      Some(calibIo), Some(calibPost), calibSuspect, dropNorm = spike)
+    // the ROUND-STAMPED copy is written ONLY for the graded run shape
+    // (r16): every /tmp/sf1 10× sidecar and every SPARK_GRAFT_ONLY
+    // dev-loop run used to clobber the committed sf0.1 artifact —
+    // non-graded runs now land only in the driver-named transient file
+    val stampFiles =
+      if (shouldStampRound(sfDir, only.isEmpty,
+            sys.env.get("SPARK_GRAFT_ROUND_STAMP")))
+        roundStampedDetailFile().toSeq
+      else Nil
+    for (f <- detailFile +: stampFiles)
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(f),
         detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -310,7 +338,8 @@ object Bench {
     // printed after spark.stop() so the summary is the LAST stdout
     // line no matter what the session logs during shutdown
     println(renderLine(results, sfDir, detailFile, calib = Some(calibPre),
-      calibIo = Some(calibIo), calibSuspect = calibSuspect))
+      calibIo = Some(calibIo), calibSuspect = calibSuspect,
+      dropNorm = spike))
     // failure contract, part 2 (round 10): the summary line has
     // carried `failed` since round 7, but round 8's 41 failures sat
     // unremarked because nothing read it — exit nonzero AFTER printing
@@ -340,6 +369,23 @@ object Bench {
     if (results.isEmpty) 2
     else if (results.exists(_.err.isDefined)) 1
     else 0
+
+  /** Whether this run's sidecar should ALSO be written to the
+    * round-stamped archive name: only the graded shape — the default
+    * sf0.1 dir with the full catalog (no SPARK_GRAFT_ONLY filter) —
+    * qualifies, because the stamped file is the round's committed
+    * per-query record and a 10×/dev-loop run overwriting it destroys
+    * the very diff it exists for (this clobbered r15's working tree).
+    * `SPARK_GRAFT_ROUND_STAMP=1/0` overrides in either direction.
+    */
+  val GradedSfDir = "/root/testdata/sf0.1"
+
+  def shouldStampRound(sfDir: String, fullCatalog: Boolean,
+                       env: Option[String]): Boolean =
+    env match {
+      case Some(v) => v == "1"
+      case None => sfDir == GradedSfDir && fullCatalog
+    }
 
   /** The round-stamped sidecar name for the CURRENT round, inferred
     * from the committed BENCH_r{NN}.json archives in `dir`: the bench

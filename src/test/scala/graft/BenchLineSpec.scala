@@ -90,14 +90,47 @@ class BenchLineSpec extends AnyFunSuite {
     // calib_suspect flag explains the absence, and the sidecar carries
     // the (calib, calib_post) pair for forensics.
     val line = Bench.renderLine(fakeResults, "/tmp/sf", "d.json",
-      calib = Some(0.402), calibSuspect = true)
+      calib = Some(0.402), calibSuspect = true, dropNorm = true)
     assert(line.contains("\"calib\":0.402"))
     assert(line.contains("\"calib_suspect\":true"), line.take(300))
     assert(!line.contains("value_norm"), "suspect run must not publish value_norm")
     val detail = Bench.renderDetail(fakeResults, "/tmp/sf",
-      Some(0.402), Some(0.25), calibPost = Some(0.112), calibSuspect = true)
+      Some(0.402), Some(0.25), calibPost = Some(0.112), calibSuspect = true,
+      dropNorm = true)
     assert(detail.contains("\"calib_post\":0.112"), "sidecar missing calib_post")
     assert(detail.contains("\"calib_suspect\":true") && !detail.contains("value_norm"))
+  }
+
+  test("a loaded-box calib flags calib_suspect but KEEPS value_norm") {
+    // r16 contract (the r15 driver artifact's case: calib 0.269 at
+    // CalibRef 0.180 — a genuinely loaded box, where value_norm is
+    // exactly the number to grade): the line self-identifies with
+    // calib_suspect:true AND still publishes the normalized total;
+    // only the spike class (pre sample disproved by post) drops it
+    val total = fakeResults.map(_.sec).sum
+    val line = Bench.renderLine(fakeResults, "/tmp/sf", "d.json",
+      calib = Some(0.269), calibSuspect = true)
+    assert(line.contains("\"calib_suspect\":true"), line.take(300))
+    val expect = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(total * Bench.CalibRef / 0.269))
+    assert(line.contains("\"value_norm\":" + expect),
+      s"loaded-box line must keep value_norm=$expect: ${line.take(300)}")
+  }
+
+  test("round-stamped sidecar is written only for the graded run shape") {
+    // r16 contract: every /tmp/sf1 and SPARK_GRAFT_ONLY run used to
+    // clobber the committed sf0.1 per-query archive (it hit r15's
+    // working tree); only the graded shape stamps, env overrides both
+    // ways
+    assert(Bench.shouldStampRound(Bench.GradedSfDir, fullCatalog = true, None))
+    assert(!Bench.shouldStampRound("/tmp/sf1", fullCatalog = true, None),
+      "a 10× run must not stamp the round archive")
+    assert(!Bench.shouldStampRound(Bench.GradedSfDir, fullCatalog = false, None),
+      "a filtered dev-loop run must not stamp the round archive")
+    assert(Bench.shouldStampRound("/tmp/sf1", fullCatalog = false, Some("1")),
+      "SPARK_GRAFT_ROUND_STAMP=1 must force stamping")
+    assert(!Bench.shouldStampRound(Bench.GradedSfDir, fullCatalog = true, Some("0")),
+      "SPARK_GRAFT_ROUND_STAMP=0 must suppress stamping")
   }
 
   test("detail sidecar carries every query") {
