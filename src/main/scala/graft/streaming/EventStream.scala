@@ -325,6 +325,37 @@ object EventStream {
     fold.length
   }
 
+  /** Auto-compaction as a schedulable [[graft.Pipeline.Stage]] — the
+    * way Druid actually drives compaction: the coordinator inspects
+    * each datasource on its period and issues a compaction task only
+    * when segments have fragmented past a threshold (here: segment
+    * count > `maxSegments`). Dropping this stage into
+    * `Pipeline.runScheduled`'s `stagesFor` makes every scheduled
+    * ingest interval end with the inspect-and-maybe-fold decision;
+    * the run's metrics table records the stage outcome next to the
+    * data stages' (the reference's task-status monitoring shape),
+    * and the stage's own 1-row frame — (segments_before,
+    * segments_folded, segments_after) — is the decision record for
+    * callers that materialize it directly.
+    *
+    * The fold itself is [[compactSegments]] with its full marker
+    * protocol, so a crash mid-schedule recovers exactly as the
+    * unscheduled path does. Single-writer discipline carries over:
+    * schedule it in the SAME pipeline as the ingest stage, never
+    * concurrently with one.
+    */
+  def compactionStage(tableDir: String, maxSegments: Int = 8,
+                      keepNewest: Int = 1): graft.Pipeline.Stage =
+    graft.Pipeline.stage(s"compact:$tableDir") { spark =>
+      import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+      val before = segDirs(tableDir).length
+      val folded =
+        if (before > maxSegments) compactSegments(spark, tableDir, keepNewest)
+        else 0
+      Seq((before.toLong, folded.toLong, segDirs(tableDir).length.toLong))
+        .toDF("segments_before", "segments_folded", "segments_after")
+    }
+
   /** Completes or abandons a compaction the marker protocol left
     * behind (see [[compactSegments]]); no-op on a healthy table.
     */

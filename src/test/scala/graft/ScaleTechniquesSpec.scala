@@ -636,6 +636,44 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(k100 == 100 * k1, s"100× kept spans $k100 != 100 × $k1")
   }
 
+  test("100×: q123 keeper count exactly linear; max cluster width copies-invariant") {
+    // closes the one scale claim in the r15 code that was prose-only
+    // (Dedup.scala dedupKeepBest scaladoc): the row_number window is
+    // safe because cluster WIDTH is bounded by the dedup signal, not
+    // corpus growth. Per-copy word suffixes are a token bijection, so
+    // cluster structure replicates per copy with no cross-copy edges:
+    // keeper count (= cluster count, by the one-keeper invariant) must
+    // be EXACTLY 100× the 1× count, and the maximum cluster width must
+    // be EXACTLY the 1× maximum — the copies-invariant constant.
+    import org.apache.spark.sql.functions._
+    val dir100 = "/tmp/sf10"
+    val manifest = new java.io.File(s"$dir100/_MANIFEST.json")
+    assume(manifest.exists(),
+      "100× scale point absent — python3 tools/gen_sf1.py " +
+        "/root/testdata/sf0.1 /tmp/sf10 100")
+    val mtxt = new String(java.nio.file.Files.readAllBytes(manifest.toPath))
+    val docRows = ("\"documents\":\\s*(\\d+)").r.findFirstMatchIn(mtxt)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    assume(("\"copies\":\\s*100").r.findFirstIn(mtxt).isDefined &&
+      spark.read.parquet(s"$dir100/documents.parquet").count() == docRows,
+      "100× manifest inconsistent with data — rerun tools/gen_sf1.py")
+    def stats(dir: String): (Long, Long, Long) = {
+      val agg = operators.Dedup.dedupKeepBest(Tables.documents(spark, dir))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("keepers"),
+          max(col("cluster_size")).as("max_width"),
+          count(lit(1)).as("rows")).head()
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    }
+    val (k1, w1, n1) = stats("/root/testdata/sf0.1")
+    val (k100, w100, n100) = stats(dir100)
+    info(s"q123 at 100×: $k100 keepers, max cluster width $w100, $n100 rows")
+    assert(n100 == 100 * n1, s"100× rows $n100 != 100 × $n1")
+    assert(k100 == 100 * k1, s"100× keepers $k100 != 100 × $k1")
+    assert(w100 == w1,
+      s"100× max cluster width $w100 != 1× width $w1 — the window-over-" +
+        "cluster scale argument just broke")
+  }
+
   test("100×: approximate-tier recall — q25 prod-K lossless, q45 trained IVF, q111 auto-R at its cap") {
     // The 1× and 10× recall floors said nothing about the 100× point,
     // and q111's RerankMax=1024 cap was specifically untested where

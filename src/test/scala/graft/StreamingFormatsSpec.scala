@@ -553,6 +553,64 @@ class StreamingFormatsSpec extends AnyFunSuite {
       "percentiles off the compacted table diverged from q120")
   }
 
+  test("scheduled auto-compaction folds a fragmented table in the pipeline loop; reads stay identity") {
+    import java.nio.file.Files
+    import graft.operators.TimeSeries
+    val src = Files.createTempDirectory("graft_sched_cpt_src").toString
+    val table = Files.createTempDirectory("graft_sched_cpt_tbl").toString
+    val ckpt = Files.createTempDirectory("graft_sched_cpt_ck").toString
+    val ev = Tables.events(spark, dir)
+    val cuts = ev.select(
+      percentile_approx(unix_micros(col("ts")), lit(0.33), lit(10000)),
+      percentile_approx(unix_micros(col("ts")), lit(0.66), lit(10000)))
+      .head()
+    val (t1, t2) = (cuts.getLong(0), cuts.getLong(1))
+    def keyed(df: org.apache.spark.sql.DataFrame): Map[(String, String, Long), Long] =
+      df.select(col("day"), col("event_type"), col("bin"), col("n"))
+        .collect().map(r => (r.getDate(0).toString, r.getString(1),
+          r.getLong(2)) -> r.getLong(3)).toMap
+    def segCount = new java.io.File(table).listFiles
+      .count(f => f.isDirectory && f.getName.startsWith("seg="))
+    // three arrival increments → three segments, as in the manual spec
+    ev.filter(unix_micros(col("ts")) < t1)
+      .write.parquet(s"$src/events.parquet_a")
+    EventStream.sketchSegmentsOnce(spark, src, table, ckpt)
+    ev.filter(unix_micros(col("ts")) >= t1 && unix_micros(col("ts")) < t2)
+      .write.parquet(s"$src/events.parquet_b")
+    EventStream.sketchSegmentsOnce(spark, src, table, ckpt)
+    ev.filter(unix_micros(col("ts")) >= t2)
+      .write.parquet(s"$src/events.parquet_c")
+    EventStream.sketchSegmentsOnce(spark, src, table, ckpt)
+    assert(segCount == 3)
+    val before = keyed(EventStream.storedValueSketch(spark, table))
+    // three due intervals drive the inspect-and-maybe-fold decision
+    // the way Druid's coordinator period does: the first run sees 3 >
+    // maxSegments=2 and folds, later runs see a healthy table and
+    // no-op — all recorded in the scheduled run's metrics table
+    val sched = Pipeline.Schedule(startUs = 0L, everyUs = 1000L)
+    val out = Pipeline.runScheduled(spark, sched, nowUs = 3000L)(_ =>
+      Seq(EventStream.compactionStage(table, maxSegments = 2, keepNewest = 1)))
+      .orderBy(col("logical_us"))
+    val rows = out.collect()
+    assert(rows.length == 3 && rows.forall(_.getBoolean(3)),
+      s"expected 3 ok compaction stage runs: ${rows.mkString(";")}")
+    val dates = rows.map(_.getLong(6)).toSeq
+    assert(dates == Seq(0L, 1000L, 2000L), s"logical dates: $dates")
+    assert(segCount == 2,
+      s"expected 2 segments after scheduled compaction, got $segCount")
+    assert(keyed(EventStream.storedValueSketch(spark, table)) == before,
+      "scheduled compaction changed the latest-wins read")
+    // the decision frame itself: a healthy table inspects as a no-op
+    val decision = EventStream.compactionStage(table, maxSegments = 2)
+      .build(spark).collect().head
+    assert((decision.getLong(0), decision.getLong(1), decision.getLong(2)) ==
+      ((2L, 0L, 2L)), s"no-op decision frame wrong: $decision")
+    assert(TimeSeries.quantileRollupFrom(
+        EventStream.storedValueSketch(spark, table)).collect().map(_.toSeq).toSeq ==
+      TimeSeries.quantileRollup(ev).collect().map(_.toSeq).toSeq,
+      "percentiles off the auto-compacted table diverged from q120")
+  }
+
   test("session_window operator matches the lag-based sessionize totals") {
     import org.apache.spark.sql.expressions.Window
     val events = Tables.events(spark, dir)
