@@ -311,6 +311,12 @@ object SparkEntry {
     // and the candidate-volume law are spec-pinned)
     "q126_ivfpq_topk" -> ((s, d) =>
       Similarity.ivfpqTopK(Tables.embeddings(s, d))),
+    // keep-best retention over the MINHASH-LSH near-dup path — q123's
+    // decision contract with the edge signal swapped to the banded
+    // sketch join, the composition a 100-TB pipeline runs (rows-only:
+    // minhash has no DuckDB twin; q123 is the oracle-checkable twin)
+    "q127_dedup_keep_best_lsh" -> ((s, d) =>
+      Dedup.dedupKeepBestLsh(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented

@@ -268,14 +268,24 @@ object Dedup {
     * cluster deployment would use reliable checkpointing instead).
     */
   def dupClusters(documents: DataFrame, n: Int = 3, tau: Double = 0.1,
-                  maxIters: Int = 20): DataFrame = {
-    val near = ngramJaccard(documents, n, tau).select($"doc_a", $"doc_b")
+                  maxIters: Int = 20): DataFrame =
+    dupClustersFrom(documents,
+      ngramJaccard(documents, n, tau).select($"doc_a", $"doc_b"), maxIters)
+
+  /** Connected components over an arbitrary near-dup edge frame
+    * (doc_a, doc_b) UNIONED with the exact-dup edges — the pluggable
+    * core behind [[dupClusters]] (exact n-gram Jaccard edges) and
+    * [[dupClustersLsh]] (MinHash-LSH edges, the 100-TB signal). Same
+    * min-label propagation, certificate, and output contract.
+    */
+  private[graft] def dupClustersFrom(documents: DataFrame, near: DataFrame,
+                                     maxIters: Int = 20): DataFrame = {
     val hashes = documents.select($"doc_id", md5($"text").as("h"))
     val keepers = hashes.groupBy($"h").agg(min($"doc_id").as("root"))
     val exactEdges = hashes.join(keepers, Seq("h"))
       .filter($"doc_id" =!= $"root")
       .select($"root".as("doc_a"), $"doc_id".as("doc_b"))
-    val edges = near.union(exactEdges).distinct()
+    val edges = near.select($"doc_a", $"doc_b").union(exactEdges).distinct()
     val und = edges.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(edges.select($"doc_b".as("u"), $"doc_a".as("v")))
       .localCheckpoint(true)
@@ -793,9 +803,18 @@ object Dedup {
     * with the corpus, the partition width does not.
     */
   def dedupKeepBest(documents: DataFrame, n: Int = 3,
-                    tau: Double = 0.1): DataFrame = {
-    val clusters = dupClusters(documents, n, tau)
-      .select($"doc_id", $"cluster_id", $"cluster_size")
+                    tau: Double = 0.1): DataFrame =
+    keepBestOver(documents,
+      dupClusters(documents, n, tau)
+        .select($"doc_id", $"cluster_id", $"cluster_size"))
+
+  /** The keep-best decision over an arbitrary cluster assignment —
+    * the shared tail of [[dedupKeepBest]] and [[dedupKeepBestLsh]]:
+    * q31 quality join + argmax-per-cluster window (safe for the same
+    * bounded-cluster-width reason, whatever produced the clusters).
+    */
+  private def keepBestOver(documents: DataFrame,
+                           clusters: DataFrame): DataFrame = {
     val quality = graft.operators.TextAnalysis.qualityScore(documents)
       .select($"doc_id", $"quality")
     val w = org.apache.spark.sql.expressions.Window
@@ -806,4 +825,38 @@ object Dedup {
         ($"rk" === 1).as("keep"))
       .orderBy($"doc_id")
   }
+
+  /** [[dupClusters]] with MinHash-LSH near-dup edges — the 100-TB
+    * signal: candidate generation is the banded equi-join on k-long
+    * signatures ([[minhashLsh]]), never the exact shared-shingle join,
+    * so edge discovery cost is signature + band shuffle, linear in
+    * the corpus at any shingle density. The recall trade is LSH's
+    * (band collision probability at the τ operating point); exact-dup
+    * edges are unioned in as always, so byte-identical re-crawls
+    * cluster regardless of what the probabilistic signal sees.
+    */
+  def dupClustersLsh(documents: DataFrame, n: Int = 3,
+                     tauEst: Double = 0.1, k: Int = MinHashK,
+                     bands: Int = Bands, maxIters: Int = 20): DataFrame =
+    dupClustersFrom(documents,
+      minhashLsh(documents, n, tauEst, k, bands).select($"doc_a", $"doc_b"),
+      maxIters)
+
+  /** Keep-best retention over the MINHASH near-dup path (q127) — the
+    * end-to-end composition a 100-TB curation pipeline actually runs
+    * (the RefinedWeb/CCNet shape): MinHash signatures → LSH band
+    * candidates → estimated-Jaccard verify → connected components →
+    * highest-quality keeper per cluster. Identical decision contract
+    * to q123 (one keeper per cluster, quality argmax, min-id ties)
+    * with the edge signal swapped from exact shared-shingle scoring
+    * to the banded sketch join — q123 is the oracle-checkable twin,
+    * this is the plan whose every stage stays blocked and linear at
+    * corpus scale.
+    */
+  def dedupKeepBestLsh(documents: DataFrame, n: Int = 3,
+                       tauEst: Double = 0.1, k: Int = MinHashK,
+                       bands: Int = Bands): DataFrame =
+    keepBestOver(documents,
+      dupClustersLsh(documents, n, tauEst, k, bands)
+        .select($"doc_id", $"cluster_id", $"cluster_size"))
 }

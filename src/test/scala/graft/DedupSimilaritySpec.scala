@@ -488,6 +488,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "xxhash64 span keys changed the keep-first output")
   }
 
+  // ---- q127 dedupKeepBestLsh: keep-best over the MinHash path ----
+
+  test("q127 clusters the planted exact+near dups through LSH edges and keeps the best") {
+    import org.apache.spark.sql.functions.col
+    // docs 1/2 byte-identical, 3 a near-dup, 4 unrelated (the corpus
+    // every LSH spec here plants): the sketch path must produce the
+    // same retention DECISION STRUCTURE as the exact path — one
+    // cluster {1,2,3} with a single keeper, {4} keeping itself
+    val out = Dedup.dedupKeepBestLsh(docsWithPlantedDup).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      .toSeq.sortBy(_._1)
+    assert(out.map(t => (t._1, t._2, t._3)) == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (4L, 4L, 1L)),
+      s"LSH cluster structure mismatch: $out")
+    assert(out.count(_._4) == 2, s"expected exactly 2 keepers: $out")
+    // and the decision agrees with the exact-path twin on this corpus
+    val exact = Dedup.dedupKeepBest(docsWithPlantedDup).collect()
+      .map(r => (r.getLong(0), r.getBoolean(4))).toMap
+    assert(out.forall(t => exact(t._1) == t._4),
+      "LSH keep decision diverged from the exact twin on the planted corpus")
+  }
+
+  test("q127 corpus invariants: one row per doc, one keeper per cluster, keeper is the argmax") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val out = Dedup.dedupKeepBestLsh(docs).cache()
+    try {
+      assert(out.count() == docs.count(), "one decision row per document")
+      val perCluster = out.groupBy(col("cluster_id"))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          max(when(col("keep"), col("quality"))).as("kept_q"),
+          max(col("quality")).as("max_q"))
+      assert(perCluster.filter(col("n_keep") =!= 1L).count() == 0,
+        "a cluster kept != 1 document")
+      assert(perCluster.filter(col("kept_q") < col("max_q")).count() == 0,
+        "a keeper is not its cluster's quality argmax")
+      // exact-dup groups (same md5) must never split across clusters:
+      // the exact edges are unioned in regardless of the sketch
+      val split = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(out.select(col("doc_id"), col("cluster_id")), Seq("doc_id"))
+        .groupBy(col("h"))
+        .agg(countDistinct(col("cluster_id")).as("nc"))
+        .filter(col("nc") > 1)
+      assert(split.count() == 0, "an exact-dup group split across LSH clusters")
+    } finally out.unpersist()
+  }
+
   // ---- q125 imageNearDup: perceptual-hash image dedup ----
 
   /** A 16×16 P6 payload with the given pixel-byte generator. */
