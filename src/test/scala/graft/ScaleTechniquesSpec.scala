@@ -982,6 +982,21 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     info(f"IVFPQ 10× recall@5: $mean%.2f")
     // measured 0.76 at 10× (nProbe=4/16, auto-R); floor with headroom
     assert(mean >= 0.55, f"IVFPQ 10× recall@5 regressed: $mean%.2f")
+    // residual encoding at 10×: this corpus's copies sit at
+    // inter-copy distances INSIDE the residual code-error band, so
+    // the finer ADC separates near-identical copies wrongly (0.60
+    // measured vs raw's 0.76 — the inversion of its 1× win, pinned
+    // as measured; see the ivfpqTopK scaladoc for the regime
+    // argument). Floor keeps the honest observation from silently
+    // rotting without averaging it into the raw path's number.
+    val gotRes = operators.Similarity.ivfpqTopK(emb, byResidual = true)
+      .select(col("query_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recRes = exact.keys.toSeq.map(k =>
+      (exact(k) intersect gotRes.getOrElse(k, Set.empty)).size.toDouble / exact(k).size)
+    val meanRes = recRes.sum / recRes.size
+    info(f"IVFPQ 10× residual recall@5: $meanRes%.2f")
+    assert(meanRes >= 0.5, f"residual IVFPQ 10× recall@5 regressed: $meanRes%.2f")
     // the candidate-volume law at scale: cell restriction keeps the
     // shortlist input at ~nProbe/nCells of the flat-PQ volume (the
     // whole point of the fusion at a 100-TB store) — 2× slack for
