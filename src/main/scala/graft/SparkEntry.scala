@@ -317,6 +317,12 @@ object SparkEntry {
     // minhash has no DuckDB twin; q123 is the oracle-checkable twin)
     "q127_dedup_keep_best_lsh" -> ((s, d) =>
       Dedup.dedupKeepBestLsh(Tables.documents(s, d))),
+    // INCREMENTAL ExactSubstr: two ordered batches cleaned against a
+    // persisted first-occurrence table — provably ≡ one-shot q124 on
+    // ordered arrival, so it shares q124's oracle verbatim (the gate
+    // proves the incremental path's equality cross-engine)
+    "q128_exact_substring_incremental" -> ((s, d) =>
+      Dedup.exactSubstrRemovalTwoBatch(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented
@@ -1885,7 +1891,14 @@ object SparkEntry {
     // rolling 8-token windows; every occurrence after the globally
     // first (doc_id, pos) covers its 8 tokens; covered tokens cut and
     // docs rebuilt from the survivors (mirrors Dedup.exactSubstrRemoval)
-    "q124_exact_substring_removal" ->
+    "q124_exact_substring_removal" -> exactSubstrSql,
+    // the INCREMENTAL path (q128) is provably identical to one-shot
+    // q124 on ordered batches — same oracle verbatim; a divergence
+    // between the two paths shows up as a q128-only hash mismatch
+    "q128_exact_substring_incremental" -> exactSubstrSql,
+  )
+
+  private val exactSubstrSql: String =
       """WITH toks AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
           FROM documents),
@@ -1919,6 +1932,5 @@ object SparkEntry {
           CAST(len(t.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS removed_tokens,
           COALESCE(a.clean_text, '') AS clean_text
         FROM toks t LEFT JOIN agg a USING (doc_id)
-        ORDER BY t.doc_id""",
-  )
+        ORDER BY t.doc_id"""
 }

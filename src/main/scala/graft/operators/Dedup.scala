@@ -737,9 +737,19 @@ object Dedup {
   def exactSubstrRemoval(documents: DataFrame, k: Int = 8,
                          hashFingerprints: Boolean = false): DataFrame = {
     require(k >= 2, s"window width k=$k must be >= 2")
+    val wins = substrWins(documents, k, hashFingerprints)
+    val firsts = substrFirsts(wins)
+    substrRemovalAgainst(documents, wins, firsts, k)
+  }
+
+  /** The rolling k-token window stream (doc_id, pos, fp) — q124's
+    * first stage, factored so the incremental form reuses it.
+    */
+  private def substrWins(documents: DataFrame, k: Int,
+                         hashFingerprints: Boolean): DataFrame = {
     val fpOf: Column => Column =
       if (hashFingerprints) xxhash64(_) else md5(_)
-    val wins = documents
+    documents
       .withColumn("w", TextAnalysis.tokens($"text"))
       .filter(size($"w") >= k)
       .select($"doc_id", posexplode(
@@ -747,8 +757,23 @@ object Dedup {
           fpOf(concat_ws(" ", (0 until k).map(j => element_at($"w", i + j)): _*))))
         .as(Seq("p0", "fp")))
       .select($"doc_id", ($"p0" + 1).as("pos"), $"fp")
-    val firsts = wins.groupBy($"fp")
+  }
+
+  /** First occurrences per window fingerprint — the standing
+    * artifact an incremental ExactSubstr deployment persists:
+    * (fp, first = (doc_id, pos)), one row per distinct window ever
+    * seen. An aggregate, not a window (the q122 hot-key argument).
+    */
+  def substrFirsts(wins: DataFrame): DataFrame =
+    wins.groupBy($"fp")
       .agg(min(struct($"doc_id", $"pos")).as("first"))
+
+  /** q124's removal tail against an EXPLICIT firsts table: mark every
+    * window occurrence that is not the recorded first, collapse to
+    * one bounded row per doc, cut covered intervals, reassemble.
+    */
+  private def substrRemovalAgainst(documents: DataFrame, wins: DataFrame,
+                                   firsts: DataFrame, k: Int): DataFrame = {
     // one bounded row per affected doc: the sorted start positions of
     // its non-first (duplicated) windows
     val dups = wins.join(firsts, Seq("fp"))
@@ -785,6 +810,85 @@ object Dedup {
         concat_ws(" ",
           transform($"kept_idx", t => element_at($"w", t))).as("clean_text"))
       .orderBy($"doc_id")
+  }
+
+  /** Incremental ExactSubstr removal (q128) — q124's semantics run
+    * the way a crawl pipeline actually ingests: clean each ARRIVING
+    * batch against the standing first-occurrence table
+    * ([[substrFirsts]] persisted between batches, the q105
+    * standing-corpus pattern), so the corpus is never re-tokenized —
+    * per batch the cost is the batch's own window stream plus one
+    * equi-join on fp against the firsts table (8-byte keys in
+    * production, [[exactSubstrRemoval]]'s hashFingerprints rule).
+    *
+    * Merge rule: a window recorded in the standing table beats every
+    * occurrence in the batch UNCONDITIONALLY (its earlier occurrence
+    * already shipped cleaned); within the batch, min (doc_id, pos)
+    * wins. When batches
+    * arrive in doc_id order (the declared q128 shape: the corpus
+    * split at its median id, processed low-then-high), the decisions
+    * are IDENTICAL to one-shot [[exactSubstrRemoval]] over the whole
+    * corpus — the equality the oracle checks, since q128 shares
+    * q124's SQL verbatim. Out-of-order arrival degrades to
+    * keep-first-ARRIVAL (a lower-id late batch cannot retract the
+    * already-shipped cleaning of an earlier batch) — CCNet's actual
+    * online behavior, spec-pinned.
+    *
+    * Returns the cleaned batch; [[mergedSubstrFirsts]] produces the
+    * updated standing table for the next batch.
+    */
+  def exactSubstrRemovalIncremental(batch: DataFrame,
+      standingFirsts: Option[DataFrame], k: Int = 8,
+      hashFingerprints: Boolean = false): DataFrame = {
+    require(k >= 2, s"window width k=$k must be >= 2")
+    val wins = substrWins(batch, k, hashFingerprints)
+    val firsts = mergedFirstsOf(standingFirsts, wins)
+    substrRemovalAgainst(batch, wins, firsts, k)
+  }
+
+  /** The updated standing table after a batch: union the batch's
+    * firsts in under the same min-struct rule. One aggregate over
+    * (standing ∪ batch windows' firsts) — the artifact to persist.
+    */
+  def mergedSubstrFirsts(batch: DataFrame,
+      standingFirsts: Option[DataFrame], k: Int = 8,
+      hashFingerprints: Boolean = false): DataFrame =
+    mergedFirstsOf(standingFirsts, substrWins(batch, k, hashFingerprints))
+
+  private def mergedFirstsOf(standing: Option[DataFrame],
+                             wins: DataFrame): DataFrame = {
+    val batchFirsts = substrFirsts(wins)
+    standing match {
+      case None => batchFirsts
+      // STANDING entries win unconditionally (keep-first-ARRIVAL):
+      // a min(struct) merge would let a late LOWER-id batch steal
+      // firstness from a window whose earlier occurrence already
+      // shipped cleaned — the batch contributes only fps the table
+      // has never seen. On ordered arrival standing entries are the
+      // struct-min anyway, so the q124 equality is unaffected.
+      case Some(st) => st.unionByName(
+        batchFirsts.join(st.select($"fp"), Seq("fp"), "left_anti"))
+    }
+  }
+
+  /** Declared q128 shape: the corpus split at its median doc_id and
+    * ingested as two ordered batches through the incremental path —
+    * firsts from batch 1 persist (localCheckpoint stands in for the
+    * parquet table a deployment writes), batch 2 cleans against
+    * them, outputs union. Ordered batches ⇒ output ≡ one-shot q124,
+    * which is why this query shares q124's DuckDB oracle verbatim:
+    * the gate proves the incremental path's equality cross-engine.
+    */
+  def exactSubstrRemovalTwoBatch(documents: DataFrame,
+                                 k: Int = 8): DataFrame = {
+    val cut = documents.agg(
+      percentile_approx($"doc_id", lit(0.5), lit(100000))).head().getLong(0)
+    val b1 = documents.filter($"doc_id" <= cut)
+    val b2 = documents.filter($"doc_id" > cut)
+    val cleaned1 = exactSubstrRemovalIncremental(b1, None, k)
+    val firsts1 = mergedSubstrFirsts(b1, None, k).localCheckpoint(true)
+    val cleaned2 = exactSubstrRemovalIncremental(b2, Some(firsts1), k)
+    cleaned1.unionByName(cleaned2).orderBy($"doc_id")
   }
 
   /** Cluster-representative selection (q123) — the retention decision

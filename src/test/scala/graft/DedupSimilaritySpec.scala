@@ -700,6 +700,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  // ---- q128 incremental ExactSubstr ----
+
+  test("q128 incremental removal over ordered batches equals one-shot q124 exactly") {
+    val docs = Tables.documents(spark, dir)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    // the declared two-batch split AND a production-keyed (hashed
+    // fingerprints) three-batch split must both replay the one-shot
+    // decisions — ordered arrival makes first-arrival ≡ global-first
+    val oneShot = sig(Dedup.exactSubstrRemoval(docs))
+    assert(sig(Dedup.exactSubstrRemovalTwoBatch(docs)) == oneShot,
+      "two-batch incremental diverged from one-shot q124")
+    import org.apache.spark.sql.functions.col
+    val cuts = docs.select(col("doc_id")).orderBy(col("doc_id")).collect()
+      .map(_.getLong(0))
+    val (c1, c2) = (cuts(cuts.length / 3), cuts(2 * cuts.length / 3))
+    val batches = Seq(
+      docs.filter(col("doc_id") <= c1),
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      docs.filter(col("doc_id") > c2))
+    var standing: Option[org.apache.spark.sql.DataFrame] = None
+    val cleaned = batches.map { b =>
+      val out = Dedup.exactSubstrRemovalIncremental(b, standing,
+        hashFingerprints = true)
+      standing = Some(Dedup.mergedSubstrFirsts(b, standing,
+        hashFingerprints = true).localCheckpoint(true))
+      out
+    }
+    val threeBatch = cleaned.reduce(_.unionByName(_))
+      .orderBy(col("doc_id"))
+    assert(sig(threeBatch) == oneShot,
+      "three-batch hashed-key incremental diverged from one-shot q124")
+  }
+
+  test("q128 out-of-order arrival is keep-first-ARRIVAL: a late lower-id batch cannot retract") {
+    import spark.implicits._
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")
+    val early = Seq((10L, passage, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val late = Seq((1L, passage, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // doc 10 arrives FIRST and ships cleaned (keeps the passage); the
+    // late doc 1 — lower id, but second to arrive — must lose it,
+    // the CCNet online behavior (global-first would say otherwise)
+    val out1 = Dedup.exactSubstrRemovalIncremental(early, None).collect()
+    assert(out1.head.getLong(2) == 0L && out1.head.getString(3) == passage,
+      s"first-arrived batch must keep its text: ${out1.head}")
+    val firsts = Dedup.mergedSubstrFirsts(early, None).localCheckpoint(true)
+    val out2 = Dedup.exactSubstrRemovalIncremental(late, Some(firsts)).collect()
+    assert(out2.head.getLong(2) == 12L && out2.head.getString(3) == "",
+      s"late re-arrival must be fully removed: ${out2.head}")
+  }
+
   // ---- q123 dedupKeepBest: cluster-representative selection ----
 
   test("q123 keeps the higher-quality near-dup, not the lower id") {

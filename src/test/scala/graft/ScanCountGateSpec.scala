@@ -105,6 +105,12 @@ class ScanCountGateSpec extends AnyFunSuite {
     // itself; the third bounded pass beats materializing the corpus
     // (the q107 argument)
     "q124_exact_substring_removal" -> Map("documents" -> 3),
+    // q124's 3-pass shape × two ORDERED batches, each pass over a
+    // pushdown-pruned doc_id half (total bytes ≈ one-shot q124's);
+    // batch 1's standing-firsts table is checkpointed out of batch
+    // 2's plan, and the median-cut percentile is one eager stats job
+    // at plan construction
+    "q128_exact_substring_incremental" -> Map("documents" -> 6),
     // ADC shortlist code scan + exact re-rank vector fetch — the
     // two-stage PQ deployment by construction (at 100 TB the first
     // scan reads 4-byte codes, only the second touches vectors, for
