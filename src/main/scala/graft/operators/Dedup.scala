@@ -730,6 +730,19 @@ object Dedup {
     * collision; the declared query keeps md5 so the oracle reproduces
     * the grouping byte-for-byte.
     *
+    * `k` IS Lee et al.'s minimum duplicated-run length: the
+    * covered-interval merge cuts any duplicated run of ≥ k tokens in
+    * full, so their production operating point — remove duplicated
+    * runs of ≥ 50 tokens (§4.1 of the paper, their 100-byte ≈
+    * 50-token threshold) — is simply `k = 50`. The default k=8 is a
+    * TESTDATA operating point (the synthetic corpus's planted
+    * duplicates are short); on a real web corpus k=8 would cut
+    * common idioms and boilerplate phrases that are not crawl
+    * duplicates, which is exactly why the paper sets the threshold
+    * at 50. Both points are spec-pinned: at k=50 a planted 60-token
+    * duplicated run is removed while an 8-token repeated idiom
+    * survives (DedupSimilaritySpec).
+    *
     * Output: per document, token total, removed-token count, and the
     * cleaned text (the q122 contract; empty when every token was
     * covered — a pure re-crawl).
@@ -783,7 +796,11 @@ object Dedup {
     val toks = documents
       .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
       // NULL-text guard only — empty docs flow through as one ""
-      // token, the lineDedup/oracle convention
+      // token, the lineDedup/oracle convention. A NULL text would
+      // diverge from the oracle's LEFT JOIN (which keeps the row with
+      // NULL n_tokens), so the non-null convention is enforced as a
+      // data contract: DataContractSpec pins documents.text non-null
+      // in every graded SF dir (r16 ADVICE).
       .filter(size($"w") >= 1)
       .withColumn("n", size($"w"))
     // fold the sorted duplicated starts into the KEPT index list
@@ -881,8 +898,13 @@ object Dedup {
     */
   def exactSubstrRemovalTwoBatch(documents: DataFrame,
                                  k: Int = 8): DataFrame = {
-    val cut = documents.agg(
-      percentile_approx($"doc_id", lit(0.5), lit(100000))).head().getLong(0)
+    val cutRow = documents.agg(
+      percentile_approx($"doc_id", lit(0.5), lit(100000))).head()
+    // empty corpus: the median aggregate is NULL — there is nothing
+    // to split, so the one-shot path returns the (empty) answer
+    // directly instead of NPEing on the cut (r16 ADVICE)
+    if (cutRow.isNullAt(0)) return exactSubstrRemoval(documents, k)
+    val cut = cutRow.getLong(0)
     val b1 = documents.filter($"doc_id" <= cut)
     val b2 = documents.filter($"doc_id" > cut)
     val cleaned1 = exactSubstrRemovalIncremental(b1, None, k)

@@ -117,6 +117,29 @@ class BenchLineSpec extends AnyFunSuite {
       s"loaded-box line must keep value_norm=$expect: ${line.take(300)}")
   }
 
+  test("calib classification: elevated pre needs post corroboration to keep value_norm") {
+    // r16 ADVICE: the loaded class used to trigger on the pre sample
+    // alone, so a transient spike landing pre in (0.27, 0.32]
+    // published a value_norm computed from the disproved sample. The
+    // (calibSuspect, dropNorm) contract now:
+    // clean box — pre inside the band, warm post: no flag, norm kept
+    assert(Bench.calibClass(0.183, 0.112) == (false, false))
+    // genuinely loaded box — BOTH samples elevated: flag, norm KEPT
+    // (the normalization is the rescue)
+    assert(Bench.calibClass(0.290, 0.170) == (true, false))
+    // classic spike — pre far outside the band, post at the warm
+    // floor: flag, norm OMITTED
+    assert(Bench.calibClass(0.402, 0.112) == (true, true))
+    // the ADVICE boundary — pre in (0.27, 0.32], post at the warm
+    // floor: the post sample disproved the pre; norm must be OMITTED
+    assert(Bench.calibClass(0.300, 0.112) == (true, true),
+      "an uncorroborated moderate elevation must not publish value_norm")
+    // boundary exactness: pre at exactly 1.5× CalibRef is not elevated
+    assert(Bench.calibClass(1.5 * Bench.CalibRef, 0.112) == (false, false))
+    // post exactly at the warm floor corroborates
+    assert(Bench.calibClass(0.300, Bench.WarmFloor) == (true, false))
+  }
+
   test("round-stamped sidecar is written only for the graded run shape") {
     // r16 contract: every /tmp/sf1 and SPARK_GRAFT_ONLY run used to
     // clobber the committed sf0.1 per-query archive (it hit r15's

@@ -88,6 +88,26 @@ class DataContractSpec extends AnyFunSuite {
     }
   }
 
+  test("documents.text is non-null in every SF dir (the dedup-convention contract)") {
+    // The dedup family treats empty text as one ""-token document
+    // (lineDedup's convention, matched by every oracle) but treats
+    // NULL text as out-of-contract: substrRemovalAgainst's
+    // size(w) >= 1 guard drops such a row, while the DuckDB oracle's
+    // LEFT JOIN from toks would keep it with NULL n_tokens — a
+    // latent cross-engine divergence (r16 ADVICE). This pin makes
+    // the convention enforceable: a regen that lands NULL texts goes
+    // red HERE, not as a q124 hash mismatch in the driver's gate.
+    import org.apache.spark.sql.functions.col
+    for (d <- sfDirs) {
+      val nNull = Tables.load(spark, d, "documents")
+        .filter(col("text").isNull).count()
+      assert(nNull == 0L,
+        s"$d: $nNull NULL-text documents — the dedup operators' " +
+          "non-null text convention no longer holds; either clean the " +
+          "regen or coalesce text to '' in BOTH engines")
+    }
+  }
+
   test("operator-critical dtypes hold in every SF dir") {
     import org.apache.spark.sql.types._
     for (d <- sfDirs) {

@@ -652,6 +652,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"in-doc repeat removal mismatch: $r")
   }
 
+  test("q124 at the Lee-2022 production point k=50: long dup cut, short idiom survives") {
+    import spark.implicits._
+    // Lee et al. 2022 remove duplicated runs >= 50 tokens; k IS that
+    // threshold (the covered-interval merge cuts any duplicated run
+    // of >= k tokens in full). Plant both regimes in one corpus: a
+    // 60-token passage re-crawled verbatim, and an 8-token idiom
+    // repeated across otherwise-distinct documents — at k=50 the
+    // passage is removed from the re-crawl while the idiom (a common
+    // phrase, not a crawl duplicate) survives everywhere. At the
+    // testdata point k=8 the idiom would be cut too — the over-
+    // aggressive regime the scaladoc warns about, asserted here so
+    // the contrast is measured, not prose.
+    val passage = (1 to 60).map(i => s"w$i").mkString(" ")
+    val idiom = "as a matter of fact it turns out"
+    val docs = Seq(
+      (1L, passage, "en", "s", 0L),
+      (2L, "prefix " + passage, "en", "s", 0L),
+      (3L, s"$idiom spark shuffles partition data", "en", "s", 0L),
+      (4L, s"$idiom duckdb vectorizes scan batches", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val at50 = Dedup.exactSubstrRemoval(docs, k = 50).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(at50(1L) == ((0L, passage)), "first copy must be untouched")
+    assert(at50(2L) == ((60L, "prefix")),
+      s"60-token duplicated run must be cut in full at k=50: ${at50(2L)}")
+    assert(at50(3L)._1 == 0L && at50(4L)._1 == 0L,
+      s"8-token idiom is below the k=50 threshold and must survive: $at50")
+    // the testdata point cuts the idiom's second occurrence — the
+    // documented reason k=8 is NOT a production operating point
+    val at8 = Dedup.exactSubstrRemoval(docs, k = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(at8(4L) == 8L,
+      s"k=8 must cut the repeated idiom from the later doc: $at8")
+  }
+
+  test("q128 two-batch path returns empty on an empty corpus (no NPE on the median cut)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.exactSubstrRemovalTwoBatch(empty).count() == 0L,
+      "empty corpus must short-circuit, not NPE on the NULL median")
+  }
+
   test("q124 production hash keys produce identical output to md5 keys") {
     val docs = Tables.documents(spark, dir)
     def sig(hash: Boolean) = Dedup.exactSubstrRemoval(docs, hashFingerprints = hash)
