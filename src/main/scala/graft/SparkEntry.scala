@@ -323,6 +323,13 @@ object SparkEntry {
     // proves the incremental path's equality cross-engine)
     "q128_exact_substring_incremental" -> ((s, d) =>
       Dedup.exactSubstrRemovalTwoBatch(Tables.documents(s, d))),
+    // IVFPQ search FROM a persisted cid-partitioned parquet index —
+    // the stored form of q126: the probed-cell restriction becomes
+    // partition-pruned I/O, asserted as PartitionFilters in
+    // PlanAuditSpec (rows-only: iterative trainers + temp-dir store;
+    // output ≡ q126 exactly, spec-pinned)
+    "q130_ivfpq_stored" -> ((s, d) =>
+      Similarity.ivfpqStoreRoundTrip(s, d)),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented

@@ -744,31 +744,40 @@ object Similarity {
         zip_with($"v", element_at(coarseLit, $"pos"), (x, y) => x - y).as("v"))
   }
 
-  /** The IVFPQ scan core: ADC shortlist restricted to each query's
-    * `nProbe` nearest coarse cells. The probe lists and per-query
-    * distance tables are driver-computed (nQueries × nCells and
-    * nQueries × nSub × kCodes longs) and inlined; the INVERSE probe
-    * map (cell → queries) drives an explode, so a corpus row fans out
-    * ONLY to the queries that probe its cell — unprobed (query, vec)
-    * pairs never exist, neither as ADC arithmetic nor as shuffle
-    * rows. The only shuffle is the per-query top-r window over the
-    * surviving candidates — nProbe/nCells of the flat-PQ q111 volume.
+  /** Per-query probed cells, computed on the driver: argmin-d2 with
+    * (d2, cid) tie-break — the [[assignCellsProbed]] rule replayed on
+    * the collected query rows. Exposed so the stored-index search can
+    * derive its partition-pruning filter (and the plan-audit spec its
+    * expected partition set) from the SAME assignment the scan uses.
     */
-  private def ivfpqCore(embeddings: DataFrame,
-      cents: IndexedSeq[IndexedSeq[Seq[Long]]],
-      coarse: IndexedSeq[(Long, Seq[Long])],
+  private[operators] def probeMap(coarse: IndexedSeq[(Long, Seq[Long])],
       qRows: Array[org.apache.spark.sql.Row],
-      nProbe: Int, r: Int, byResidual: Boolean = false): DataFrame = {
-    val spans = spansOf(cents)
+      nProbe: Int): Map[Long, Seq[Long]] = {
     def d2(a: Seq[Long], b: Seq[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    // per-query probed cells: argmin-d2 with (d2, cid) tie-break —
-    // the assignCellsProbed rule, replayed on the driver
-    val probe: Map[Long, Seq[Long]] = qRows.map { row =>
+    qRows.map { row =>
       val v = row.getSeq[Long](1)
       row.getLong(0) -> coarse.map { case (cid, cv) => (d2(v, cv), cid) }
         .sorted.take(nProbe).map(_._2)
     }.toMap
+  }
+
+  /** The ADC scan over an ALREADY-ENCODED code frame (vec_id, cid,
+    * c0..c{nSub-1}) — the tail [[ivfpqCore]] (in-session encode
+    * projection) and [[ivfpqStoredTopK]] (parquet code table,
+    * partition-pruned to the probed cells) share, so the stored
+    * search is the same arithmetic over the same probe map by
+    * construction.
+    */
+  private def adcScanCore(encoded: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Seq[Long]]],
+      coarse: IndexedSeq[(Long, Seq[Long])],
+      qRows: Array[org.apache.spark.sql.Row],
+      probe: Map[Long, Seq[Long]],
+      r: Int, byResidual: Boolean = false): DataFrame = {
+    val spans = spansOf(cents)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val inv: Map[Long, List[Long]] = probe.toSeq
       .flatMap { case (q, cells) => cells.map(_ -> q) }
       .groupBy(_._1).map { case (c, qs) => c -> qs.map(_._2).sorted.toList }
@@ -806,7 +815,7 @@ object Similarity {
         col(s"c$m") + 1)
     }.reduce(_ + _)
     val w = Window.partitionBy($"query_id").orderBy($"adc_d2", $"vec_id")
-    encodeCellsLit(embeddings, cents, coarse, byResidual)
+    encoded
       .select($"vec_id" +: $"cid" +: cents.indices.map(m => col(s"c$m")) :+
         explode(coalesce(element_at(invLit, $"cid"),
           typedlit(List.empty[Long]))).as("query_id"): _*)
@@ -816,6 +825,24 @@ object Similarity {
       .filter($"rank" <= r)
       .select($"query_id", $"vec_id", $"cid", $"adc_d2", $"rank")
   }
+
+  /** The IVFPQ scan core: ADC shortlist restricted to each query's
+    * `nProbe` nearest coarse cells. The probe lists and per-query
+    * distance tables are driver-computed (nQueries × nCells and
+    * nQueries × nSub × kCodes longs) and inlined; the INVERSE probe
+    * map (cell → queries) drives an explode, so a corpus row fans out
+    * ONLY to the queries that probe its cell — unprobed (query, vec)
+    * pairs never exist, neither as ADC arithmetic nor as shuffle
+    * rows. The only shuffle is the per-query top-r window over the
+    * surviving candidates — nProbe/nCells of the flat-PQ q111 volume.
+    */
+  private def ivfpqCore(embeddings: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Seq[Long]]],
+      coarse: IndexedSeq[(Long, Seq[Long])],
+      qRows: Array[org.apache.spark.sql.Row],
+      nProbe: Int, r: Int, byResidual: Boolean = false): DataFrame =
+    adcScanCore(encodeCellsLit(embeddings, cents, coarse, byResidual),
+      cents, coarse, qRows, probeMap(coarse, qRows, nProbe), r, byResidual)
 
   private def ivfpqTrained(embeddings: DataFrame, nCells: Int, nSub: Int,
       kCodes: Int, iters: Int, nQueries: Int,
@@ -920,6 +947,16 @@ object Similarity {
     val short = ivfpqCore(embeddings, cents, coarse, qRows, nProbe, r,
         byResidual)
       .select($"query_id", $"vec_id")
+    exactRerank(embeddings, short, qRows, k)
+  }
+
+  /** Exact-L2 re-rank of a broadcast (query_id, vec_id) shortlist —
+    * the shared tail of [[ivfpqTopK]] and [[ivfpqStoredTopK]]: fetch
+    * full vectors for the shortlist ids only, score against the
+    * inlined query map, keep top-k per query.
+    */
+  private def exactRerank(embeddings: DataFrame, short: DataFrame,
+      qRows: Array[org.apache.spark.sql.Row], k: Int): DataFrame = {
     val qmap = typedlit(qRows.map(row =>
       row.getLong(0) -> row.getSeq[Long](1).toList).toMap)
     val exactD2 = aggregate(
@@ -933,6 +970,183 @@ object Similarity {
       .filter($"rank" <= k)
       .select($"query_id", $"vec_id", $"d2", $"rank")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Write a persisted IVFPQ index under `dir` — the artifact a
+    * 100-TB deployment trains once and searches many times:
+    *
+    *  - `codes/` — the encoded corpus (vec_id, c0..c{nSub-1}),
+    *    parquet PARTITIONED BY the coarse cell id `cid`. cid is the
+    *    index's natural partition key: a search touches only its
+    *    queries' probed cells, so with this layout the probed-cell
+    *    restriction is PARTITION-PRUNED I/O — the scan reads
+    *    nProbe/nCells of the store's bytes, asserted as
+    *    PartitionFilters in PlanAuditSpec, not just argued.
+    *    `repartition(cid)` before the write puts each cell in exactly
+    *    one task, so every partition directory is one file (no
+    *    small-file shatter; at 100 TB cells would roll into sized
+    *    files per the Layout manifest discipline).
+    *  - `coarse/` — the trained coarse quantizer (cid, cv).
+    *  - `codebooks/` — the trained sub-codebooks (sub, code, cv).
+    *  - `meta/` — one row: (n_cells, n_sub, k_codes, by_residual), so
+    *    a search opens the index without out-of-band knowledge.
+    *
+    * Training is [[kmeansTrain]] + [[pqTrainDriver]] exactly as in
+    * [[ivfpqTopK]], and the encode pass is the same one map-only
+    * projection — so a stored search returns byte-identical results
+    * to the in-session path (spec-pinned).
+    */
+  def ivfpqWriteIndex(embeddings: DataFrame, dir: String,
+                      nCells: Int = 16, nSub: Int = 4, kCodes: Int = 16,
+                      iters: Int = 3,
+                      byResidual: Boolean = false): Unit = {
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    // narrow implicits: the full spark.implicits._ would shadow the
+    // package-level $ interpolator
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val coarseFrame = kmeansTrain(embeddings, nCells, iters)
+      .localCheckpoint(true)
+    val coarse = coarseFrame.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toIndexedSeq.sortBy(_._1)
+    val cents =
+      if (byResidual && coarse.nonEmpty)
+        pqTrainDriverQ(residualFrame(embeddings, coarse)
+          .select($"vec_id", $"v"), nSub, kCodes, iters)
+      else pqTrainDriver(embeddings, nSub, kCodes, iters)
+    coarseFrame.write.mode("overwrite").parquet(s"$dir/coarse")
+    cents.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (cv, code) => (sub, code, cv) }
+    }.toDF("sub", "code", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((nCells, nSub, kCodes, byResidual))
+      .toDF("n_cells", "n_sub", "k_codes", "by_residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    encodeCellsLit(embeddings, cents, coarse, byResidual)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+  }
+
+  /** The stored code table restricted to a probe set — THE scan whose
+    * plan carries the 100-TB I/O claim: `cid` is the partition
+    * column, so the isin filter prunes the read to exactly the probed
+    * cell directories (PartitionFilters, asserted in PlanAuditSpec).
+    * Partition values are matched in the column's INFERRED type
+    * (small cids surface as int) so no cast sits between the filter
+    * and the pruning; cid is widened back to long above the scan for
+    * the ADC arithmetic.
+    */
+  def storedCodes(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String, probedCells: Seq[Long]): DataFrame = {
+    val raw = spark.read.parquet(s"$indexDir/codes")
+    val lits: Seq[Any] = raw.schema("cid").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probedCells.map(_.toInt)
+      case _ => probedCells
+    }
+    raw.filter(col("cid").isin(lits: _*))
+      .withColumn("cid", col("cid").cast("long"))
+  }
+
+  /** IVFPQ top-k search FROM a persisted index (q130) — [[ivfpqTopK]]
+    * with training and encoding replaced by index reads, the shape a
+    * production deployment actually runs per query batch:
+    *
+    *  1. open `coarse/`, `codebooks/`, `meta/` (driver-bounded: nCells
+    *     + nSub×kCodes + 1 rows — the codebook-collect discipline);
+    *  2. compute the probe map on the driver ([[probeMap]], the same
+    *     (d2, cid) rule as the in-session path);
+    *  3. scan `codes/` pruned to the probed cells ([[storedCodes]] —
+    *     partition pruning makes the nProbe/nCells I/O fraction a
+    *     plan property, where the in-session path could only keep
+    *     unprobed pairs from existing as ROWS after a full encode);
+    *  4. the same inverse-probe ADC scan + top-r window
+    *     ([[adcScanCore]]) and exact broadcast re-rank.
+    *
+    * Search cost is independent of training cost and — through the
+    * pruned scan — proportional to the probed fraction of the STORE,
+    * not the store's size. Results are byte-identical to
+    * [[ivfpqTopK]] with the same parameters (spec-pinned): the stored
+    * codes are the same encode projection's output, and the probe
+    * map, distance tables, and re-rank replay the same driver
+    * arithmetic.
+    */
+  private def readCoarse(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): IndexedSeq[(Long, Seq[Long])] =
+    spark.read.parquet(s"$indexDir/coarse").collect()
+      .map(r => (r.getLong(r.fieldIndex("cid")),
+        r.getSeq[Long](r.fieldIndex("cv")))).toIndexedSeq.sortBy(_._1)
+
+  /** The distinct coarse cells a query batch probes against a stored
+    * index — the exact partition set its search scan is allowed to
+    * read. Exposed so the plan-audit spec can assert the scan's
+    * PartitionFilters prune to THIS set (and so a deployment can
+    * capacity-plan a batch's I/O before running it).
+    */
+  def ivfpqProbedCells(embeddings: DataFrame, indexDir: String,
+                       nProbe: Int = 4, nQueries: Int = 10): Seq[Long] = {
+    val spark = embeddings.sparkSession
+    graft.functions.Registry.ensure(spark)
+    val coarse = readCoarse(spark, indexDir)
+    val qRows = quantizedNonEmpty(embeddings)
+      .filter($"vec_id" < nQueries).orderBy($"vec_id").collect()
+    if (coarse.isEmpty || qRows.isEmpty) Seq.empty
+    else probeMap(coarse, qRows, nProbe).values.flatten.toSeq.distinct.sorted
+  }
+
+  def ivfpqStoredTopK(embeddings: DataFrame, indexDir: String,
+                      nProbe: Int = 4, nQueries: Int = 10, k: Int = 5,
+                      rerank: Option[Int] = None): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.Registry.ensure(spark)
+    val coarse = readCoarse(spark, indexDir)
+    val cbRows = spark.read.parquet(s"$indexDir/codebooks").collect()
+      .map(r => (r.getInt(r.fieldIndex("sub")), r.getInt(r.fieldIndex("code")),
+        r.getSeq[Long](r.fieldIndex("cv"))))
+    val cents: IndexedSeq[IndexedSeq[Seq[Long]]] =
+      if (cbRows.isEmpty) IndexedSeq(IndexedSeq.empty)
+      else cbRows.groupBy(_._1).toIndexedSeq.sortBy(_._1)
+        .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toIndexedSeq }
+    val byResidual = spark.read.parquet(s"$indexDir/meta").head()
+      .getAs[Boolean]("by_residual")
+    val qRows = quantizedNonEmpty(embeddings)
+      .filter($"vec_id" < nQueries).orderBy($"vec_id").collect()
+    if (coarse.isEmpty || cents.head.isEmpty || qRows.isEmpty)
+      return embeddings.select($"vec_id".as("query_id"), $"vec_id",
+        lit(0L).as("d2"), lit(0).as("rank")).filter(lit(false))
+    val probe = probeMap(coarse, qRows, nProbe)
+    val probed = probe.values.flatten.toSeq.distinct.sorted
+    val dim = qRows.head.getSeq[Long](1).size
+    val r = rerank.getOrElse(autoRerank(embeddings, dim))
+    val short = adcScanCore(storedCodes(spark, indexDir, probed),
+        cents, coarse, qRows, probe, r, byResidual)
+      .select($"query_id", $"vec_id")
+    exactRerank(embeddings, short, qRows, k)
+  }
+
+  /** Declared q130 shape: build the persisted index ONCE per session
+    * per source (the q121 segment-store discipline — the first call
+    * pays training + encode + write, every later call searches the
+    * SAME stored index, which is exactly the operator's deployment
+    * contract), then answer the standard query batch FROM storage.
+    */
+  private val ivfpqIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  def ivfpqStoreRoundTrip(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = ivfpqIndexDirs.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(d))
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      ivfpqWriteIndex(emb, d.toString)
+      d.toString
+    })
+    ivfpqStoredTopK(emb, dir)
   }
 
   /** IVF-index cell manifest (q119): per-cell occupancy and residual

@@ -923,6 +923,27 @@ class NewOpsSpec extends AnyFunSuite {
     assert(res >= raw, f"residual encoding lost to raw codes at 1×: $res%.2f < $raw%.2f")
   }
 
+  test("q130 stored-index search returns byte-identical results to in-session q126") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // the declared round-trip (session-keyed index dir, built on
+    // first call) against the in-session training+encode path: same
+    // trainers, same encode projection, same probe map and re-rank —
+    // persistence must change WHERE the codes are read from, never
+    // what comes back
+    val stored = sig(Similarity.ivfpqStoreRoundTrip(spark, dir))
+    val inSession = sig(Similarity.ivfpqTopK(emb))
+    assert(stored.nonEmpty, "stored search returned no rows")
+    assert(stored == inSession,
+      "stored-index search diverged from the in-session IVFPQ path")
+    // a second search against the SAME store (the bench's warm pass
+    // shape) answers identically — the index is read-only at search
+    assert(sig(Similarity.ivfpqStoreRoundTrip(spark, dir)) == stored,
+      "re-searching the stored index changed the answer")
+  }
+
   test("random projection: exact integer projection and JL concentration") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

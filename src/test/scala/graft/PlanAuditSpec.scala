@@ -143,4 +143,67 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q99 plans $generates explodes of the bigram stream; the " +
         "single-lineage window formulation must scan the corpus once")
   }
+
+  test("q130's stored code scan partition-prunes to EXACTLY the probed cells") {
+    // The 100-TB claim behind IVFPQ ("cid is the partition key, so
+    // probed cells are partition-pruned I/O", Similarity.ivfpqTopK
+    // scaladoc) as a measured plan property: search a persisted
+    // cid-partitioned index with a query batch whose probe set is a
+    // strict subset of the cells, and assert the parquet scan's
+    // PartitionFilters reduce the read to that set — partitions,
+    // files, and bytes, from the scan's own metrics.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import graft.sources.Tables
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_audit")
+      .toString
+    Similarity.ivfpqWriteIndex(emb, tmp)
+    // 2 queries × 2 probes over 16 trained cells: the probe union is
+    // structurally ≤ 4 cells — room for pruning to be visible
+    val probed = Similarity.ivfpqProbedCells(emb, tmp, nProbe = 2,
+      nQueries = 2)
+    val cellsOnDisk = Option(new java.io.File(s"$tmp/codes").list())
+      .getOrElse(Array.empty)
+      .collect { case s if s.startsWith("cid=") =>
+        s.stripPrefix("cid=").toLong }.toSet
+    val expected = probed.toSet intersect cellsOnDisk
+    assert(expected.nonEmpty && expected.size < cellsOnDisk.size,
+      s"probe set $probed vs cells $cellsOnDisk leaves nothing to prune " +
+        "— widen nCells or shrink the batch so the assertion has teeth")
+    val df = Similarity.ivfpqStoredTopK(emb, tmp, nProbe = 2, nQueries = 2)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "stored search returned nothing to audit")
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val codeScans = scans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("graft_ivfpq_audit")))
+      .filter(_.metadata.get("Location").exists(_.contains("codes")))
+    assert(codeScans.size == 1,
+      s"expected exactly one scan of the stored code table, " +
+        s"found ${codeScans.size}")
+    val scan = codeScans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "the probed-cell restriction did not become a PartitionFilter — " +
+        s"the scan reads the whole store:\n${scan.toString}")
+    assert(scan.metrics("numPartitions").value == expected.size,
+      s"scan read ${scan.metrics("numPartitions").value} partitions, " +
+        s"expected exactly the ${expected.size} probed cells $expected")
+    // the write discipline (repartition by cid before partitionBy)
+    // keeps each cell one file, so files read == cells probed
+    assert(scan.metrics("numFiles").value == expected.size,
+      s"scan read ${scan.metrics("numFiles").value} files for " +
+        s"${expected.size} probed single-file cells")
+    // and the pruned result is still the right answer: identical to
+    // the in-session path at the same parameters
+    val inSession = Similarity.ivfpqTopK(emb, nProbe = 2, nQueries = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(rows.map(_.toSeq).toSeq == inSession,
+      "partition-pruned stored search diverged from the in-session path")
+  }
 }
