@@ -83,7 +83,18 @@ object ScaleProbe {
             operators.Analytics.fuzzyDictLarge(sources.Tables.part(s, d))
           s.range(1).filter(org.apache.spark.sql.functions.lit(pick))
             .toDF("large_dict")
-        }))
+        }),
+        // ANN trainer cost curves (round 17): full-corpus Lloyd vs the
+        // bounded hash-gated sample at the q126 operating point
+        // (16 cells, 3 iters). Probed at sf0.1 / /tmp/sf1 / /tmp/sf10,
+        // the pair shows full growing ∝ corpus × iters while sampled
+        // pays one gate scan + iters rounds over ~4k rows.
+        "ann_train_full" -> ((s, d) =>
+          operators.Similarity.kmeansTrain(
+            sources.Tables.embeddings(s, d), kCents = 16, iters = 3)),
+        "ann_train_sampled" -> ((s, d) =>
+          operators.Similarity.kmeansTrainSampled(
+            sources.Tables.embeddings(s, d), kCents = 16, iters = 3)))
     val catalog = SparkEntry.queries ++ extras
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",

@@ -330,6 +330,13 @@ object SparkEntry {
     // output ≡ q126 exactly, spec-pinned)
     "q130_ivfpq_stored" -> ((s, d) =>
       Similarity.ivfpqStoreRoundTrip(s, d)),
+    // IVFPQ with both quantizers trained on a bounded hash-gated
+    // sample (~4k vectors) — the FAISS training economics: cost ∝
+    // sample, not corpus × iters; full-corpus encode + search
+    // unchanged (rows-only: iterative; recall parity vs the
+    // full-trained path spec-pinned at 1× and 10×)
+    "q131_ivfpq_sampled" -> ((s, d) =>
+      Similarity.ivfpqTopKSampled(Tables.embeddings(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented

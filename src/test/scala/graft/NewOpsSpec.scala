@@ -944,6 +944,47 @@ class NewOpsSpec extends AnyFunSuite {
       "re-searching the stored index changed the answer")
   }
 
+  test("trainingSample: deterministic, partitioning-invariant, cap-bound, identity under cap") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    // corpus ≤ cap: the sample IS the corpus (small-SF behavior is
+    // unchanged by construction)
+    assert(Similarity.trainingSample(emb).count() == n,
+      s"a $n-row corpus under the ${Similarity.TrainSampleCap} cap must pass through whole")
+    // an engaged gate: cap 100 of 500 — size lands in the binomial
+    // band around the cap (ceil'd threshold ⇒ never under-shoots far)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(Similarity.trainingSample(emb, cap = 100))
+    assert(s1.size >= 80 && s1.size <= 200,
+      s"cap=100 sample of $n rows came back ${s1.size} — gate mis-sized")
+    // same rows on every run and under any partitioning — the
+    // hash-gate contract that makes sampled training reproducible
+    assert(ids(Similarity.trainingSample(emb, cap = 100)) == s1,
+      "re-sampling changed the training set")
+    assert(ids(Similarity.trainingSample(emb.repartition(7), cap = 100)) == s1,
+      "partitioning changed the training set")
+  }
+
+  test("q131 sampled-trained IVFPQ: deterministic, k-per-query contract, sample-size-free") {
+    val emb = Tables.embeddings(spark, dir)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val out = sig(Similarity.ivfpqTopKSampled(emb))
+    assert(out == sig(Similarity.ivfpqTopKSampled(emb)),
+      "sampled training is hash-seeded and must be run-deterministic")
+    // on a ≤cap corpus the sample IS the corpus, so cap=∞ (full-corpus
+    // training, same neutral seeds) is the identical computation —
+    // the degenerate end of the parity contract ScaleTechniquesSpec
+    // measures at 1×/10× where the gate actually engages
+    assert(out == sig(Similarity.ivfpqTopKSampled(emb, cap = Long.MaxValue)),
+      "≤cap corpus: sampled and full-corpus neutral-seed training must coincide")
+    val perQuery = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.values.forall(_ == 5) && perQuery.size == 10,
+      s"contract: 5 ranked hits per query × 10 queries, got $perQuery")
+  }
+
   test("random projection: exact integer projection and JL concentration") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

@@ -1008,6 +1008,76 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"10× IVFPQ candidates $c4 exceed 2× the nProbe/nCells fraction")
   }
 
+  test("sampled ANN training: recall parity at 1× and 10× while the sample stays cap-bound") {
+    import org.apache.spark.sql.functions._
+    // The 100-TB training lever (r16 verdict #2): FAISS trains
+    // quantizers on a bounded sample because geometry saturates at
+    // tens of points per centroid. The baseline is the SEED-MATCHED
+    // full-corpus trainer (cap = ∞, same neutral hash seeds) so the
+    // comparison isolates training VOLUME — the question sampling
+    // answers — from seed placement: the declared q126's first-k-id
+    // seeds contain the benchmark queries themselves, an artifact
+    // measured and documented at ivfpqTopKSampled. The sample-size
+    // assertion is the cost argument's structural core — every Lloyd
+    // round after the one gate scan touches ~cap rows no matter how
+    // the corpus grows.
+    def recallAt(sfDir: String): (Double, Double, Long) = {
+      val emb = Tables.embeddings(spark, sfDir)
+      val q = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS LONG))").as("v"))
+      val qs = q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val d2 = expr("aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("d2"), col("vec_id"))
+      val exact = q.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), d2.as("d2"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= 5)
+        .select(col("query_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select(col("query_id"), col("vec_id")).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val rec = exact.keys.toSeq.map(k =>
+          (exact(k) intersect got.getOrElse(k, Set.empty)).size.toDouble / exact(k).size)
+        rec.sum / rec.size
+      }
+      (recallOf(operators.Similarity.ivfpqTopKSampled(emb)),
+        recallOf(operators.Similarity.ivfpqTopKSampled(emb, cap = Long.MaxValue)),
+        operators.Similarity.trainingSample(emb).count())
+    }
+    val (s1, f1, n1) = recallAt("/root/testdata/sf0.1")
+    info(f"1× (sf0.1): sampled recall@5 $s1%.2f vs full-neutral $f1%.2f, sample $n1 rows")
+    val cap = operators.Similarity.TrainSampleCap
+    // 2 k vectors at sf0.1 — the gate is strictly engaged (≈cap of
+    // them train); binomial band around the ceil'd threshold
+    assert(n1 >= cap * 8 / 10 && n1 <= 2 * cap,
+      s"1× sample $n1 rows outside the [${cap * 8 / 10}, ${2 * cap}] gate band")
+    // parity band is measured-minus-margin: 0.44 sampled vs 0.30
+    // full-neutral at 1× — the ~1k sample trains the same geometry
+    // the whole corpus does (better here: fewer duplicated-mass
+    // attractors in the sample)
+    assert(s1 >= f1 - 0.1,
+      f"1× sampled-trained recall $s1%.2f fell >0.1 below full-trained $f1%.2f")
+    assert(s1 >= 0.35, f"1× sampled recall floor (measured 0.44): $s1%.2f")
+    val dir10 = "/tmp/sf1"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir10/_MANIFEST.json")),
+      "10× scale point absent — python3 tools/gen_sf1.py")
+    val (s10, f10, n10) = recallAt(dir10)
+    info(f"10× (/tmp/sf1): sampled recall@5 $s10%.2f vs full-neutral $f10%.2f, sample $n10 rows")
+    // 20 k vectors, same ~1k sample — the cap-bound claim at scale
+    assert(n10 >= cap * 8 / 10 && n10 <= 2 * cap,
+      s"10× sample $n10 rows outside the [${cap * 8 / 10}, ${2 * cap}] gate band")
+    // measured 0.26 vs 0.24 at 10× — the duplicated-corpus regime
+    // (inter-copy distances inside the generic PQ code-error band,
+    // the byResidual-inversion mechanism) pulls BOTH down equally;
+    // the parity claim is exactly that the sample costs nothing
+    assert(s10 >= f10 - 0.1,
+      f"10× sampled-trained recall $s10%.2f fell >0.1 below full-trained $f10%.2f")
+    assert(s10 >= 0.15, f"10× sampled recall floor (measured 0.26): $s10%.2f")
+  }
+
   test("10×: z-order day-dim pruning holds; rewrite amplification bounded") {
     // the sf0.001 test above proves the mechanism; this one proves it
     // at the 10× point (1.5 M orders), where row-group min/max spans
