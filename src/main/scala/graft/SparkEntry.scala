@@ -323,6 +323,14 @@ object SparkEntry {
     // proves the incremental path's equality cross-engine)
     "q128_exact_substring_incremental" -> ((s, d) =>
       Dedup.exactSubstrRemovalTwoBatch(Tables.documents(s, d))),
+    // standing MinHash near-dup screen: batch 1's banded signature
+    // table persists, batch 2 probes it (cross edges found at
+    // arrival, standing corpus never re-signatured), decisions
+    // answered merge-on-read from the accumulated edge log
+    // (rows-only: minhash, q127 is the in-session twin — equality
+    // with one-shot q127 and arrival-order invariance spec-pinned)
+    "q129_minhash_screen" -> ((s, d) =>
+      Dedup.dedupKeepBestLshTwoBatch(Tables.documents(s, d))),
     // IVFPQ search FROM a persisted cid-partitioned parquet index —
     // the stored form of q126: the probed-cell restriction becomes
     // partition-pruned I/O, asserted as PartitionFilters in

@@ -985,4 +985,167 @@ object Dedup {
     keepBestOver(documents,
       dupClustersLsh(documents, n, tauEst, k, bands)
         .select($"doc_id", $"cluster_id", $"cluster_size"))
+
+  /** The banded signature frame — q129's STANDING artifact: one row
+    * per (doc, band) carrying the band bucket key AND the full
+    * signature, so probing it is a single equi-join with in-row
+    * est-Jaccard verification (no second join to fetch signatures).
+    * This is what an incremental near-dup deployment persists
+    * between batches (the q105/q128 standing-table pattern applied
+    * to q127's edge signal): signatures are the expensive artifact —
+    * tokenize + shingle + k minhashes over the text — and with the
+    * band table stored, an arriving batch pays its OWN signature
+    * pass plus one band equi-join; the standing corpus is never
+    * re-tokenized, never re-signatured, never re-paired against
+    * itself.
+    */
+  def minhashBanded(documents: DataFrame, n: Int = 3,
+                    k: Int = MinHashK, bands: Int = Bands): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rowsPerBand = k / bands
+    minhashSignatures(documents, n, k)
+      .select($"doc_id", $"sig",
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_key",
+        xxhash64($"band", slice($"sig", $"band" * rowsPerBand + 1, lit(rowsPerBand))))
+  }
+
+  /** Near-dup edges DISCOVERED at a batch's arrival (q129): the
+    * arriving batch's banded frame probes the standing band table
+    * (cross edges — each pair found exactly when its later-arriving
+    * member arrives) and itself (within-batch edges), est-Jaccard
+    * verified from the carried signatures — the same τ test as
+    * [[minhashLsh]]. Pairs are normalized doc_a < doc_b, so the
+    * edges accumulated over ANY arrival order equal the one-shot
+    * edge set over the union corpus — the arrival-order INVARIANCE
+    * that makes merge-on-read decisions (cluster + keep-best over
+    * the accumulated log) exactly reproduce one-shot q127
+    * (spec-pinned, including a shuffled split).
+    */
+  def minhashProbe(batchBanded: DataFrame, standing: Option[DataFrame],
+                   tauEst: Double = 0.1, k: Int = MinHashK): DataFrame = {
+    // normalize each joined side to (doc_a < doc_b) pair rows before
+    // the union — the join frames carry ambiguous a/b column names
+    def pairsOf(joined: DataFrame): DataFrame = joined.select(
+      least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+      greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+      when(col("a.doc_id") < col("b.doc_id"), col("a.sig"))
+        .otherwise(col("b.sig")).as("sig_a"),
+      when(col("a.doc_id") < col("b.doc_id"), col("b.sig"))
+        .otherwise(col("a.sig")).as("sig_b"))
+    val within = pairsOf(batchBanded.as("a").join(batchBanded.as("b"),
+      col("a.band") === col("b.band") &&
+      col("a.band_key") === col("b.band_key") &&
+      col("a.doc_id") < col("b.doc_id")))
+    val cands = standing match {
+      case None => within
+      case Some(st) =>
+        // cross probe: arriving doc × standing doc — doc sets are
+        // disjoint on clean arrival; replayed overlaps collapse in
+        // the normalized dropDuplicates
+        within.unionByName(
+          pairsOf(batchBanded.as("a").join(st.as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") =!= col("b.doc_id"))))
+    }
+    cands
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with($"sig_a", $"sig_b", (x, y) => x === y), b => b))
+          * 1.0 / k)
+      .filter($"est_jaccard" >= tauEst)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+  }
+
+  /** ONLINE screening decision for an arriving batch (q129's
+    * immediate answer, the CCNet online behavior): a batch document
+    * is kept iff it matches nothing in the standing table and no
+    * EARLIER (lower doc_id) document of its own batch. Keep-first-
+    * ARRIVAL: a standing document is never retracted — an arriving
+    * duplicate is dropped at arrival even when it is the
+    * higher-quality copy (spec-pinned; the retention-quality trade
+    * is why the merge-on-read path exists alongside: decisions
+    * re-derived from the accumulated edge log are arrival-order-free
+    * and keep-BEST, at the cost of re-clustering at read time).
+    * Output: one row per batch doc with its candidate count, max
+    * est-Jaccard, the matched doc it lost to (min id, null when
+    * kept), and the keep flag.
+    */
+  def minhashScreenBatch(batch: DataFrame, standing: Option[DataFrame],
+                         n: Int = 3, tauEst: Double = 0.1,
+                         k: Int = MinHashK, bands: Int = Bands): DataFrame = {
+    val banded = minhashBanded(batch, n, k, bands).localCheckpoint(true)
+    // DIRECTED candidate edges, unlike [[minhashProbe]]'s normalized
+    // log: the winner of a cross edge is the STANDING doc no matter
+    // the ids (that is what keep-first-arrival MEANS); within the
+    // batch the lower id wins (first in the batch file)
+    val withinD = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("loser"), col("a.doc_id").as("winner"),
+        col("b.sig").as("sig_l"), col("a.sig").as("sig_w"))
+    val directed = standing match {
+      case None => withinD
+      case Some(st) => withinD.unionByName(
+        banded.as("a").join(st.as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("loser"), col("b.doc_id").as("winner"),
+            col("a.sig").as("sig_l"), col("b.sig").as("sig_w")))
+    }
+    val lost = directed
+      .dropDuplicates("loser", "winner")
+      .withColumn("est_jaccard",
+        size(filter(zip_with($"sig_l", $"sig_w", (x, y) => x === y), b => b))
+          * 1.0 / k)
+      .filter($"est_jaccard" >= tauEst)
+      .groupBy($"loser".as("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max($"est_jaccard").as("max_est_jaccard"),
+        min($"winner").as("matched_doc"))
+    batch.select($"doc_id").distinct()
+      .join(lost, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        $"max_est_jaccard", $"matched_doc",
+        $"matched_doc".isNull.as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Declared q129 shape (the q128 two-batch pattern over the
+    * near-dup signal): the corpus split at its median doc_id and
+    * ingested as two batches — batch 1's banded table persists
+    * (localCheckpoint stands in for the parquet table a deployment
+    * writes), batch 2 probes it for cross edges and contributes its
+    * own band rows; final retention decisions are answered
+    * MERGE-ON-READ from the accumulated edge log (cluster +
+    * keep-best, the q121 read-side pattern), which provably equals
+    * one-shot q127 — each pair is discovered exactly once, when its
+    * later-arriving member arrives, so the accumulated edge set IS
+    * the one-shot edge set under any arrival order (both equalities
+    * spec-pinned). The incremental saving is in the signatures:
+    * batch 2 never re-tokenizes or re-signatures batch 1's corpus,
+    * and standing×standing pairs are never re-generated.
+    */
+  def dedupKeepBestLshTwoBatch(documents: DataFrame, n: Int = 3,
+                               tauEst: Double = 0.1, k: Int = MinHashK,
+                               bands: Int = Bands): DataFrame = {
+    val cutRow = documents.agg(
+      percentile_approx($"doc_id", lit(0.5), lit(100000))).head()
+    if (cutRow.isNullAt(0)) return dedupKeepBestLsh(documents, n, tauEst, k, bands)
+    val cut = cutRow.getLong(0)
+    val b1 = documents.filter($"doc_id" <= cut)
+    val b2 = documents.filter($"doc_id" > cut)
+    val banded1 = minhashBanded(b1, n, k, bands).localCheckpoint(true)
+    val banded2 = minhashBanded(b2, n, k, bands).localCheckpoint(true)
+    val edges = minhashProbe(banded1, None, tauEst, k)
+      .unionByName(minhashProbe(banded2, Some(banded1), tauEst, k))
+      .select($"doc_a", $"doc_b")
+    keepBestOver(documents,
+      dupClustersFrom(documents, edges)
+        .select($"doc_id", $"cluster_id", $"cluster_size"))
+  }
 }

@@ -610,6 +610,78 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ids == Seq(0L), s"unexpected hash rows: $ids")
   }
 
+  // ---- q129 standing MinHash screen ----
+
+  test("q129 two-batch merge-on-read decisions equal one-shot q127 exactly") {
+    val docs = Tables.documents(spark, dir)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(sig(Dedup.dedupKeepBestLshTwoBatch(docs)) ==
+      sig(Dedup.dedupKeepBestLsh(docs)),
+      "incremental band-table path diverged from one-shot keep-best-LSH")
+  }
+
+  test("q129 accumulated edges are arrival-order invariant (reversed batches, same decisions)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(percentile_approx(col("doc_id"), lit(0.5),
+      lit(100000))).head().getLong(0)
+    val (b1, b2) = (docs.filter(col("doc_id") <= cut),
+      docs.filter(col("doc_id") > cut))
+    def edgesFor(first: org.apache.spark.sql.DataFrame,
+                 second: org.apache.spark.sql.DataFrame) = {
+      val firstBanded = Dedup.minhashBanded(first).localCheckpoint(true)
+      val secondBanded = Dedup.minhashBanded(second).localCheckpoint(true)
+      Dedup.minhashProbe(firstBanded, None)
+        .unionByName(Dedup.minhashProbe(secondBanded, Some(firstBanded)))
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lowFirst = edgesFor(b1, b2)
+    val highFirst = edgesFor(b2, b1)
+    assert(lowFirst == highFirst && lowFirst.nonEmpty,
+      s"edge log depends on arrival order: ${lowFirst.size} vs ${highFirst.size}")
+    // and the accumulated log IS the one-shot edge set
+    val oneShot = Dedup.minhashLsh(docs)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lowFirst == oneShot,
+      "accumulated probe edges diverged from the one-shot LSH pair set")
+  }
+
+  test("q129 online screen is keep-first-ARRIVAL: the standing copy wins, even over a better late dup") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // batch 1: the early, LOWER-quality copy (id 30) plus an unrelated doc
+    val early = Seq(
+      (30L, base, "en", "s", 0L),
+      (31L, "completely different words about spark query engines at scale", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // batch 2: a near-identical HIGHER-quality re-crawl with a LOWER
+    // id (10), plus a within-batch dup pair (40 before 41)
+    val late = Seq(
+      (10L, base + " extended with more useful clean content", "en", "s", 0L),
+      (40L, "unrelated batch two document with its own wording entirely", "en", "s", 0L),
+      (41L, "unrelated batch two document with its own wording entirely", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val standing = Dedup.minhashBanded(early).localCheckpoint(true)
+    val out1 = Dedup.minhashScreenBatch(early, None).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(4),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out1(30L)._1 && out1(31L)._1, s"first batch must all keep: $out1")
+    val out2 = Dedup.minhashScreenBatch(late, Some(standing)).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(4),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // keep-first-arrival: doc 10 (lower id AND longer text) still
+    // loses to standing doc 30 — arrival beats both id and quality
+    assert(out2(10L) == ((false, 30L)),
+      s"late dup must lose to the STANDING copy: ${out2(10L)}")
+    // within-batch: min doc_id wins
+    assert(out2(40L)._1 && out2(41L) == ((false, 40L)),
+      s"within-batch dup must keep the first id: $out2")
+  }
+
   // ---- q124 exactSubstrRemoval: alignment-free substring removal ----
 
   test("q124 removes the offset duplicate that q122's fixed tiles provably miss") {
