@@ -323,6 +323,14 @@ object SparkEntry {
     // proves the incremental path's equality cross-engine)
     "q128_exact_substring_incremental" -> ((s, d) =>
       Dedup.exactSubstrRemovalTwoBatch(Tables.documents(s, d))),
+    // Druid-approximate TopN: weighted Misra-Gries candidate sketch
+    // (capacity = Druid's 1000-candidate segment pool) + exact
+    // recount of the broadcast candidates — reported values exact,
+    // recall bounded by the sketch guarantee (rows-only: candidate
+    // retention beyond the W/(cap+1) guarantee is partition-
+    // dependent; planted-whale + measured-equality specs pin it)
+    "q132_topn_approx" -> ((s, d) =>
+      Analytics.topCustomersApprox(Tables.orders(s, d), Tables.customer(s, d))),
     // standing MinHash near-dup screen: batch 1's banded signature
     // table persists, batch 2 probes it (cross edges found at
     // arrival, standing corpus never re-signatured), decisions

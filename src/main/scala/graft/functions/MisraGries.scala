@@ -108,3 +108,89 @@ object MisraGries {
   def candidates(term: Column, capacity: Int): Column =
     udaf(new MisraGries(capacity), ExpressionEncoder[String]()).apply(term)
 }
+
+/** WEIGHTED Misra-Gries (the Druid-TopN candidate summary): counters
+  * accumulate an arbitrary positive weight per arrival (order spend,
+  * bytes, revenue) instead of 1. Stream update inserts the arriving
+  * key (or adds its weight), and when the buffer would exceed
+  * `capacity` subtracts the MINIMUM counter from all and drops
+  * non-positives — every subtraction event removes its δ from
+  * ≥ capacity+1 counters at once, so the total mass any key can lose
+  * is ≤ W/(capacity+1) (W = total weight seen), the same additive
+  * guarantee as the unit-weight form (Berinde et al. 2010, "Space-
+  * optimal heavy hitters with strong error bounds"):
+  *
+  *   true_weight - W / (capacity + 1)  <=  estimate  <=  true_weight
+  *
+  * Merge is the [[MisraGries]] rule verbatim (sum maps, subtract the
+  * (capacity+1)-largest, drop non-positives — Agarwal et al.'s
+  * mergeability argument is weight-agnostic), so partial aggregation
+  * in any tree shape preserves the bound and every key with true
+  * weight > W/(capacity+1) survives to the candidate list no matter
+  * how Spark partitions the data. Like the unit form, retained
+  * COUNTER VALUES depend on merge order, so only the KEYS are
+  * exposed and the consumer recounts them exactly (the two-pass
+  * q113 discipline — Analytics.topCustomersApprox).
+  */
+class WeightedMisraGries(capacity: Int)
+    extends Aggregator[(String, Long), collection.Map[String, Long], Seq[String]]
+    with Serializable {
+
+  private def asMutable(
+      b: collection.Map[String, Long]): mutable.HashMap[String, Long] =
+    b match {
+      case m: mutable.HashMap[String, Long] => m
+      case other => mutable.HashMap.from(other)
+    }
+
+  override def zero: collection.Map[String, Long] =
+    mutable.HashMap.empty[String, Long]
+
+  override def reduce(b: collection.Map[String, Long],
+                      in: (String, Long)): collection.Map[String, Long] = {
+    val (k, w) = in
+    if (w <= 0L) return b // zero/negative weights carry no vote
+    val m = asMutable(b)
+    m.update(k, m.getOrElse(k, 0L) + w)
+    if (m.size > capacity) {
+      // insert-then-subtract: δ leaves capacity+1 counters at once
+      val d = m.valuesIterator.min
+      m.mapValuesInPlace((_, c) => c - d)
+      m.filterInPlace((_, c) => c > 0)
+    }
+    m
+  }
+
+  override def merge(a: collection.Map[String, Long],
+                     b: collection.Map[String, Long]): collection.Map[String, Long] = {
+    val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
+    val m = asMutable(into)
+    from.foreach { case (k, c) =>
+      m.update(k, m.getOrElse(k, 0L) + c)
+    }
+    if (m.size > capacity) {
+      val cut = m.valuesIterator.toArray.sorted(Ordering[Long].reverse)
+        .apply(capacity)
+      m.mapValuesInPlace((_, c) => c - cut)
+      m.filterInPlace((_, c) => c > 0)
+    }
+    m
+  }
+
+  override def finish(b: collection.Map[String, Long]): Seq[String] =
+    b.keys.toSeq.sorted
+
+  override def bufferEncoder: Encoder[collection.Map[String, Long]] =
+    ExpressionEncoder[collection.Map[String, Long]]()
+  override def outputEncoder: Encoder[Seq[String]] =
+    ExpressionEncoder[Seq[String]]()
+}
+
+object WeightedMisraGries {
+  /** Column form: the retained candidate keys (sorted array<string>)
+    * of a weighted capacity-`capacity` summary over (key, weight).
+    */
+  def candidates(key: Column, weight: Column, capacity: Int): Column =
+    udaf(new WeightedMisraGries(capacity),
+      ExpressionEncoder[(String, Long)]()).apply(key, weight)
+}

@@ -77,6 +77,93 @@ object Analytics {
       .orderBy($"total_spend".desc, $"c_custkey")
       .limit(n)
 
+  /** Druid-approximate TopN (q132) — the last Druid query-family gap:
+    * Druid's `topN` is per-segment approximate (each segment returns
+    * its local top candidates — minimum pool 1000 — and the broker
+    * merges the pools; a dimension value just under every local cut
+    * is missed, the documented topN caveat). Re-expressed Spark-first
+    * as CANDIDATES + exact recount (the two-pass q113 discipline):
+    *
+    *  - SEGMENT POOLS ([[localTopKeys]]): each input partition emits
+    *    its exact local top-[[TopNCapacity]] keys by summed weight —
+    *    Druid's segment-side pass, cut before any shuffle, ≤
+    *    partitions × capacity candidate rows total;
+    *  - GLOBAL GUARANTEE: a mergeable weighted Misra-Gries summary
+    *    ([[graft.functions.WeightedMisraGries]], same capacity)
+    *    retains every key with spend > W/(capacity+1) under ANY
+    *    partitioning — the additive bound Druid's pools lack (a
+    *    whale spread thin across segments can miss every local cut;
+    *    the union closes exactly that hole);
+    *  - EXACT RECOUNT: q04's aggregate restricted to the broadcast
+    *    candidate union, then top-n — every REPORTED number is
+    *    exact (Druid's own docs recommend this follow-up query),
+    *    so the approximation lives only in candidate recall.
+    *
+    * Why not exact q04 at 100 TB: its aggregate shuffles the full
+    * (key, spend) space — billions of keys at user grain — while
+    * both candidate passes ship a capacity-bounded set per partition
+    * and only candidate rows reach the recount shuffle.
+    *
+    * Spec contract: planted whale (> W/(cap+1)) survives adversarial
+    * repartitionings and recounts exactly; lossless regime (distinct
+    * keys ≤ capacity) equals exact q04 verbatim; the lossy regime's
+    * head overlap is measured and pinned at sf0.1.
+    */
+  val TopNCapacity = 1000
+
+  /** Per-PARTITION exact local top-`capacity` keys by summed weight —
+    * Druid's segment-side topN pass, literally: each partition builds
+    * its local (key, Σweight) hash aggregate and emits only its
+    * top-`capacity` keys, so the cut happens BEFORE any data
+    * movement (the thing no Catalyst operator expresses — a
+    * groupBy(pid, key) + window ships the full per-segment key space
+    * through a shuffle first; this is the documented (d)-clause
+    * mapPartitions case). Output is ≤ partitions × capacity key
+    * rows. Ties break (weight desc, key asc), deterministic GIVEN a
+    * partitioning — like Druid's per-segment pools, the candidate
+    * set is a property of the layout, which is why the consumer
+    * recounts exactly and only the KEYS leave this pass.
+    */
+  private def localTopKeys(keyed: DataFrame, capacity: Int): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits.{newLongEncoder, newProductEncoder}
+    keyed.select($"k", $"w").as[(Long, Long)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        it.foreach { case (k, w) => m.update(k, m.getOrElse(k, 0L) + w) }
+        m.toSeq.sortBy { case (k, w) => (-w, k) }.take(capacity)
+          .map(_._1).iterator
+      }
+      .toDF("o_custkey")
+  }
+
+  def topCustomersApprox(orders: DataFrame, customer: DataFrame,
+                         n: Int = 10,
+                         capacity: Int = TopNCapacity): DataFrame = {
+    import graft.functions.WeightedMisraGries
+    val keyed = orders.select($"o_custkey".as("k"),
+      ($"o_totalprice" * 100).cast("long").as("w"))
+    // Druid segment pools: per-partition exact local top-capacity
+    val segCands = localTopKeys(keyed, capacity)
+    // global heavy-weight guarantee: any key with spend > W/(cap+1)
+    // survives the mergeable weighted sketch under ANY partitioning
+    val mgCands = keyed
+      .agg(WeightedMisraGries.candidates($"k".cast("string"), $"w",
+        capacity).as("cand"))
+      .select(explode($"cand").as("ck"))
+      .select($"ck".cast("long").as("o_custkey"))
+    val cands = segCands.unionByName(mgCands).distinct()
+      .localCheckpoint(true)
+    orders
+      .join(broadcast(cands), Seq("o_custkey"), "left_semi")
+      .groupBy($"o_custkey")
+      .agg(dsum($"o_totalprice").as("total_spend"), count(lit(1)).as("n_orders"))
+      .join(customer, $"o_custkey" === customer("c_custkey"))
+      .select($"c_custkey", $"c_name", $"total_spend", $"n_orders")
+      .orderBy($"total_spend".desc, $"c_custkey")
+      .limit(n)
+  }
+
   /** Per-event-type stats (demoSpark.py:69-89 groupBy+count/avg/sum). */
   def groupStats(events: DataFrame): DataFrame =
     events

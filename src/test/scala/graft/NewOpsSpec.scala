@@ -944,6 +944,67 @@ class NewOpsSpec extends AnyFunSuite {
       "re-searching the stored index changed the answer")
   }
 
+  test("q132 approx TopN: planted whale survives any partitioning; lossless regime equals q04 exactly") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // planted whale at a TINY capacity (4): one customer holds >1/5
+    // of total spend, so the W/(capacity+1) guarantee covers it —
+    // it must be retained and ranked #1 under ANY partitioning,
+    // while 60 flat-tail customers fight over the other 3 slots
+    val whale = (1 to 40).map(i => (1000L + i, 99L, 400.0))
+    val tail = (1 to 60).flatMap(i => Seq((2000L + i, 100L + i, 100.0)))
+    val orders = (whale ++ tail).zipWithIndex
+      .map { case ((ok, ck, price), i) => (ok + i, ck, price) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = (Seq(99L) ++ (1 to 60).map(i => 100L + i))
+      .map(ck => (ck, s"cust_$ck")).toDF("c_custkey", "c_name")
+    for (part <- Seq(orders, orders.repartition(1),
+        orders.repartition(17, $"o_orderkey"), orders.repartition(3, $"o_custkey"))) {
+      val top = Analytics.topCustomersApprox(part, customer, n = 3,
+        capacity = 4).collect()
+      assert(top.nonEmpty && top.head.getLong(0) == 99L,
+        s"whale (>W/5 of spend) must be ranked #1 at capacity 4: " +
+          top.map(_.getLong(0)).mkString(","))
+      // the reported value is an exact recount, never a sketch
+      // counter (fixture doubles — parquet orders carry decimals)
+      assert(BigDecimal(top.head.get(2).toString) == BigDecimal(16000),
+        s"whale spend must recount exactly: ${top.head}")
+    }
+    // lossless regime: distinct customers at sf0.001 fit the Druid
+    // 1000-candidate pool, so no counter is ever decremented and the
+    // approximate query IS q04 — asserted verbatim, plus under a
+    // hostile repartition
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq).toSeq
+    val exact = sig(Analytics.topCustomers(o, c))
+    assert(sig(Analytics.topCustomersApprox(o, c)) == exact,
+      "lossless-regime approx TopN diverged from exact q04")
+    assert(sig(Analytics.topCustomersApprox(o.repartition(13), c)) == exact,
+      "lossless-regime approx TopN is partition-dependent")
+  }
+
+  test("q132 approx TopN at sf0.1: sketch engages (keys > capacity) and the head stays exact") {
+    import graft.operators.Analytics
+    val dir01 = "/root/testdata/sf0.1"
+    val o = Tables.load(spark, dir01, "orders")
+    val c = Tables.load(spark, dir01, "customer")
+    val nKeys = o.select("o_custkey").distinct().count()
+    assert(nKeys > Analytics.TopNCapacity,
+      s"sf0.1 has $nKeys ordering customers — below the pool, regime untested")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    val exact = ids(Analytics.topCustomers(o, c))
+    val approx = ids(Analytics.topCustomersApprox(o, c))
+    val overlap = exact.toSet.intersect(approx.toSet).size
+    info(s"sf0.1 top-10 overlap: $overlap/10 (approx $approx vs exact $exact)")
+    // measured 10/10 at sf0.1: the TPC-H-ish spend head clears the
+    // flat tail comfortably even in the lossy regime; floor leaves
+    // room only for genuine distribution drift
+    assert(overlap >= 8, s"approx TopN head degraded: $overlap/10")
+  }
+
   test("trainingSample: deterministic, partitioning-invariant, cap-bound, identity under cap") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
