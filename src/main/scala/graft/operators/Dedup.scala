@@ -695,6 +695,35 @@ object Dedup {
     hammingBandPairs(hashes, "dhash", maxHamming, maxBandDf)
   }
 
+  /** DCT-pHash RENDITION dedup (q133) — [[imageNearDup]] with
+    * [[Multimodal.MediaDecoder.pHash]] as the fingerprint, run over
+    * the corpus's original + thumbnail asset feed
+    * ([[Multimodal.asMultimodalWithThumbs]]): the frequency-domain
+    * hash whose nearest-neighbor 32×32 pooling makes an
+    * integer-factor NN RESCALE collide at hamming 0 bit-for-bit,
+    * while keeping dHash's exact brightness-shift invariance through
+    * the integer DC-rejection centering. This is the production
+    * question an image store actually asks — "is this upload a
+    * rescale of an asset we already hold?" — and the capability gap
+    * is MEASURED, not argued: dHash's rescale drift is
+    * content-dependent (9 bits on a random-texture pair, less on
+    * flat rasters), so on the same feed q125 drops MOST rendition
+    * pairs (11/15 at 1×, spec-pinned with a majority floor) while
+    * q133 reports every one at exactly hamming 0. Same decode-once
+    * localCheckpoint, same [[hammingBandPairs]] blocking, same
+    * [[MaxImageBandDf]] hot-bucket guard — a deployment runs both
+    * hashes off ONE decode pass and unions the edge signals into
+    * [[dupClustersFrom]]; the declared queries keep the signals
+    * separate so each pair set stays individually auditable.
+    */
+  def imageNearDupPhash(documents: DataFrame, maxHamming: Int = 3,
+                        maxBandDf: Long = MaxImageBandDf): DataFrame = {
+    val hashes = Multimodal.imagePHashes(
+        Multimodal.asMultimodalWithThumbs(documents))
+      .localCheckpoint(true)
+    hammingBandPairs(hashes, "phash", maxHamming, maxBandDf)
+  }
+
   /** Exact-substring REMOVAL at arbitrary alignment (q124) — the Lee
     * et al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499) ExactSubstr semantics that the

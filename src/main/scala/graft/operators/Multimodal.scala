@@ -182,6 +182,146 @@ object Multimodal {
       h
     }
 
+    /** 63-bit DCT perceptual hash (pHash) of a decoded raster — the
+      * frequency-domain fingerprint that survives RESCALING, which
+      * [[dHash]]'s fixed 9×8 gradient grid does not: pool the luma
+      * onto a 32×32 grid, 2-D DCT-II, keep the 8×8 low-frequency
+      * block minus DC, one bit per coefficient (above the median).
+      * All arithmetic is integer, so the hash is deterministic on
+      * any partitioning and engine:
+      *
+      *  - grid cells are fixed-point luma means `(sum·256) div cnt`
+      *    over the pixel range `[gx·w/32, max(+1, (gx+1)·w/32))` —
+      *    box pooling when w ≥ 32, nearest-neighbor replication when
+      *    w < 32. Because `floor((s + c·n)/n) = floor(s/n) + c`, a
+      *    uniform brightness shift +c moves every cell by exactly
+      *    256·c.
+      *  - cells are centered as `g = q·1024 − Σq`, which cancels that
+      *    uniform 256·c EXACTLY (the DC-rejection step done in
+      *    integers, where a float DCT's "AC coefficients unchanged"
+      *    only holds to rounding) — so brightness-shift invariance
+      *    is bit-exact, same as dHash's cross-multiplied compare.
+      *  - the DCT uses a cosine table quantized to 2^14 with Long
+      *    accumulation (|g| ≤ 6.7e7, first pass ≤ 3.5e13, rescaled
+      *    by /2^14 before the second pass keeps |F| ≤ 1.1e15 — no
+      *    overflow, no floats).
+      *
+      * Rescale robustness is EXACT where it can be: the NN-replication
+      * pooling makes the 32×32 grid of a w<32 image identical to the
+      * grid of its integer-factor nearest-neighbor upscale (cell gx of
+      * the 2× upscale reads pixel gx → orig(gx/2); cell gx of the
+      * original reads pixel floor(gx/2) — the same byte), so
+      * pHash(img) == pHash(upscale_NN(img)) bit-for-bit, where dHash's
+      * 9-column boundaries land on different pixels and drift
+      * (spec-measured). Bit i = (v·8+u)−1 over u,v ∈ [0,8)², (0,0)
+      * excluded: 63 bits, bit 63 always 0 — the hamming-band pairing
+      * kernel is width-agnostic.
+      */
+    def pHash(img: PpmImage): Long = {
+      val G = 32
+      val q = new Array[Long](G * G)
+      var totalQ = 0L
+      var gy = 0
+      while (gy < G) {
+        val y0 = gy * img.height / G
+        val y1 = math.max(y0 + 1, (gy + 1) * img.height / G)
+        var gx = 0
+        while (gx < G) {
+          val x0 = gx * img.width / G
+          val x1 = math.max(x0 + 1, (gx + 1) * img.width / G)
+          var s = 0L; var c = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            val row = y.toLong * img.width
+            while (x < x1) {
+              val i = ((row + x) * 3).toInt
+              val r = img.pixels(i) & 0xFF
+              val g = img.pixels(i + 1) & 0xFF
+              val b = img.pixels(i + 2) & 0xFF
+              s += (r + 2 * g + b) / 4
+              c += 1
+              x += 1
+            }
+            y += 1
+          }
+          val v = s * 256 / c
+          q(gy * G + gx) = v
+          totalQ += v
+          gx += 1
+        }
+        gy += 1
+      }
+      // centered grid: +c brightness moved every q by exactly 256c,
+      // so g is bit-identical under the shift
+      val g = new Array[Long](G * G)
+      var i = 0
+      while (i < G * G) { g(i) = q(i) * (G * G) - totalQ; i += 1 }
+      // quantized DCT basis: C(u,x) = round(cos(pi(2x+1)u/2G) * 2^14)
+      val cos = Array.tabulate(8, G)((u, x) =>
+        math.round(math.cos(math.Pi * (2 * x + 1) * u / (2.0 * G)) * 16384))
+      // pass 1 over rows (only the first 8 u's are ever read),
+      // rescaled by 2^14 to keep pass 2 inside Long
+      val t = Array.ofDim[Long](8, G)
+      var u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < G) {
+          var acc = 0L
+          var x = 0
+          while (x < G) { acc += g(y * G + x) * cos(u)(x); x += 1 }
+          t(u)(y) = acc / 16384
+          y += 1
+        }
+        u += 1
+      }
+      val f = new Array[Long](64)
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var acc = 0L
+          var y = 0
+          while (y < G) { acc += t(u)(y) * cos(v)(y); y += 1 }
+          f(v * 8 + u) = acc
+          v += 1
+        }
+        u += 1
+      }
+      val ac = f.drop(1)
+      val med = ac.sorted.apply(31) // exact median of 63 Longs
+      var h = 0L
+      i = 0
+      while (i < 63) { if (ac(i) > med) h |= 1L << i; i += 1 }
+      h
+    }
+
+    /** Re-encode a decoded raster as its 2× nearest-neighbor upscale
+      * (pixel (x,y) = source (x/2, y/2)) — the rendition a thumbnail
+      * pipeline writes next to the original. A real encode seam: the
+      * output is a full P6 payload that goes back through
+      * [[decodePpm]] downstream, so rendition dedup exercises
+      * decode → transform → encode → re-decode end to end.
+      */
+    def encodePpmUpscale2x(img: PpmImage): Array[Byte] = {
+      val w2 = img.width * 2; val h2 = img.height * 2
+      val header = s"P6\n$w2 $h2\n${img.maxval}\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + w2 * h2 * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var p = 0
+      while (p < w2 * h2) {
+        val sx = (p % w2) / 2; val sy = (p / w2) / 2
+        val si = (sy * img.width + sx) * 3
+        val di = header.length + p * 3
+        out(di) = img.pixels(si)
+        out(di + 1) = img.pixels(si + 1)
+        out(di + 2) = img.pixels(si + 2)
+        p += 1
+      }
+      out
+    }
+
     /** Deterministic byte statistics for non-image modalities — the
       * same output shape as the image path, over the raw bytes.
       */
@@ -245,6 +385,51 @@ object Multimodal {
       struct($"source", $"n_chars", $"lang").as("meta"))
   }
 
+  /** Sidecar-asset id base for thumbnail renditions: rendition ids
+    * are `doc_id + ThumbIdBase`, far above any corpus doc id — the
+    * derived-asset id scheme an image store uses for original +
+    * rendition files.
+    */
+  val ThumbIdBase = 1000000000L
+
+  /** Every `ThumbEvery`-th doc (≡ every 7th IMAGE doc — image ids are
+    * multiples of 5) carries a thumbnail rendition in
+    * [[asMultimodalWithThumbs]].
+    */
+  val ThumbEvery = 35L
+
+  /** The multimodal corpus WITH its thumbnail sidecar feed: every 7th
+    * image doc also carries its 2× nearest-neighbor rendition as a
+    * separate asset row (id = doc_id + [[ThumbIdBase]]) — the
+    * original + rendition layout a real image pipeline persists, and
+    * the twin structure rendition dedup (q133) exists to find. The
+    * rendition is produced through the REAL seam — decode the
+    * original payload, [[MediaDecoder.encodePpmUpscale2x]], emit full
+    * P6 bytes that downstream consumers re-decode — one extra
+    * `mapPartitions` over 1/7 of the image shard, linear and
+    * partitioning-free.
+    */
+  def asMultimodalWithThumbs(documents: DataFrame): DataFrame = {
+    val base = asMultimodal(documents)
+    val spark = base.sparkSession
+    import spark.implicits.{newProductEncoder, newStringEncoder}
+    val thumbs = base
+      .filter($"modality" === "image" && $"doc_id" % ThumbEvery === 0)
+      .select($"doc_id", $"payload",
+        $"meta.source", $"meta.n_chars", $"meta.lang")
+      .as[(Long, Array[Byte], String, Long, String)]
+      .mapPartitions(_.flatMap { case (id, payload, src, nc, lang) =>
+        MediaDecoder.decodePpm(payload).map { img =>
+          (id + ThumbIdBase, "image",
+            MediaDecoder.encodePpmUpscale2x(img), src, nc, lang)
+        }
+      })
+      .toDF("doc_id", "modality", "payload", "source", "n_chars", "lang")
+      .select($"doc_id", $"modality", $"payload",
+        struct($"source", $"n_chars", $"lang").as("meta"))
+    base.unionByName(thumbs)
+  }
+
   /** Batched per-partition decode → feature table. `mapPartitions`
     * keeps the codec's per-partition init cost amortized; upstream
     * repartition controls batch size on a real cluster.
@@ -293,6 +478,25 @@ object Multimodal {
           .map(img => (id, MediaDecoder.dHash(img)))
       })
       .toDF("doc_id", "dhash")
+  }
+
+  /** Per-image 63-bit DCT pHash table — [[imageDHashes]] with
+    * [[MediaDecoder.pHash]] as the fingerprint (same decode pass,
+    * same drop-undecodable contract, same 8-bytes-per-image output
+    * economics; only the hash function differs).
+    */
+  def imagePHashes(multimodal: DataFrame): DataFrame = {
+    val spark = multimodal.sparkSession
+    import spark.implicits.newProductEncoder
+    multimodal
+      .filter($"modality" === "image")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        MediaDecoder.decodePpm(payload)
+          .map(img => (id, MediaDecoder.pHash(img)))
+      })
+      .toDF("doc_id", "phash")
   }
 
   /** Frame sampling: split each payload into fixed-width frames and

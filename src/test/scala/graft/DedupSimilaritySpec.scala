@@ -610,6 +610,119 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ids == Seq(0L), s"unexpected hash rows: $ids")
   }
 
+  // ---- q133 imageNearDupPhash: DCT-pHash image dedup ----
+
+  /** A P6 payload of arbitrary dimensions. */
+  private def ppmWH(w: Int, h: Int)(px: Int => Int): Array[Byte] =
+    (s"P6\n$w $h\n255\n").getBytes("ASCII") ++
+      Array.tabulate(w * h * 3)(i => (px(i) & 0xFF).toByte)
+
+  test("q133 pHash is exactly invariant under uniform brightness shift in both pooling regimes") {
+    import graft.operators.Multimodal.MediaDecoder
+    val rng = new scala.util.Random(17)
+    // 64×64 exercises box pooling (w > 32); 16×16 the NN-replication
+    // branch (w < 32) — the integer centering must cancel +c in both
+    for (dim <- Seq(64, 16)) {
+      val base = Array.fill(dim * dim * 3)(rng.nextInt(241))
+      val img = MediaDecoder.decodePpm(ppmWH(dim, dim)(base(_))).get
+      val brighter =
+        MediaDecoder.decodePpm(ppmWH(dim, dim)(i => base(i) + 10)).get
+      assert(MediaDecoder.pHash(img) == MediaDecoder.pHash(brighter),
+        s"brightness shift changed the pHash at $dim×$dim — the " +
+          "integer DC-rejection centering should cancel +c exactly")
+      val other =
+        MediaDecoder.decodePpm(ppmWH(dim, dim)(i => base(base.length - 1 - i))).get
+      val d = java.lang.Long.bitCount(
+        MediaDecoder.pHash(img) ^ MediaDecoder.pHash(other))
+      assert(d > 3,
+        s"distinct $dim×$dim images landed within the near-dup radius: hamming $d")
+    }
+  }
+
+  test("q133 pHash collides bit-for-bit on a 2× nearest-neighbor upscale; dHash drifts on the same pair") {
+    import graft.operators.Multimodal.MediaDecoder
+    val rng = new scala.util.Random(23)
+    val base = Array.fill(16 * 16 * 3)(rng.nextInt(256))
+    val orig = MediaDecoder.decodePpm(ppmWH(16, 16)(base(_))).get
+    // nearest-neighbor 2× upscale: pixel (x,y) = orig(x/2, y/2) — the
+    // thumbnail-vs-original pair an image corpus is full of
+    val up = MediaDecoder.decodePpm(ppmWH(32, 32) { i =>
+      val p = i / 3; val ch = i % 3
+      base(((p / 32 / 2) * 16 + (p % 32) / 2) * 3 + ch)
+    }).get
+    assert(MediaDecoder.pHash(orig) == MediaDecoder.pHash(up),
+      "pHash must be EXACTLY resolution-free across an integer NN " +
+        "upscale: cell gx of the 32-grid reads pixel gx → orig(gx/2) " +
+        "on the upscale and pixel floor(gx/2) on the original — the " +
+        "same byte")
+    // dHash's fixed 9-column grid splits 16 and 32 pixels at
+    // different pixel boundaries, so the same pair drifts — measured
+    // hamming 9 on this pair, OUTSIDE the radius-3 near-dup band:
+    // q125 alone genuinely misses the thumbnail pair q133 catches
+    // at 0, the exact capability gap this operator closes
+    val dDrift = java.lang.Long.bitCount(
+      MediaDecoder.dHash(orig) ^ MediaDecoder.dHash(up))
+    info(s"dHash hamming across the same 2× upscale: $dDrift")
+    assert(dDrift > 3,
+      s"dHash within the near-dup radius ($dDrift) across the " +
+        "upscale — the q133 capability-gap claim needs re-measuring")
+  }
+
+  test("q133 planted pipeline: identical-text images AND the rendition sidecar collide at hamming 0") {
+    import spark.implicits._
+    import graft.operators.Multimodal.ThumbIdBase
+    val textA = "the quick brown fox jumps over the lazy dog and keeps going for a while"
+    val textB = "zzzzz qqqqq wwwww mmmmm xxxxx zzzzz qqqqq wwwww mmmmm xxxxx zzzzz qqqqq"
+    val docs = Seq(
+      (0L, textA, "en", "s", textA.length.toLong),
+      (5L, textA, "en", "s", textA.length.toLong),
+      (10L, textB, "en", "s", textB.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // doc 0 (≡0 mod 35) carries a 2× rendition under ThumbIdBase, so
+    // the hamming-0 clique is {0, 5, thumb(0)}; doc 10's different
+    // text stays out
+    val out = Dedup.imageNearDupPhash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((0L, 5L, 0L), (0L, ThumbIdBase, 0L),
+        (5L, ThumbIdBase, 0L)),
+      s"planted pHash collision mismatch: $out")
+  }
+
+  test("q133 corpus-level capability gap: every rendition pair found at hamming 0; dHash drops the majority on the same feed") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.ThumbIdBase
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val feed = Multimodal.asMultimodalWithThumbs(docs)
+    val expected = feed.filter(col("doc_id") >= ThumbIdBase)
+      .select(col("doc_id")).collect()
+      .map(r => (r.getLong(0) - ThumbIdBase, r.getLong(0))).toSet
+    assert(expected.nonEmpty, "the sf corpus planted no renditions — widen ThumbEvery")
+    val got = Dedup.imageNearDupPhash(docs)
+      .filter(col("hamming") === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(got),
+      s"q133 missed rendition pairs: ${expected -- got}")
+    // the same feed through q125's dHash at the same radius: the
+    // drift is content-dependent (measured 9 bits on the random-pixel
+    // pair, less on low-texture rasters), so dHash catches SOME
+    // rendition pairs — but pHash catches ALL of them at exactly 0,
+    // and the pairs dHash drops are the measured reason q133 exists
+    // (4/15 caught at this SF)
+    val dPairs = Dedup.hammingBandPairs(
+        Multimodal.imageDHashes(feed).localCheckpoint(true),
+        "dhash", maxHamming = 3, maxBandDf = Dedup.MaxImageBandDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dMissed = expected -- dPairs
+    info(s"dHash caught ${(expected intersect dPairs).size}/${expected.size} " +
+      "rendition pairs; pHash caught all")
+    assert(dMissed.nonEmpty,
+      "dHash caught every rendition pair — the q133 capability-gap " +
+        "claim needs re-measuring")
+    assert(dMissed.size * 2 > expected.size,
+      s"dHash missed only ${dMissed.size}/${expected.size} rendition " +
+        "pairs — the gap narrowed; re-measure before claiming it")
+  }
+
   // ---- q129 standing MinHash screen ----
 
   test("q129 two-batch merge-on-read decisions equal one-shot q127 exactly") {
