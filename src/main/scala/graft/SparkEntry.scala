@@ -353,6 +353,21 @@ object SparkEntry {
     // full-trained path spec-pinned at 1× and 10×)
     "q131_ivfpq_sampled" -> ((s, d) =>
       Similarity.ivfpqTopKSampled(Tables.embeddings(s, d))),
+    // DCT-pHash image dedup: q125's pipeline with the frequency-
+    // domain hash — integer-exact brightness invariance PLUS exact
+    // NN-rescale collision, which the fixed-grid dHash drifts on
+    // (rows-only: DuckDB has no PPM decoder; invariance/rescale/
+    // planted-collision specs pin it)
+    "q133_image_phash" -> ((s, d) =>
+      Dedup.imageNearDupPhash(Tables.documents(s, d))),
+    // IVFPQ APPEND: train-once/add-many against the persisted index —
+    // base 2/3 written, held-out third appended in two batches, the
+    // standard query batch answered from the accreted store
+    // (rows-only: temp-dir store + iterative trainers; append ≡
+    // present-at-build byte-identity and granularity invariance
+    // spec-pinned)
+    "q134_ivfpq_append" -> ((s, d) =>
+      Similarity.ivfpqAppendRoundTrip(s, d)),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented

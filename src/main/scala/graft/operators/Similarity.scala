@@ -1239,19 +1239,23 @@ object Similarity {
     else probeMap(coarse, qRows, nProbe).values.flatten.toSeq.distinct.sorted
   }
 
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): IndexedSeq[IndexedSeq[Seq[Long]]] = {
+    val cbRows = spark.read.parquet(s"$indexDir/codebooks").collect()
+      .map(r => (r.getInt(r.fieldIndex("sub")), r.getInt(r.fieldIndex("code")),
+        r.getSeq[Long](r.fieldIndex("cv"))))
+    if (cbRows.isEmpty) IndexedSeq(IndexedSeq.empty)
+    else cbRows.groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toIndexedSeq }
+  }
+
   def ivfpqStoredTopK(embeddings: DataFrame, indexDir: String,
                       nProbe: Int = 4, nQueries: Int = 10, k: Int = 5,
                       rerank: Option[Int] = None): DataFrame = {
     val spark = embeddings.sparkSession
     graft.functions.Registry.ensure(spark)
     val coarse = readCoarse(spark, indexDir)
-    val cbRows = spark.read.parquet(s"$indexDir/codebooks").collect()
-      .map(r => (r.getInt(r.fieldIndex("sub")), r.getInt(r.fieldIndex("code")),
-        r.getSeq[Long](r.fieldIndex("cv"))))
-    val cents: IndexedSeq[IndexedSeq[Seq[Long]]] =
-      if (cbRows.isEmpty) IndexedSeq(IndexedSeq.empty)
-      else cbRows.groupBy(_._1).toIndexedSeq.sortBy(_._1)
-        .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toIndexedSeq }
+    val cents = readCodebooks(spark, indexDir)
     val byResidual = spark.read.parquet(s"$indexDir/meta").head()
       .getAs[Boolean]("by_residual")
     val qRows = quantizedNonEmpty(embeddings)
@@ -1290,6 +1294,88 @@ object Similarity {
             .foreach(java.nio.file.Files.deleteIfExists(_))
       }
       ivfpqWriteIndex(emb, d.toString)
+      d.toString
+    })
+    ivfpqStoredTopK(emb, dir)
+  }
+
+  /** Append a batch of vectors to a persisted IVFPQ index (q134) —
+    * the FAISS train-once / add-many contract that completes the
+    * standing-artifact tier for ANN the way q128 (exact dedup) and
+    * q129 (MinHash) completed it for dedup: the stored quantizers are
+    * NEVER retrained and the standing corpus is never re-encoded; an
+    * arriving batch pays exactly one map-only [[encodeCellsLit]]
+    * projection of ITSELF against the stored artifacts (coarse +
+    * codebooks + meta, a bounded driver read) and its code rows land
+    * INSIDE the existing `cid=…` partition directories (append-mode
+    * partitioned write — a cell unseen so far simply creates its
+    * directory). Properties that make this sound, each spec-pinned:
+    *
+    *  - encode is a pure function of (vector, stored artifacts), so
+    *    appended code rows are byte-identical to what
+    *    [[ivfpqWriteIndex]] would have written had the rows been
+    *    present at build time — append granularity cannot matter
+    *    (B as one batch ≡ B1 then B2 ≡ present-at-build).
+    *  - the search path ([[ivfpqStoredTopK]]) is unchanged: the
+    *    probed-cell partition pruning keeps holding because appends
+    *    only ever add files UNDER cid partitions. The index stores
+    *    CODES only, so the `embeddings` frame handed to the search —
+    *    the exact re-rank's vector store — must cover the appended
+    *    rows too (a planted appended clone surfaces at d2=0 only
+    *    through the accreted corpus frame; spec-pinned).
+    *  - append cost ∝ batch size: no corpus scan, no training round,
+    *    no shuffle wider than the batch's own repartition(cid).
+    *
+    * Each append adds one file per touched cell, so a long-lived
+    * index accretes small files — the Layout manifest discipline
+    * (q103's sized-file roll + the q121 compaction stage) is the
+    * scheduled answer, exactly as Druid compacts appended segments.
+    *
+    * Appending through an EMPTY quantizer is refused loudly: the
+    * batch would be unsearchable (no cell can claim it), and a
+    * deployment must never silently drop data.
+    */
+  def ivfpqAppendIndex(batch: DataFrame, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.Registry.ensure(spark)
+    val coarse = readCoarse(spark, indexDir)
+    val cents = readCodebooks(spark, indexDir)
+    require(coarse.nonEmpty && cents.head.nonEmpty,
+      s"ivfpqAppendIndex: index at $indexDir has an empty quantizer — " +
+        "train/write it before appending")
+    val byResidual = spark.read.parquet(s"$indexDir/meta").head()
+      .getAs[Boolean]("by_residual")
+    encodeCellsLit(batch, cents, coarse, byResidual)
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(s"$indexDir/codes")
+  }
+
+  private val ivfpqAppendDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Declared q134 shape: train + write the index on the base 2/3 of
+    * the corpus (vec_id % 3 ≠ 2), append the held-out third in TWO
+    * later batches (split by parity — the multi-append deployment
+    * cadence), then answer the standard query batch FROM the
+    * accreted store. Same session-cached store discipline as q130;
+    * the first call pays build + appends, every later call searches.
+    */
+  def ivfpqAppendRoundTrip(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = ivfpqAppendDirs.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_app")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(d))
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      ivfpqWriteIndex(emb.filter($"vec_id" % 3 =!= 2), d.toString)
+      ivfpqAppendIndex(
+        emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0), d.toString)
+      ivfpqAppendIndex(
+        emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 =!= 0), d.toString)
       d.toString
     })
     ivfpqStoredTopK(emb, dir)

@@ -1046,6 +1046,89 @@ class NewOpsSpec extends AnyFunSuite {
       s"contract: 5 ranked hits per query × 10 queries, got $perQuery")
   }
 
+  private def mkTmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(d))
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    d.toString
+  }
+
+  test("q134 append: granularity-invariant codes, search ≡ declared round-trip, empty-index refusal") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter($"vec_id" % 3 =!= 2)
+    val held = emb.filter($"vec_id" % 3 === 2)
+    def codeRows(d: String) = spark.read.parquet(s"$d/codes").collect()
+      .map(r => (r.getLong(r.fieldIndex("vec_id")),
+        r.getAs[Number](r.fieldIndex("cid")).longValue(),
+        (0 to 3).map(m => r.getInt(r.fieldIndex(s"c$m"))))).sortBy(_._1).toSeq
+    // store A: the held-out third appended as ONE batch
+    val dA = mkTmp("graft_app_a")
+    Similarity.ivfpqWriteIndex(base, dA)
+    Similarity.ivfpqAppendIndex(held, dA)
+    // store B: the same rows appended as TWO batches (the declared
+    // q134 cadence) — encode is a pure function of (vector, stored
+    // artifacts), so arrival granularity must not matter
+    val dB = mkTmp("graft_app_b")
+    Similarity.ivfpqWriteIndex(base, dB)
+    Similarity.ivfpqAppendIndex(held.filter($"vec_id" % 2 === 0), dB)
+    Similarity.ivfpqAppendIndex(held.filter($"vec_id" % 2 =!= 0), dB)
+    val a = codeRows(dA)
+    assert(a.nonEmpty && a == codeRows(dB),
+      "append granularity changed the stored code rows")
+    // every held row is in the store, coded — nothing dropped
+    val heldIds = held.select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(heldIds.subsetOf(a.map(_._1).toSet),
+      "an appended row is missing from the code table")
+    // the searches over the two accreted stores agree with each other
+    // and with the declared round-trip (which builds its own store
+    // from the same split — training is deterministic on `base`)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val sA = sig(Similarity.ivfpqStoredTopK(emb, dA))
+    assert(sA.nonEmpty && sA == sig(Similarity.ivfpqStoredTopK(emb, dB)),
+      "append granularity changed the search answer")
+    assert(sA == sig(Similarity.ivfpqAppendRoundTrip(spark, dir)),
+      "declared q134 round-trip diverged from the hand-built store")
+    // appending through an untrained quantizer must refuse loudly,
+    // never silently drop the batch
+    val dEmpty = mkTmp("graft_app_e")
+    Similarity.ivfpqWriteIndex(emb.filter(lit(false)), dEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfpqAppendIndex(held, dEmpty)
+    }
+  }
+
+  test("q134 append: a planted clone of a query vector is found by the accreted search at d2=0") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val d = mkTmp("graft_app_p")
+    Similarity.ivfpqWriteIndex(emb, d)
+    // clone query 0's embedding under a fresh id and append it — the
+    // deterministic encode must land it in the query's own coarse
+    // cell, which the probe map always includes, so the pruned
+    // search CANNOT miss it (the "index stays fresh" contract). The
+    // exact re-rank fetches full-width vectors from the CORPUS frame
+    // (the index stores only codes), so the search is handed the
+    // accreted corpus — exactly what the declared round-trip does
+    val q0 = emb.filter($"vec_id" === 0L)
+      .select($"embedding").head().getSeq[Float](0)
+    val clone = Seq((900001L, q0)).toDF("vec_id", "embedding")
+    Similarity.ivfpqAppendIndex(clone, d)
+    val corpus = emb.select($"vec_id", $"embedding").union(clone)
+    val hits = Similarity.ivfpqStoredTopK(corpus, d).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(hits.contains((900001L, 0L)),
+      s"appended exact clone missing from query 0's top-k at d2=0: $hits")
+    assert(hits.head == ((900001L, 0L)),
+      s"the d2=0 clone must outrank every non-identical copy: $hits")
+  }
+
   test("random projection: exact integer projection and JL concentration") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

@@ -206,4 +206,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == inSession,
       "partition-pruned stored search diverged from the in-session path")
   }
+
+  test("q134's pruning survives appends: the accreted scan still reads only the probed cells") {
+    // Appends add FILES under existing cid partitions; they must
+    // never widen the partition set a search reads. Same audit as
+    // q130's, against a store that took two appends — partitions
+    // read stays == probed cells, while files read is allowed to
+    // exceed it (one file per append per touched cell — the
+    // compaction debt the scaladoc documents).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import graft.sources.Tables
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_apd")
+      .toString
+    Similarity.ivfpqWriteIndex(emb.filter($"vec_id" % 3 =!= 2), tmp)
+    Similarity.ivfpqAppendIndex(
+      emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0), tmp)
+    Similarity.ivfpqAppendIndex(
+      emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 =!= 0), tmp)
+    val probed = Similarity.ivfpqProbedCells(emb, tmp, nProbe = 2,
+      nQueries = 2)
+    val cellsOnDisk = Option(new java.io.File(s"$tmp/codes").list())
+      .getOrElse(Array.empty)
+      .collect { case s if s.startsWith("cid=") =>
+        s.stripPrefix("cid=").toLong }.toSet
+    val expected = probed.toSet intersect cellsOnDisk
+    assert(expected.nonEmpty && expected.size < cellsOnDisk.size,
+      s"probe set $probed vs cells $cellsOnDisk leaves nothing to prune")
+    val df = Similarity.ivfpqStoredTopK(emb, tmp, nProbe = 2, nQueries = 2)
+    assert(df.collect().nonEmpty, "accreted search returned nothing to audit")
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("graft_ivfpq_apd")))
+      .filter(_.metadata.get("Location").exists(_.contains("codes")))
+      .head
+    assert(scan.partitionFilters.nonEmpty,
+      "append broke the PartitionFilter on the probed-cell restriction")
+    assert(scan.metrics("numPartitions").value == expected.size,
+      s"accreted scan read ${scan.metrics("numPartitions").value} " +
+        s"partitions, expected the ${expected.size} probed cells $expected")
+  }
 }

@@ -120,7 +120,10 @@ class ScanCountGateSpec extends AnyFunSuite {
     // q111's two-stage shape with the code scan cell-restricted:
     // encode+shortlist scan + exact re-rank vector fetch (coarse and
     // PQ training run eagerly at plan construction, as in q111)
-    "q126_ivfpq_topk" -> Map("embeddings" -> 2))
+    "q126_ivfpq_topk" -> Map("embeddings" -> 2),
+    // q126's exact two-stage shape; only training changed (bounded
+    // hash-gated sample, eager at plan construction like q126's)
+    "q131_ivfpq_sampled" -> Map("embeddings" -> 2))
 
   test("every query's plan scans each table at most its allowed count") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
