@@ -1350,6 +1350,41 @@ object Similarity {
       .write.mode("append").partitionBy("cid").parquet(s"$indexDir/codes")
   }
 
+  /** Compact an appended IVFPQ index back to one file per cell — the
+    * scheduled payoff of [[ivfpqAppendIndex]]'s documented debt
+    * (every append adds a file under each touched cid partition; a
+    * long-lived index accretes small files exactly like Druid's
+    * appended segments, and this is the coordinator-period compaction
+    * for it, runnable as a [[graft.Pipeline]] stage like q121's
+    * compactionStage). Read the full code table, repartition by cid
+    * (one task ⇒ one file per cell), write to a side directory, then
+    * swap with two renames. Nothing is deleted until the new layout
+    * is in place: a crash before the first rename leaves the old
+    * index untouched; between the renames both layouts are still on
+    * disk (`codes_old` + the compacted side dir — recoverable by
+    * finishing or reversing the swap; a deployment would drive this
+    * from a manifest pointer, q121's segment discipline, for a
+    * fully atomic cutover). Quantizers and meta are untouched, so
+    * searches before and after return byte-identical results
+    * (spec-pinned) and the partition-pruning law is unchanged — only
+    * files-read returns to |probe set|.
+    */
+  def ivfpqCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Unit = {
+    val tmp = s"$indexDir/codes_compact_tmp"
+    spark.read.parquet(s"$indexDir/codes")
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    val p = java.nio.file.Paths.get(indexDir)
+    val old = p.resolve("codes_old")
+    java.nio.file.Files.move(p.resolve("codes"), old)
+    java.nio.file.Files.move(p.resolve("codes_compact_tmp"),
+      p.resolve("codes"))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(old).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   private val ivfpqAppendDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 

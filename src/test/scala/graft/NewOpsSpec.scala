@@ -1101,6 +1101,22 @@ class NewOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Similarity.ivfpqAppendIndex(held, dEmpty)
     }
+    // compaction pays off the append debt: some cell holds >1 file
+    // before, every cell exactly 1 after, codes and search
+    // byte-identical — the coordinator-period rewrite q134's
+    // scaladoc schedules
+    def filesPerCell(d: String): Seq[Int] =
+      Option(new java.io.File(s"$d/codes").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(filesPerCell(dA).exists(_ > 1),
+      "appends left no multi-file cell — the compaction spec has no teeth")
+    Similarity.ivfpqCompactIndex(spark, dA)
+    assert(filesPerCell(dA).nonEmpty && filesPerCell(dA).forall(_ == 1),
+      s"compaction must leave one file per cell: ${filesPerCell(dA)}")
+    assert(codeRows(dA) == a, "compaction changed the stored codes")
+    assert(sig(Similarity.ivfpqStoredTopK(emb, dA)) == sA,
+      "compaction changed the search answer")
   }
 
   test("q134 append: a planted clone of a query vector is found by the accreted search at d2=0") {
