@@ -123,10 +123,12 @@ object MisraGries {
   *
   *   true_weight - W / (capacity + 1)  <=  estimate  <=  true_weight
   *
-  * Merge is the [[MisraGries]] rule verbatim (sum maps, subtract the
-  * (capacity+1)-largest, drop non-positives — Agarwal et al.'s
-  * mergeability argument is weight-agnostic), so partial aggregation
-  * in any tree shape preserves the bound and every key with true
+  * Merge sums the maps and then applies the SAME batched purge,
+  * looped until the buffer is back within capacity+purgeK (Agarwal
+  * et al.'s mergeability argument is weight-agnostic and each loop
+  * iteration removes its full δ from ≥ capacity+1 counters), so
+  * partial aggregation in any tree shape preserves both the additive
+  * bound and the buffer-size invariant, and every key with true
   * weight > W/(capacity+1) survives to the candidate list no matter
   * how Spark partitions the data. Like the unit form, retained
   * COUNTER VALUES depend on merge order, so only the KEYS are
@@ -196,7 +198,15 @@ class WeightedMisraGries(capacity: Int)
     from.foreach { case (k, c) =>
       m.update(k, m.getOrElse(k, 0L) + c)
     }
-    if (m.size > capacity + purgeK) purge(m)
+    // LOOP the purge (r18, ADVICE): a merge of two at-capacity
+    // buffers can exceed the bound by ~capacity, and one purge only
+    // guarantees evicting >= purgeK entries — a single shot would let
+    // the buffer grow ~capacity per merge-tree level, unbounding the
+    // candidate list. Each iteration still subtracts its full delta
+    // from >= capacity+1 counters, so Sigma-delta <= W/(capacity+1)
+    // and the additive guarantee is unchanged; the loop restores the
+    // documented <= capacity+purgeK buffer invariant on every path.
+    while (m.size > capacity + purgeK) purge(m)
     m
   }
 

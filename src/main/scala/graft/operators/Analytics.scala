@@ -142,7 +142,7 @@ object Analytics {
                          capacity: Int = TopNCapacity): DataFrame = {
     import graft.functions.WeightedMisraGries
     val keyed = orders.select($"o_custkey".as("k"),
-      ($"o_totalprice" * 100).cast("long").as("w"))
+      round($"o_totalprice" * 100).cast("long").as("w"))
     // Druid segment pools: per-partition exact local top-capacity
     val segCands = localTopKeys(keyed, capacity)
     // global heavy-weight guarantee: any key with spend > W/(cap+1)

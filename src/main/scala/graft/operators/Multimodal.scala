@@ -206,12 +206,16 @@ object Multimodal {
       *    by /2^14 before the second pass keeps |F| ≤ 1.1e15 — no
       *    overflow, no floats).
       *
-      * Rescale robustness is EXACT where it can be: the NN-replication
-      * pooling makes the 32×32 grid of a w<32 image identical to the
-      * grid of its integer-factor nearest-neighbor upscale (cell gx of
-      * the 2× upscale reads pixel gx → orig(gx/2); cell gx of the
+      * Rescale robustness is EXACT where it can be: for w ≤ 16 the
+      * NN-replication pooling makes the 32×32 grid of the image
+      * identical to the grid of its integer-factor nearest-neighbor
+      * upscale (both sides stay in the replication regime — cell gx
+      * of the 2× upscale reads pixel gx → orig(gx/2); cell gx of the
       * original reads pixel floor(gx/2) — the same byte), so
-      * pHash(img) == pHash(upscale_NN(img)) bit-for-bit, where dHash's
+      * pHash(img) == pHash(upscale_NN(img)) bit-for-bit. (For
+      * 16 < w < 32 the 2× upscale crosses into box pooling whose
+      * cell boundaries need not align to pixel-pair boundaries, so
+      * only near-collision is expected there, not exactness.) dHash's
       * 9-column boundaries land on different pixels and drift
       * (spec-measured). Bit i = (v·8+u)−1 over u,v ∈ [0,8)², (0,0)
       * excluded: 63 bits, bit 63 always 0 — the hamming-band pairing

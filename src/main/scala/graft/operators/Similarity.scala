@@ -1375,14 +1375,22 @@ object Similarity {
     spark.read.parquet(s"$indexDir/codes")
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    val p = java.nio.file.Paths.get(indexDir)
-    val old = p.resolve("codes_old")
-    java.nio.file.Files.move(p.resolve("codes"), old)
-    java.nio.file.Files.move(p.resolve("codes_compact_tmp"),
-      p.resolve("codes"))
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(old).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.deleteIfExists(_))
+    // the swap goes through the Hadoop FileSystem API (r18, ADVICE):
+    // the store this compacts is Spark-written, so it can live on any
+    // Hadoop FS — a raw java.nio move only worked for driver-local
+    // paths. rename() is the same same-filesystem atomicity primitive
+    // the q121 segment protocol relies on.
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val codes = new Path(root, "codes")
+    val old = new Path(root, "codes_old")
+    require(fs.rename(codes, old),
+      s"compaction rename $codes -> $old failed")
+    require(fs.rename(new Path(root, "codes_compact_tmp"), codes),
+      s"compaction rename of the compacted layout into $codes failed " +
+        "— recover by renaming codes_old back")
+    fs.delete(old, true)
   }
 
   private val ivfpqAppendDirs =

@@ -10,6 +10,19 @@ class PlanAuditSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Engine.builder("local[4]", 4).getOrCreate()
   val dir = "/root/testdata/sf0.001"
 
+  // temp dirs cleaned by shutdown hook (the NewOpsSpec.mkTmp pattern;
+  // deleteOnExit cannot remove non-empty directories)
+  private def mkTmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(d))
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    d.toString
+  }
+
   // q28/q29 intentionally broadcast a bounded query set against the
   // corpus with a non-equi condition (BroadcastNestedLoopJoin of a
   // 10-row side) — that's the designed brute-force baseline, not an
@@ -157,8 +170,7 @@ class PlanAuditSpec extends AnyFunSuite {
     import graft.sources.Tables
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_audit")
-      .toString
+    val tmp = mkTmp("graft_ivfpq_audit")
     Similarity.ivfpqWriteIndex(emb, tmp)
     // 2 queries × 2 probes over 16 trained cells: the probe union is
     // structurally ≤ 4 cells — room for pruning to be visible
@@ -220,8 +232,7 @@ class PlanAuditSpec extends AnyFunSuite {
     import graft.operators.Similarity
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_apd")
-      .toString
+    val tmp = mkTmp("graft_ivfpq_apd")
     Similarity.ivfpqWriteIndex(emb.filter($"vec_id" % 3 =!= 2), tmp)
     Similarity.ivfpqAppendIndex(
       emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0), tmp)
