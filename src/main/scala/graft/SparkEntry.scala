@@ -331,14 +331,16 @@ object SparkEntry {
     // dependent; planted-whale + measured-equality specs pin it)
     "q132_topn_approx" -> ((s, d) =>
       Analytics.topCustomersApprox(Tables.orders(s, d), Tables.customer(s, d))),
-    // standing MinHash near-dup screen: batch 1's banded signature
-    // table persists, batch 2 probes it (cross edges found at
-    // arrival, standing corpus never re-signatured), decisions
-    // answered merge-on-read from the accumulated edge log
-    // (rows-only: minhash, q127 is the in-session twin — equality
-    // with one-shot q127 and arrival-order invariance spec-pinned)
+    // standing MinHash near-dup screen over a PERSISTED band store
+    // (round 18: the localCheckpoint stand-in retired): two batches
+    // arrive through the marker-committed exactly-once ingest into a
+    // parquet store (bands band-partitioned, edges + decisions logged
+    // per segment), decisions answered merge-on-read from the STORED
+    // edge log (rows-only: minhash, q127 is the in-session twin —
+    // stored ≡ one-shot q127, crash-replay idempotence, and
+    // arrival-order invariance spec-pinned)
     "q129_minhash_screen" -> ((s, d) =>
-      Dedup.dedupKeepBestLshTwoBatch(Tables.documents(s, d))),
+      operators.MinhashStore.roundTrip(s, d)),
     // IVFPQ search FROM a persisted cid-partitioned parquet index —
     // the stored form of q126: the probed-cell restriction becomes
     // partition-pruned I/O, asserted as PartitionFilters in

@@ -968,8 +968,8 @@ object Dedup {
     * q31 quality join + argmax-per-cluster window (safe for the same
     * bounded-cluster-width reason, whatever produced the clusters).
     */
-  private def keepBestOver(documents: DataFrame,
-                           clusters: DataFrame): DataFrame = {
+  private[operators] def keepBestOver(documents: DataFrame,
+                                      clusters: DataFrame): DataFrame = {
     val quality = graft.operators.TextAnalysis.qualityScore(documents)
       .select($"doc_id", $"quality")
     val w = org.apache.spark.sql.expressions.Window
@@ -1103,8 +1103,13 @@ object Dedup {
     */
   def minhashScreenBatch(batch: DataFrame, standing: Option[DataFrame],
                          n: Int = 3, tauEst: Double = 0.1,
-                         k: Int = MinHashK, bands: Int = Bands): DataFrame = {
-    val banded = minhashBanded(batch, n, k, bands).localCheckpoint(true)
+                         k: Int = MinHashK, bands: Int = Bands,
+                         prebanded: Option[DataFrame] = None): DataFrame = {
+    // `prebanded` lets a store ingest ([[MinhashStore.ingestBatch]])
+    // that already signatured the batch reuse the checkpointed frame
+    // instead of paying the tokenize+minhash pass twice
+    val banded = prebanded.getOrElse(
+      minhashBanded(batch, n, k, bands).localCheckpoint(true))
     // DIRECTED candidate edges, unlike [[minhashProbe]]'s normalized
     // log: the winner of a cross edge is the STANDING doc no matter
     // the ids (that is what keep-first-arrival MEANS); within the
@@ -1144,37 +1149,32 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Declared q129 shape (the q128 two-batch pattern over the
-    * near-dup signal): the corpus split at its median doc_id and
-    * ingested as two batches — batch 1's banded table persists
-    * (localCheckpoint stands in for the parquet table a deployment
-    * writes), batch 2 probes it for cross edges and contributes its
-    * own band rows; final retention decisions are answered
-    * MERGE-ON-READ from the accumulated edge log (cluster +
-    * keep-best, the q121 read-side pattern), which provably equals
-    * one-shot q127 — each pair is discovered exactly once, when its
-    * later-arriving member arrives, so the accumulated edge set IS
-    * the one-shot edge set under any arrival order (both equalities
-    * spec-pinned). The incremental saving is in the signatures:
-    * batch 2 never re-tokenizes or re-signatures batch 1's corpus,
-    * and standing×standing pairs are never re-generated.
+  /** q129's two-batch shape over a FRESH persisted band store (round
+    * 18 — the r17 localCheckpoint stand-in retired): the corpus split
+    * at its median doc_id and ingested as two marker-committed
+    * batches into [[MinhashStore]], retention answered MERGE-ON-READ
+    * from the STORED edge log — which provably equals one-shot q127:
+    * each pair is discovered exactly once, when its later-arriving
+    * member arrives, so the accumulated edge set IS the one-shot edge
+    * set under any arrival order (both equalities spec-pinned). The
+    * incremental saving is in the signatures: batch 2 never
+    * re-tokenizes or re-signatures batch 1's corpus, and
+    * standing×standing pairs are never re-generated. This form builds
+    * a fresh temp store per call (the spec path); the declared query
+    * is [[MinhashStore.roundTrip]], which session-caches the store
+    * per source — the deployment contract.
     */
   def dedupKeepBestLshTwoBatch(documents: DataFrame, n: Int = 3,
                                tauEst: Double = 0.1, k: Int = MinHashK,
                                bands: Int = Bands): DataFrame = {
-    val cutRow = documents.agg(
-      percentile_approx($"doc_id", lit(0.5), lit(100000))).head()
-    if (cutRow.isNullAt(0)) return dedupKeepBestLsh(documents, n, tauEst, k, bands)
-    val cut = cutRow.getLong(0)
-    val b1 = documents.filter($"doc_id" <= cut)
-    val b2 = documents.filter($"doc_id" > cut)
-    val banded1 = minhashBanded(b1, n, k, bands).localCheckpoint(true)
-    val banded2 = minhashBanded(b2, n, k, bands).localCheckpoint(true)
-    val edges = minhashProbe(banded1, None, tauEst, k)
-      .unionByName(minhashProbe(banded2, Some(banded1), tauEst, k))
-      .select($"doc_a", $"doc_b")
-    keepBestOver(documents,
-      dupClustersFrom(documents, edges)
-        .select($"doc_id", $"cluster_id", $"cluster_size"))
+    val d = java.nio.file.Files.createTempDirectory("graft_minhash_2b")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(d))
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    MinhashStore.ingestTwoBatches(documents, d.toString, n, tauEst, k, bands)
+    MinhashStore.dedupKeepBestStored(documents, d.toString)
   }
 }

@@ -795,6 +795,162 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"within-batch dup must keep the first id: $out2")
   }
 
+  private def mkTmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(d))
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    d.toString
+  }
+
+  private def rmRf(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  test("q129 store crash-replay is idempotent: a deleted commit marker replays to the identical store") {
+    import graft.operators.MinhashStore
+    val docs = Tables.documents(spark, dir)
+    val store = mkTmp("graft_mh_replay")
+    MinhashStore.ingestTwoBatches(docs, store)
+    def snapshot() = (
+      MinhashStore.committedIds(spark, store),
+      MinhashStore.storedBands(spark, store).get.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getSeq[Long](3))).toSet,
+      MinhashStore.storedEdges(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      MinhashStore.storedDecisions(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4))).toSet,
+      MinhashStore.dedupKeepBestStored(docs, store).collect()
+        .map(_.toSeq).toSeq)
+    val before = snapshot()
+    assert(before._1 == Seq(0L, 1L) && before._3.nonEmpty,
+      "two committed segments with a non-empty edge log expected")
+    // crash window A: everything written, marker lost — replay must
+    // overwrite batch 1's segs with identical content and recommit
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$store/commits/1"))
+    val cut = docs.agg(org.apache.spark.sql.functions.percentile_approx(
+      col("doc_id"), org.apache.spark.sql.functions.lit(0.5),
+      org.apache.spark.sql.functions.lit(100000))).head().getLong(0)
+    val b2 = docs.filter(col("doc_id") > cut)
+    MinhashStore.ingestBatch(b2, store, 1L)
+    assert(snapshot() == before, "marker-loss replay changed the store")
+    // crash window B: marker AND the edges segment lost (crash between
+    // the bands write and the edges write) — replay must rebuild both
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$store/commits/1"))
+    rmRf(s"$store/edges/seg=1")
+    MinhashStore.ingestBatch(b2, store, 1L)
+    assert(snapshot() == before, "partial-crash replay changed the store")
+    // committed replay is a no-op (and must not fail)
+    MinhashStore.ingestBatch(b2, store, 1L)
+    assert(snapshot() == before, "committed replay changed the store")
+    // an UNCOMMITTED id below committed history is refused — replaying
+    // batch 0 after batch 1 committed would probe a standing table
+    // that didn't exist at its first run (history rewrite)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$store/commits/0"))
+    val err = intercept[IllegalArgumentException] {
+      MinhashStore.ingestBatch(b2, store, 0L)
+    }
+    assert(err.getMessage.contains("refusing to rewrite history"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$store/commits/0"))
+    assert(snapshot() == before, "the refused ingest touched the store")
+  }
+
+  test("q129 streaming ingest: the checkpointed sink's decisions and retention equal the batch path") {
+    import spark.implicits._
+    import graft.operators.MinhashStore
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, dir)
+    val rows = docs.select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val store = mkTmp("graft_mh_stream")
+    val ckpt = mkTmp("graft_mh_stream_ckpt")
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String, String, Long)]
+    def stream = ms.toDF.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // two arrivals, each a separate restart of the SAME checkpoint —
+    // the streaming engine's batchIds are the ingest ledger
+    ms.addData(a.toSeq)
+    MinhashStore.ingestStreamOnce(stream, store, ckpt)
+    ms.addData(b.toSeq)
+    MinhashStore.ingestStreamOnce(stream, store, ckpt)
+    assert(MinhashStore.committedIds(spark, store) == Seq(0L, 1L),
+      "streaming ingest did not commit exactly the two engine batches")
+    // a third restart with no new data must add nothing (restart
+    // contract: resume offsets, find nothing, write nothing)
+    MinhashStore.ingestStreamOnce(stream, store, ckpt)
+    assert(MinhashStore.committedIds(spark, store) == Seq(0L, 1L),
+      "an idle restart grew the store")
+    // stored online decisions ≡ the sequential batch screen
+    val aDf = a.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bDf = b.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def dec(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(4),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val expected = dec(Dedup.minhashScreenBatch(aDf, None)) ++
+      dec(Dedup.minhashScreenBatch(bDf,
+        Some(Dedup.minhashBanded(aDf).localCheckpoint(true))))
+    assert(dec(MinhashStore.storedDecisions(spark, store)) == expected,
+      "streamed store decisions diverged from the sequential batch screen")
+    // and merge-on-read retention from the streamed store ≡ one-shot
+    val got = MinhashStore.dedupKeepBestStored(docs, store).collect()
+      .map(_.toSeq).toSeq
+    assert(got == Dedup.dedupKeepBestLsh(docs).collect().map(_.toSeq).toSeq,
+      "streamed-store retention diverged from one-shot keep-best-LSH")
+  }
+
+  test("q129 store layout: every band of every segment is one pruned partition file") {
+    import graft.operators.MinhashStore
+    val docs = Tables.documents(spark, dir)
+    val store = mkTmp("graft_mh_layout")
+    MinhashStore.ingestTwoBatches(docs, store)
+    for (seg <- Seq(0, 1)) {
+      val segDir = new java.io.File(s"$store/bands/seg=$seg")
+      val bandDirs = segDir.listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("band="))
+      assert(bandDirs.length == Dedup.Bands,
+        s"seg=$seg holds ${bandDirs.length} band partitions, " +
+          s"expected ${Dedup.Bands}")
+      for (bd <- bandDirs) {
+        val files = bd.listFiles().filter(f => f.isFile &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        assert(files.length == 1,
+          s"seg=$seg/${bd.getName} holds ${files.length} files — the " +
+            "repartition(band) discipline must leave exactly one")
+      }
+    }
+    // band is a partition column: a band-restricted maintenance read
+    // is pruned I/O — numFiles == segments, not segments × bands
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val one = spark.read.option("basePath", s"$store/bands")
+      .parquet(s"$store/bands/seg=0", s"$store/bands/seg=1")
+      .filter(col("band") === 3)
+    // execute THIS DataFrame's plan so its scan metrics are populated
+    assert(one.collect().nonEmpty, "band 3 unexpectedly empty")
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case ad: AdaptiveSparkPlanExec => scans(ad.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(one.queryExecution.executedPlan).head
+    assert(scan.partitionFilters.nonEmpty,
+      "band restriction did not become a PartitionFilter")
+    assert(scan.metrics("numFiles").value == 2,
+      s"band-pruned read touched ${scan.metrics("numFiles").value} " +
+        "files, expected one per segment")
+  }
+
   // ---- q124 exactSubstrRemoval: alignment-free substring removal ----
 
   test("q124 removes the offset duplicate that q122's fixed tiles provably miss") {
