@@ -370,6 +370,23 @@ object SparkEntry {
     // spec-pinned)
     "q134_ivfpq_append" -> ((s, d) =>
       Similarity.ivfpqAppendRoundTrip(s, d)),
+    // IVFPQ DELETE: FAISS remove_ids against the persisted index —
+    // deletions land as a bounded tombstone table, the stored search
+    // anti-joins them out before the shortlist window, and the
+    // scheduled compaction folds them physically (rows-only: temp-dir
+    // store + iterative trainers; exclusion, no-op re-delete, and the
+    // byte-identical compaction fold are spec-pinned)
+    "q135_ivfpq_delete" -> ((s, d) =>
+      Similarity.ivfpqDeleteRoundTrip(s, d)),
+    // IVFPQ manifest-driven RETRAIN: the coordinator-period stage
+    // reads the stored index's residual-health manifest and rebuilds
+    // the quantizers only when the corpus drifted past them (baseline
+    // → planted off-manifold append → exactly one retrain → no-op);
+    // output is the 3-run decision log (rows-only: temp-dir store +
+    // iterative trainers; the single-fire law, post-retrain search ≡
+    // fresh-build, and crash recovery are spec-pinned)
+    "q136_ivfpq_retrain" -> ((s, d) =>
+      Similarity.ivfpqRetrainRoundTrip(s, d)),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented

@@ -1267,8 +1267,15 @@ object Similarity {
     val probed = probe.values.flatten.toSeq.distinct.sorted
     val dim = qRows.head.getSeq[Long](1).size
     val r = rerank.getOrElse(autoRerank(embeddings, dim))
-    val short = adcScanCore(storedCodes(spark, indexDir, probed),
-        cents, coarse, qRows, probe, r, byResidual)
+    // tombstoned rows leave the scan BEFORE the ADC arithmetic and
+    // the top-r window (q135): a deleted vector must not occupy a
+    // shortlist slot, or k live results could shrink to k-1
+    val visible = readTombstones(spark, indexDir) match {
+      case None => storedCodes(spark, indexDir, probed)
+      case Some(ts) =>
+        storedCodes(spark, indexDir, probed).join(ts, Seq("vec_id"), "left_anti")
+    }
+    val short = adcScanCore(visible, cents, coarse, qRows, probe, r, byResidual)
       .select($"query_id", $"vec_id")
     exactRerank(embeddings, short, qRows, k)
   }
@@ -1369,10 +1376,53 @@ object Similarity {
     * (spec-pinned) and the partition-pruning law is unchanged — only
     * files-read returns to |probe set|.
     */
+  /** Delete vectors from a persisted IVFPQ index (q135) — FAISS's
+    * `remove_ids` contract, storage-shaped: deletions land as a
+    * TOMBSTONE table (`tombstones/`, append-mode vec_id rows — a
+    * deletion batch is one bounded write, never a rewrite of the
+    * cid-partitioned code store), every stored search anti-joins the
+    * tombstones out BEFORE the ADC scan's top-r window (a deleted
+    * vector neither occupies a shortlist slot nor reaches the
+    * re-rank), and [[ivfpqCompactIndex]] folds them physically — the
+    * rewrite drops tombstoned rows and clears the tombstone table, so
+    * post-compaction searches are byte-identical with zero anti-join
+    * work. Quantizers are untouched, exactly as FAISS keeps a trained
+    * index trained across remove_ids. Deleting an id that is not in
+    * the index (or deleting twice) is a harmless no-op: the read side
+    * is a distinct set.
+    *
+    * At 100 TB: delete cost ∝ deletion batch (an append), search
+    * overhead is one anti-join against a distinct id set that AQE
+    * broadcasts while small, and the periodic compaction — already
+    * scheduled for append small-files — is the same single rewrite
+    * with the filter fused into it.
+    */
+  def ivfpqDeleteIds(ids: DataFrame, indexDir: String): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
+  /** The distinct tombstoned vec_ids, None when nothing was ever
+    * deleted (the common case — and the zero-overhead search path).
+    */
+  def readTombstones(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).select($"vec_id").distinct())
+  }
+
   def ivfpqCompactIndex(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String): Unit = {
     val tmp = s"$indexDir/codes_compact_tmp"
-    spark.read.parquet(s"$indexDir/codes")
+    val all = spark.read.parquet(s"$indexDir/codes")
+    // fold deletions into the rewrite: tombstoned rows simply don't
+    // make it into the compacted layout (the FAISS remove_ids fold)
+    val live = readTombstones(spark, indexDir) match {
+      case None => all
+      case Some(ts) => all.join(ts, Seq("vec_id"), "left_anti")
+    }
+    live
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(tmp)
     // the swap goes through the Hadoop FileSystem API (r18, ADVICE):
@@ -1391,6 +1441,11 @@ object Similarity {
       s"compaction rename of the compacted layout into $codes failed " +
         "— recover by renaming codes_old back")
     fs.delete(old, true)
+    // tombstones are folded into the new layout — clear them LAST: a
+    // crash right here leaves tombstones that anti-join nothing
+    // (their rows are already gone), so both the search and the next
+    // compaction remain correct and idempotent
+    fs.delete(new Path(root, "tombstones"), true)
   }
 
   private val ivfpqAppendDirs =
@@ -1422,6 +1477,248 @@ object Similarity {
       d.toString
     })
     ivfpqStoredTopK(emb, dir)
+  }
+
+  private val ivfpqDeleteDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Declared q135 shape: build the persisted index on the full
+    * corpus, tombstone a deterministic ~9% slice (vec_id ≡ 3 mod 11 —
+    * the GDPR-purge cadence: a bounded deletion batch against a
+    * standing index), then answer the standard query batch from the
+    * tombstoned store. Same session-cached store discipline as
+    * q130/q134; the companion specs pin exclusion (no tombstoned id
+    * can appear in any result), the compaction fold (rows physically
+    * gone, tombstone table cleared, search byte-identical), and
+    * no-op deletes.
+    */
+  def ivfpqDeleteRoundTrip(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = ivfpqDeleteDirs.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_del")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(d))
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      ivfpqWriteIndex(emb, d.toString)
+      ivfpqDeleteIds(emb.filter($"vec_id" % 11 === 3).select($"vec_id"),
+        d.toString)
+      d.toString
+    })
+    ivfpqStoredTopK(emb, dir)
+  }
+
+  /** Per-cell health manifest of a PERSISTED index (q136's monitor —
+    * the q119 manifest read against the STORED coarse quantizer):
+    * occupancy and residual stats of the live corpus as the index
+    * actually assigns it, tombstoned rows excluded. One broadcast
+    * argmin scan of the corpus, nCells output rows — the
+    * coordinator-period health read; a deployment that wants it
+    * cheaper maintains it incrementally from per-append deltas (the
+    * q119 streaming-twin pattern), which the per-cell additivity of
+    * (n, Σd2) makes exact.
+    */
+  def ivfpqIndexManifest(embeddings: DataFrame, indexDir: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.Registry.ensure(spark)
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val coarse = readCoarse(spark, indexDir)
+    require(coarse.nonEmpty,
+      s"index at $indexDir has an empty coarse quantizer — nothing to monitor")
+    val cents = coarse.toDF("cid", "cv")
+    val live = readTombstones(spark, indexDir) match {
+      case None => quantizedNonEmpty(embeddings)
+      case Some(ts) =>
+        quantizedNonEmpty(embeddings).join(ts, Seq("vec_id"), "left_anti")
+    }
+    assignD2(live, cents)
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vectors"), sum($"d2").as("sum_d2"),
+        max($"d2").as("max_d2"))
+      .orderBy($"cid")
+  }
+
+  private val RetrainMarker = "_RETRAIN_READY"
+
+  /** Completes or abandons a retrain the marker protocol left behind
+    * (the q121 compaction-recovery shape at the whole-index level);
+    * no-op on a healthy index. States, per the write order in
+    * [[ivfpqRetrainIfDrifted]]: tmp WITHOUT marker = crashed before
+    * the commit point, the old index is intact → abandon tmp; tmp
+    * WITH marker = the new index is complete → finish forward
+    * (park the old index if still present, promote tmp, drop the
+    * parked copy).
+    */
+  private def recoverRetrain(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val idx = new Path(indexDir)
+    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"${indexDir}_retrain_tmp")
+    val old = new Path(s"${indexDir}_retrain_old")
+    if (!fs.exists(tmp)) {
+      // crash between the park and... nothing: old exists only while
+      // tmp does (tmp is promoted before old is dropped) — except the
+      // final window after promote, where only the drop remains
+      if (fs.exists(old)) fs.delete(old, true)
+      return
+    }
+    if (!fs.exists(new Path(tmp, RetrainMarker))) { fs.delete(tmp, true); return }
+    if (fs.exists(idx)) require(fs.rename(idx, old),
+      s"retrain recovery: parking $idx failed")
+    require(fs.rename(tmp, idx), s"retrain recovery: promoting $tmp failed")
+    fs.delete(old, true)
+  }
+
+  /** Manifest-driven retrain decision (q136) — the index-lifecycle
+    * half q134's append left open, and the way FAISS deployments
+    * actually schedule `train()`: a coordinator-period stage reads
+    * the stored index's health manifest and rebuilds the quantizers
+    * only when the corpus has DRIFTED past them. The signal is the
+    * mean squared residual of the live corpus against the stored
+    * coarse quantizer, compared to the BASELINE persisted at the last
+    * train (`health/`, one row — written on first observation, so a
+    * fresh index's first stage run establishes its own baseline and
+    * never fires): quantization error that grows ×`driftRatio` means
+    * the trained geometry no longer spans the data (appends landed
+    * off-manifold), which occupancy alone can't distinguish from a
+    * legitimately hot cell.
+    *
+    * Retrain = [[ivfpqWriteIndex]] of the live corpus (tombstones
+    * folded — a retrain is the ultimate compaction) with the STORED
+    * meta's hyperparameters into a side directory, a fresh baseline
+    * written inside it, then the marker-committed two-rename swap
+    * ([[recoverRetrain]] finishes or abandons a crashed one, so the
+    * stage is restart-safe like q121's compaction). Single-writer,
+    * like every store mutation here.
+    *
+    * Returns the 1-row decision record (n_live, mean_d2,
+    * baseline_mean_d2, retrained) — the coordinator's audit row, the
+    * [[graft.streaming.EventStream.compactionStage]] shape.
+    */
+  def ivfpqRetrainIfDrifted(embeddings: DataFrame, indexDir: String,
+                            driftRatio: Double = 2.0,
+                            iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.hadoop.fs.Path
+    recoverRetrain(spark, indexDir)
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val agg = ivfpqIndexManifest(embeddings, indexDir)
+      .agg(sum($"n_vectors"), sum($"sum_d2")).head()
+    val n = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val meanD2 = if (n == 0L) 0.0 else agg.getLong(1).toDouble / n
+    val healthPath = new Path(s"$indexDir/health")
+    val baseline =
+      if (fs.exists(healthPath))
+        spark.read.parquet(healthPath.toString).head()
+          .getAs[Double]("mean_d2")
+      else {
+        // first observation IS the baseline — written through the
+        // same path a retrain refreshes
+        Seq((meanD2, n)).toDF("mean_d2", "n_vectors")
+          .coalesce(1).write.mode("overwrite").parquet(healthPath.toString)
+        meanD2
+      }
+    val drifted = n > 0 && baseline > 0 && meanD2 > driftRatio * baseline
+    if (drifted) {
+      val meta = spark.read.parquet(s"$indexDir/meta").head()
+      val live = readTombstones(spark, indexDir) match {
+        case None => embeddings
+        case Some(ts) => embeddings.join(ts, Seq("vec_id"), "left_anti")
+      }
+      val tmp = s"${indexDir}_retrain_tmp"
+      fs.delete(new Path(tmp), true)
+      ivfpqWriteIndex(live, tmp,
+        nCells = meta.getAs[Int]("n_cells"), nSub = meta.getAs[Int]("n_sub"),
+        kCodes = meta.getAs[Int]("k_codes"), iters = iters,
+        byResidual = meta.getAs[Boolean]("by_residual"))
+      // fresh baseline: the live corpus against the NEW quantizer
+      val freshAgg = ivfpqIndexManifest(embeddings, tmp)
+        .agg(sum($"n_vectors"), sum($"sum_d2")).head()
+      val freshN = freshAgg.getLong(0)
+      Seq((freshAgg.getLong(1).toDouble / freshN, freshN))
+        .toDF("mean_d2", "n_vectors")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/health")
+      // the commit point, then the two-rename swap
+      fs.create(new Path(tmp, RetrainMarker), true).close()
+      val idx = new Path(indexDir)
+      val old = new Path(s"${indexDir}_retrain_old")
+      require(fs.rename(idx, old), s"retrain: parking $idx failed")
+      require(fs.rename(new Path(tmp), idx),
+        s"retrain: promoting the new index into $idx failed — " +
+          "recoverRetrain finishes this forward")
+      fs.delete(old, true)
+    }
+    Seq((n, meanD2, baseline, drifted))
+      .toDF("n_live", "mean_d2", "baseline_mean_d2", "retrained")
+  }
+
+  /** The retrain decision as a schedulable [[graft.Pipeline.Stage]] —
+    * dropped into the same scheduled pipeline as the ingest/append
+    * stages (the Druid-coordinator cadence q121's compactionStage
+    * established), so every interval ends with the inspect-and-maybe-
+    * retrain decision recorded in the run's metrics table.
+    */
+  def ivfpqRetrainStage(embeddings: DataFrame, indexDir: String,
+                        driftRatio: Double = 2.0): graft.Pipeline.Stage =
+    graft.Pipeline.stage(s"ann-retrain:$indexDir") { _ =>
+      ivfpqRetrainIfDrifted(embeddings, indexDir, driftRatio)
+    }
+
+  private val ivfpqRetrainDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Declared q136 shape — the index lifecycle end-to-end, decision
+    * log as the output (the compactionStage decision-record shape):
+    * build the index on the corpus, run the retrain stage (run 1:
+    * establishes the baseline, never fires), append an OFF-MANIFOLD
+    * batch (every 17th vector cloned under fresh ids and shifted +10
+    * per component — appended through the stored quantizers exactly
+    * as q134 ingests it, which is what makes the residuals blow up:
+    * the trained geometry has no cells there), run the stage again
+    * (run 2: drift detected, ONE retrain fires, baseline refreshes),
+    * and again (run 3: the rebuilt geometry fits, no-op). Later calls
+    * read the committed 3-row log from the session-cached store.
+    */
+  def ivfpqRetrainRoundTrip(spark: org.apache.spark.sql.SparkSession,
+                            sfDir: String): DataFrame = {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val blob = emb.filter($"vec_id" % 17 === 0)
+      .select(($"vec_id" + 10000000L).as("vec_id"),
+        expr("transform(embedding, x -> x + CAST(10.0 AS FLOAT))")
+          .as("embedding"))
+    val corpus2 = emb.select($"vec_id", $"embedding").unionByName(blob)
+    val dir = ivfpqRetrainDirs.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_rt")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(d))
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val idx = s"$d/index"
+      ivfpqWriteIndex(emb, idx)
+      val log = Seq(1, 2, 3).map { run =>
+        if (run == 2) ivfpqAppendIndex(blob, idx)
+        // the monitor always reads the corpus AS OF the run: pre-append
+        // that is the base corpus, post-append the accreted one
+        val liveCorpus = if (run == 1) emb.select($"vec_id", $"embedding")
+                         else corpus2
+        ivfpqRetrainIfDrifted(liveCorpus, idx).withColumn("run", lit(run))
+      }.reduce(_ unionByName _)
+      log.coalesce(1).write.mode("overwrite").parquet(s"$d/retrain_log")
+      d.toString
+    })
+    spark.read.parquet(s"$dir/retrain_log")
+      .select($"run", $"n_live", $"mean_d2", $"baseline_mean_d2",
+        $"retrained")
+      .orderBy($"run")
   }
 
   /** IVF-index cell manifest (q119): per-cell occupancy and residual

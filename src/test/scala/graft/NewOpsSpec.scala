@@ -1145,6 +1145,137 @@ class NewOpsSpec extends AnyFunSuite {
       s"the d2=0 clone must outrank every non-identical copy: $hits")
   }
 
+  test("q135 delete: tombstoned ids vanish from search; compaction folds them physically, search byte-identical") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val d = mkTmp("graft_del")
+    Similarity.ivfpqWriteIndex(emb, d)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    def storedIds(dd: String) = spark.read.parquet(s"$dd/codes").collect()
+      .map(_.getLong(0)).toSet
+    val before = sig(Similarity.ivfpqStoredTopK(emb, d))
+    // delete an id that IS currently somebody's result — exclusion
+    // has teeth only if the victim would otherwise be returned
+    val victim = before.map(_._2).filter(_ >= 10L).head
+    Similarity.ivfpqDeleteIds(Seq(victim).toDF("vec_id"), d)
+    val after = sig(Similarity.ivfpqStoredTopK(emb, d))
+    assert(!after.exists(_._2 == victim),
+      s"tombstoned vector $victim still surfaced in a search result")
+    assert(after.nonEmpty && after != before,
+      "deleting a returned vector must change the result set")
+    // every query still gets its k ranked hits — the shortlist was
+    // filtered BEFORE the top-r window, so live candidates backfill
+    val perQuery = after.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.size == 10 && perQuery.values.forall(_ == 5),
+      s"deletion shrank a query's top-k below k: $perQuery")
+    // re-deleting and deleting an absent id are no-ops
+    Similarity.ivfpqDeleteIds(Seq(victim, 888888L).toDF("vec_id"), d)
+    assert(sig(Similarity.ivfpqStoredTopK(emb, d)) == after,
+      "repeat/absent-id deletes must not change the answer")
+    // compaction folds the tombstones physically: rows gone, table
+    // cleared, search byte-identical, one file per cell preserved
+    assert(storedIds(d).contains(victim),
+      "victim's code rows should still be on disk before compaction")
+    Similarity.ivfpqCompactIndex(spark, d)
+    assert(!storedIds(d).contains(victim),
+      "compaction left the tombstoned rows in the code table")
+    assert(!new java.io.File(s"$d/tombstones").exists(),
+      "compaction must clear the folded tombstone table")
+    assert(sig(Similarity.ivfpqStoredTopK(emb, d)) == after,
+      "folding tombstones changed the search answer")
+    val filesPerCell =
+      Option(new java.io.File(s"$d/codes").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(filesPerCell.nonEmpty && filesPerCell.forall(_ == 1),
+      s"compaction broke the one-file-per-cell law: $filesPerCell")
+    // declared q135 round-trip ≡ a hand-built store with the same
+    // recipe, and no mod-11 id appears in its results
+    val dRt = mkTmp("graft_del_rt")
+    Similarity.ivfpqWriteIndex(emb, dRt)
+    Similarity.ivfpqDeleteIds(
+      emb.filter($"vec_id" % 11 === 3).select($"vec_id"), dRt)
+    val rt = sig(Similarity.ivfpqDeleteRoundTrip(spark, dir))
+    assert(rt == sig(Similarity.ivfpqStoredTopK(emb, dRt)),
+      "declared q135 round-trip diverged from the hand-built store")
+    assert(rt.nonEmpty && !rt.exists(_._2 % 11 == 3),
+      "a tombstoned mod-11 id leaked into the declared results")
+  }
+
+  test("q136 retrain: planted off-manifold drift fires exactly one retrain; post-retrain search ≡ fresh build") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val d = mkTmp("graft_retrain") + "/index"
+    Similarity.ivfpqWriteIndex(emb, d)
+    val blob = emb.filter($"vec_id" % 17 === 0)
+      .select(($"vec_id" + 10000000L).as("vec_id"),
+        expr("transform(embedding, x -> x + CAST(10.0 AS FLOAT))")
+          .as("embedding"))
+    val base = emb.select($"vec_id", $"embedding")
+    val corpus2 = base.unionByName(blob)
+    def dec(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.head()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+    }
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    // run 1 through the SCHEDULABLE form: establishes the baseline,
+    // never fires, and the Pipeline metrics row records it ok
+    val m1 = graft.Pipeline.run(spark,
+      Seq(Similarity.ivfpqRetrainStage(base, d))).collect()
+    assert(m1.length == 1 && m1.head.getAs[Boolean]("ok") &&
+      m1.head.getAs[Long]("rows") == 1L,
+      s"retrain stage did not run clean: ${m1.toSeq}")
+    val (n1, mean1, base1, fired1) = dec(Similarity.ivfpqRetrainIfDrifted(base, d))
+    assert(!fired1 && mean1 == base1 && n1 > 0,
+      s"a fresh index must observe its own baseline, not retrain: $mean1 vs $base1")
+    // the off-manifold append blows up residuals against the stored
+    // geometry — exactly one retrain fires, then the signal is quiet
+    Similarity.ivfpqAppendIndex(blob, d)
+    val (n2, mean2, base2, fired2) = dec(Similarity.ivfpqRetrainIfDrifted(corpus2, d))
+    assert(fired2 && mean2 > 2.0 * base2 && n2 > n1,
+      s"planted drift did not fire: mean $mean2 vs baseline $base2")
+    val (_, mean3, base3, fired3) = dec(Similarity.ivfpqRetrainIfDrifted(corpus2, d))
+    assert(!fired3 && mean3 == base3,
+      s"the rebuilt geometry must satisfy its own refreshed baseline: $mean3 vs $base3")
+    // retrain IS a fresh build on the live corpus with the stored
+    // hyperparameters — byte-identical searches prove it
+    val dFresh = mkTmp("graft_retrain_f") + "/index"
+    Similarity.ivfpqWriteIndex(corpus2, dFresh)
+    val post = sig(Similarity.ivfpqStoredTopK(corpus2, d))
+    assert(post.nonEmpty && post == sig(Similarity.ivfpqStoredTopK(corpus2, dFresh)),
+      "post-retrain search diverged from a fresh build on the same corpus")
+    // declared round-trip log: (baseline, fire, quiet)
+    val log = Similarity.ivfpqRetrainRoundTrip(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getBoolean(4)).toSeq
+    assert(log == Seq(1 -> false, 2 -> true, 3 -> false),
+      s"declared retrain log must fire exactly once, on run 2: ${log.toSeq}")
+    // crash recovery, abandon path: a tmp WITHOUT the commit marker is
+    // a pre-commit crash — dropped, the live index untouched
+    val junk = new java.io.File(s"${d}_retrain_tmp"); junk.mkdirs()
+    new java.io.File(junk, "garbage").createNewFile()
+    val (_, _, _, firedJ) = dec(Similarity.ivfpqRetrainIfDrifted(corpus2, d))
+    assert(!junk.exists(), "an uncommitted retrain tmp must be abandoned")
+    assert(!firedJ && post == sig(Similarity.ivfpqStoredTopK(corpus2, d)),
+      "abandon-path recovery disturbed the live index")
+    // crash recovery, finish-forward path: a COMPLETE tmp with the
+    // marker is promoted before the decision is computed
+    val tmp2 = s"${d}_retrain_tmp"
+    Similarity.ivfpqWriteIndex(corpus2, tmp2)
+    val fresh = Similarity.ivfpqIndexManifest(corpus2, tmp2)
+      .agg(sum($"n_vectors"), sum($"sum_d2")).head()
+    Seq((fresh.getLong(1).toDouble / fresh.getLong(0), fresh.getLong(0)))
+      .toDF("mean_d2", "n_vectors")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp2/health")
+    new java.io.File(tmp2, "_RETRAIN_READY").createNewFile()
+    val (_, meanR, baseR, firedR) = dec(Similarity.ivfpqRetrainIfDrifted(corpus2, d))
+    assert(!new java.io.File(tmp2).exists() && !firedR && meanR == baseR,
+      "finish-forward recovery must promote the committed tmp and stay quiet")
+    assert(post == sig(Similarity.ivfpqStoredTopK(corpus2, d)),
+      "the promoted index diverged from the equivalent fresh build")
+  }
+
   test("random projection: exact integer projection and JL concentration") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
