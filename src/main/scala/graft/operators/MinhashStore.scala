@@ -94,6 +94,10 @@ object MinhashStore {
   private def dataSegPaths(spark: SparkSession, root: String,
                            ids: Seq[Long]): Seq[String] = {
     val fs = fsOf(spark, root)
+    // a compaction that crashed between its commit point and its
+    // rename leaves folded rows only in _compact_tmp — finish it
+    // before listing (driver-side existence check; no-op when healthy)
+    recoverSub(fs, root)
     ids.map(i => new Path(s"$root/seg=$i")).filter { p =>
       fs.exists(p) && {
         val it = fs.listFiles(p, true)
@@ -284,6 +288,121 @@ object MinhashStore {
     })
     dedupKeepBestStored(docs, dir)
   }
+
+  private val CompactTmp = "_compact_tmp"
+  private val CompactMarker = "_COMPACT_TARGET"
+
+  private def segIdsOnDisk(fs: FileSystem, root: String): Seq[Long] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("seg="))
+      .map(_.stripPrefix("seg=").toLong).sorted
+  }
+
+  /** Completes or abandons a fold the marker protocol left behind
+    * (q121's recoverCompaction verbatim, per subdir); no-op on a
+    * healthy table. Run by every reader and every compaction, so a
+    * crash mid-finish can never surface a half-folded table.
+    */
+  private def recoverSub(fs: FileSystem, root: String): Unit = {
+    val tmp = new Path(root, CompactTmp)
+    if (!fs.exists(tmp)) return
+    if (fs.exists(new Path(tmp, CompactMarker))) finishSub(fs, root)
+    else fs.delete(tmp, true) // crashed before the commit point
+  }
+
+  private def finishSub(fs: FileSystem, root: String): Unit = {
+    val tmp = new Path(root, CompactTmp)
+    val markerPath = new Path(tmp, CompactMarker)
+    val in = fs.open(markerPath)
+    val target = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+                 finally in.close()
+    segIdsOnDisk(fs, root).filter(_ <= target)
+      .foreach(i => fs.delete(new Path(s"$root/seg=$i"), true))
+    val dst = new Path(s"$root/seg=$target")
+    require(fs.rename(tmp, dst),
+      s"store compaction rename $tmp -> $dst failed — same-filesystem " +
+        "rename is the protocol's atomicity primitive")
+    // marker cleanup LAST (a crash here leaves a "_"-file parquet
+    // readers ignore) — the q121 ordering argument verbatim
+    fs.delete(new Path(dst, CompactMarker), false)
+  }
+
+  private def foldSub(spark: SparkSession, root: String,
+                      partitioned: Boolean, keepNewest: Int): Int = {
+    val fs = fsOf(spark, root)
+    recoverSub(fs, root)
+    val fold = segIdsOnDisk(fs, root).dropRight(keepNewest)
+    if (fold.length < 2) return 0
+    val target = fold.last
+    val tmp = new Path(root, CompactTmp)
+    fs.delete(tmp, true) // an uncommitted earlier attempt is garbage
+    val df = spark.read.option("basePath", root)
+      .parquet(fold.map(i => s"$root/seg=$i"): _*).drop("seg")
+    // band rows are immutable facts, so the fold is PURE CONCATENATION
+    // (simpler than q121's latest-wins); the bands subdir re-applies
+    // the one-file-per-band layout law on the way through
+    val writer =
+      if (partitioned)
+        df.select($"doc_id", $"band_key", $"sig", $"band")
+          .repartition($"band")
+          .write.partitionBy("band")
+      else df.write
+    writer.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(new Path(tmp, CompactMarker), true)
+    try out.write(target.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    finishSub(fs, root)
+    fold.length
+  }
+
+  /** Fold every data segment except the newest `keepNewest` into one
+    * base segment per subdir — the q121 compaction discipline that
+    * bounds read fan-in as batches accrete (segment count grows with
+    * ingest cadence; at 100 TB the fold moves band rows ∝ corpus ×
+    * bands ONCE per period, never per batch). Commit markers are the
+    * ledger and are never touched: replay semantics and the
+    * monotonic-id guard survive compaction unchanged, and the readers'
+    * existence filter makes a folded-away segment id simply resolve to
+    * no extra path. Folding into the max folded id is sound for the
+    * probe's strictly-below filter because ingest ids are monotonic:
+    * every future batch's id exceeds the base segment's, so the base
+    * is always inside its standing window. Each subdir folds independently under its own
+    * marker protocol (pure concatenation of immutable rows, so a crash
+    * between subdirs leaves every reader correct); single-writer like
+    * the ingest itself. Returns segments folded in the bands subdir
+    * (0 = nothing to do).
+    */
+  def compactStore(spark: SparkSession, storeDir: String,
+                   keepNewest: Int = 1): Int = {
+    require(keepNewest >= 0, s"keepNewest must be >= 0: $keepNewest")
+    val folded = foldSub(spark, s"$storeDir/bands", partitioned = true,
+      keepNewest)
+    foldSub(spark, s"$storeDir/edges", partitioned = false, keepNewest)
+    foldSub(spark, s"$storeDir/decisions", partitioned = false, keepNewest)
+    folded
+  }
+
+  /** The fold as a schedulable [[graft.Pipeline.Stage]] (the
+    * EventStream.compactionStage coordinator cadence): inspect each
+    * interval, fold only past `maxSegments` fragmentation, record the
+    * decision row.
+    */
+  def compactionStage(storeDir: String, maxSegments: Int = 8,
+                      keepNewest: Int = 1): graft.Pipeline.Stage =
+    graft.Pipeline.stage(s"compact-minhash:$storeDir") { spark =>
+      import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+      val fs = fsOf(spark, storeDir)
+      val before = segIdsOnDisk(fs, s"$storeDir/bands").length
+      val folded =
+        if (before > maxSegments) compactStore(spark, storeDir, keepNewest)
+        else 0
+      Seq((before.toLong, folded.toLong,
+          segIdsOnDisk(fs, s"$storeDir/bands").length.toLong))
+        .toDF("segments_before", "segments_folded", "segments_after")
+    }
 
   /** Split at the median doc_id and ingest as two batches — the
     * deterministic two-arrival cadence the q129 specs pin (shared by

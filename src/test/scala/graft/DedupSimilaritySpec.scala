@@ -908,6 +908,84 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "streamed-store retention diverged from one-shot keep-best-LSH")
   }
 
+  test("q129 store compaction: segments fold to a base with every read identical; crash recovery finishes forward") {
+    import spark.implicits._
+    import graft.operators.MinhashStore
+    val docs = Tables.documents(spark, dir)
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id")).collect()
+      .map(_.getLong(0))
+    val store = mkTmp("graft_mh_compact")
+    // four arrivals (quartile split) — enough fragmentation for the
+    // inspect threshold to have a decision to make
+    val qs = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4))
+    val batches = Seq(
+      docs.filter(col("doc_id") <= qs(0)),
+      docs.filter(col("doc_id") > qs(0) && col("doc_id") <= qs(1)),
+      docs.filter(col("doc_id") > qs(1) && col("doc_id") <= qs(2)),
+      docs.filter(col("doc_id") > qs(2)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      MinhashStore.ingestBatch(b, store, i.toLong)
+    }
+    def snapshot() = (
+      MinhashStore.storedBands(spark, store).get.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getSeq[Long](3))).toSet,
+      MinhashStore.storedEdges(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      MinhashStore.storedDecisions(spark, store).collect()
+        .map(r => (r.getLong(0), r.getBoolean(4))).toSet,
+      MinhashStore.dedupKeepBestStored(docs, store).collect()
+        .map(_.toSeq).toSeq)
+    val before = snapshot()
+    def segsOf(sub: String) =
+      Option(new java.io.File(s"$store/$sub").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+        .map(_.getName.stripPrefix("seg=").toLong).sorted.toSeq
+    assert(segsOf("bands") == Seq(0L, 1L, 2L, 3L),
+      s"expected four band segments: ${segsOf("bands")}")
+    // the scheduled stage: first run folds (4 > maxSegments 2,
+    // keepNewest 1 → 0,1,2 fold into base seg=2), second run no-ops
+    val m1 = graft.Pipeline.run(spark,
+      Seq(MinhashStore.compactionStage(store, maxSegments = 2))).head()
+    assert(m1.getAs[Boolean]("ok"), s"compaction stage failed: $m1")
+    assert(segsOf("bands") == Seq(2L, 3L),
+      s"fold must leave base seg=2 + newest seg=3: ${segsOf("bands")}")
+    assert(MinhashStore.committedIds(spark, store) == Seq(0L, 1L, 2L, 3L),
+      "compaction must never touch the commit ledger")
+    assert(snapshot() == before, "compaction changed a stored read")
+    assert(MinhashStore.compactStore(spark, store) == 0,
+      "a freshly folded store has nothing to fold")
+    // one file per (seg, band) survives the fold in the base segment
+    val baseBands = new java.io.File(s"$store/bands/seg=2").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band="))
+    assert(baseBands.length == Dedup.Bands &&
+      baseBands.forall(_.listFiles().count(f =>
+        f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) == 1),
+      "the folded base segment broke the one-file-per-band law")
+    // crash mid-finish: re-fold to a committed tmp, delete a folded
+    // seg, leave the rename undone — the next READER must finish
+    // forward and return the identical table
+    val bandsRoot = s"$store/bands"
+    val tmp = new java.io.File(bandsRoot, "_compact_tmp")
+    val folded = spark.read.option("basePath", bandsRoot)
+      .parquet(s"$bandsRoot/seg=2", s"$bandsRoot/seg=3").drop("seg")
+      .select(col("doc_id"), col("band_key"), col("sig"), col("band"))
+    folded.repartition(col("band")).write.partitionBy("band")
+      .mode("overwrite").parquet(tmp.toString)
+    java.nio.file.Files.write(
+      new java.io.File(tmp, "_COMPACT_TARGET").toPath, "3".getBytes())
+    rmRf(s"$bandsRoot/seg=2") // the crash: target seg gone, tmp committed
+    assert(MinhashStore.storedBands(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getSeq[Long](3))).toSet == before._1,
+      "reader did not recover the mid-finish crash to the same table")
+    assert(segsOf("bands") == Seq(3L) && !tmp.exists(),
+      s"recovery must finish the rename: ${segsOf("bands")}")
+  }
+
   test("q129 store layout: every band of every segment is one pruned partition file") {
     import graft.operators.MinhashStore
     val docs = Tables.documents(spark, dir)
