@@ -387,6 +387,14 @@ object SparkEntry {
     // fresh-build, and crash recovery are spec-pinned)
     "q136_ivfpq_retrain" -> ((s, d) =>
       Similarity.ivfpqRetrainRoundTrip(s, d)),
+    // CROP-tolerant pHash dedup: the tiled family (whole frame + nine
+    // 75% windows) paired by min-hamming over variants — a border-
+    // trimmed re-upload collides with its original's matching tile
+    // bit-for-bit, the failure mode q133's whole-frame grid cannot
+    // survive (rows-only: DuckDB has no PPM decoder; the planted-crop
+    // collision and q133-signal-preservation specs pin it)
+    "q137_image_crop_dedup" -> ((s, d) =>
+      Dedup.imageNearDupCrop(Tables.documents(s, d))),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented

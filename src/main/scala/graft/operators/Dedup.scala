@@ -240,6 +240,45 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** [[hammingBandPairs]] for MULTI-ROW-PER-DOC hash tables (r19, the
+    * tiled-pHash pairing): with a tile family per doc, the pair's
+    * verdict is the MINIMUM hamming over every variant combination
+    * the bands surface — the single-row kernel's arbitrary
+    * dropDuplicates pick could discard the one tile pair that
+    * matches. Same banding, same hot-bucket DF cap; the dedup key
+    * widens to (pair, h_a, h_b) so distinct variant combos survive to
+    * the min.
+    */
+  private[graft] def hammingBandPairsMulti(hashes: DataFrame,
+      hashCol: String, maxHamming: Int,
+      maxBandDf: Long = Long.MaxValue): DataFrame = {
+    val banded = hashes.select($"doc_id", col(hashCol).as("h"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_val", expr("(h >> (band * 16)) & 65535"))
+    val kept =
+      if (maxBandDf == Long.MaxValue) banded
+      else {
+        val hot = banded.groupBy($"band", $"band_val")
+          .agg(count(lit(1)).as("df"))
+          .filter($"df" > maxBandDf)
+          .select($"band", $"band_val")
+        banded.join(broadcast(hot), Seq("band", "band_val"), "left_anti")
+      }
+    val cands = kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
+      .dropDuplicates("doc_a", "doc_b", "h_a", "h_b")
+    cands
+      .withColumn("hamming", bit_count($"h_a".bitwiseXOR($"h_b")))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(min($"hamming").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** SimHash near-dup pairs: block on 4 × 16-bit bands (two docs
     * within hamming distance 3 must agree on ≥1 band), then verify
     * with exact popcount of the XOR.
@@ -722,6 +761,35 @@ object Dedup {
         Multimodal.asMultimodalWithThumbs(documents))
       .localCheckpoint(true)
     hammingBandPairs(hashes, "phash", maxHamming, maxBandDf)
+  }
+
+  /** CROP-tolerant pHash dedup (q137) — the capability q133's own
+    * scaladoc names as its gap, closed: q133's whole-frame pHash
+    * survives a RESCALE (the 32×32 pooling grid stretches with the
+    * image) but not a CROP, which shifts the grid against the pixels
+    * and can flip every bit. Here each image carries the
+    * [[Multimodal.MediaDecoder.pHashTiles]] family — whole frame plus
+    * nine 75% windows on the eighth grid — and a pair's verdict is
+    * the MINIMUM hamming over the variants the bands surface
+    * ([[hammingBandPairsMulti]]). A border-trimmed or aspect-ratio-
+    * normalized re-upload whose window lands on the grid collides
+    * with one tile of its original BIT-FOR-BIT (pHashWindow's pooling
+    * exactness); near-grid crops degrade to band-catchable
+    * near-collision. Run over [[Multimodal.asMultimodalWithCrops]] —
+    * originals plus the deterministic cropped-upload sidecar feed —
+    * through the same decode-once localCheckpoint, banded pairing,
+    * and hot-bucket DF cap as q125/q133; whole-vs-whole collisions
+    * reproduce q133's signal (variant 0 IS that hash), tile hits add
+    * the crop edges. At 100 TB the tile family is a constant 10×
+    * on 8-byte hash rows — decode still dominates, candidates stay
+    * banded, never all-pairs.
+    */
+  def imageNearDupCrop(documents: DataFrame, maxHamming: Int = 3,
+                       maxBandDf: Long = MaxImageBandDf): DataFrame = {
+    val hashes = Multimodal.imagePHashTiled(
+        Multimodal.asMultimodalWithCrops(documents))
+      .localCheckpoint(true)
+    hammingBandPairsMulti(hashes, "phash", maxHamming, maxBandDf)
   }
 
   /** Exact-substring REMOVAL at arbitrary alignment (q124) — the Lee

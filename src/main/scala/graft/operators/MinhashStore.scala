@@ -83,32 +83,49 @@ object MinhashStore {
     else fs.listStatus(dir).toSeq.map(_.getPath.getName.toLong).sorted
   }
 
-  /** Committed seg dirs under `root` that actually hold data: an
-    * EMPTY batch frame writes no part file (only _SUCCESS — or, for a
-    * duplicate-free batch's edges, nothing at all), and a path list
-    * containing such a segment would fail schema inference for the
-    * whole union. Driver-side listing, O(segments) — the explicit-dir
-    * discipline q121's storedValueSketch established (a glob would
-    * turn the empty case into a stack trace).
+  /** Read the committed segments in `ids` under `root` as one frame —
+    * `project` (applied per part, before the union) selects the
+    * caller's columns so the basePath-partitioned seg read and a
+    * fold-tmp read union cleanly. Returns None when nothing holds
+    * data: an EMPTY batch frame writes no part file (only _SUCCESS —
+    * or, for a duplicate-free batch's edges, nothing at all), and a
+    * path list containing such a segment would fail schema inference
+    * for the whole union. Driver-side listing, O(segments) — the
+    * explicit-dir discipline q121's storedValueSketch established (a
+    * glob would turn the empty case into a stack trace).
+    *
+    * NON-MUTATING (r19, ADVICE): a committed-but-unfinished fold is
+    * read AROUND via [[graft.SegmentProtocol.readView]] — segments
+    * above the fold target from disk, the tmp dir standing in for
+    * `seg=<target>` — instead of finished from the read path, so a
+    * read concurrent with an in-flight or crashed compaction never
+    * deletes the writer's tmp and never races another reader's
+    * recovery. Finishing forward is writer-class: the next
+    * [[compactStore]] does it. The tmp substitutes soundly under any
+    * caller filter because fold targets are committed ids and ingest
+    * ids are monotonic: every standing-table window (`id <
+    * beforeBatch` for a fresh or replayed batch) contains either ALL
+    * of the fold set or none of it.
     */
-  private def dataSegPaths(spark: SparkSession, root: String,
-                           ids: Seq[Long]): Seq[String] = {
+  private def readSub(spark: SparkSession, root: String, ids: Seq[Long])
+                     (project: DataFrame => DataFrame): Option[DataFrame] = {
     val fs = fsOf(spark, root)
-    // a compaction that crashed between its commit point and its
-    // rename leaves folded rows only in _compact_tmp — finish it
-    // before listing (driver-side existence check; no-op when healthy)
-    recoverSub(fs, root)
-    ids.map(i => new Path(s"$root/seg=$i")).filter { p =>
-      fs.exists(p) && {
-        val it = fs.listFiles(p, true)
-        var hasData = false
-        while (!hasData && it.hasNext) {
-          val name = it.next().getPath.getName
-          hasData = !name.startsWith("_") && !name.startsWith(".")
-        }
-        hasData
-      }
-    }.map(_.toString)
+    val (liveIds, fold) = graft.SegmentProtocol.readView(fs, root)
+    val want = ids.toSet
+    val segPaths = liveIds.filter(want)
+      .map(i => new Path(s"$root/seg=$i"))
+      .filter(graft.SegmentProtocol.hasDataFiles(fs, _))
+      .map(_.toString)
+    val base =
+      if (segPaths.isEmpty) None
+      else Some(project(spark.read.option("basePath", root)
+        .parquet(segPaths: _*)))
+    val tmpPart = fold.collect {
+      case (tmp, target) if want(target) &&
+          graft.SegmentProtocol.hasDataFiles(fs, tmp) =>
+        project(spark.read.parquet(tmp.toString))
+    }
+    (base.toSeq ++ tmpPart.toSeq).reduceOption(_ unionByName _)
   }
 
   /** The standing band table visible to batch `beforeBatch`: committed
@@ -121,11 +138,8 @@ object MinhashStore {
   def storedBandsBefore(spark: SparkSession, storeDir: String,
                         beforeBatch: Long): Option[DataFrame] = {
     val ids = committedIds(spark, storeDir).filter(_ < beforeBatch)
-    val paths = dataSegPaths(spark, s"$storeDir/bands", ids)
-    if (paths.isEmpty) None
-    else Some(spark.read.option("basePath", s"$storeDir/bands")
-      .parquet(paths: _*)
-      .select($"doc_id", $"band".cast("int").as("band"), $"band_key", $"sig"))
+    readSub(spark, s"$storeDir/bands", ids)(
+      _.select($"doc_id", $"band".cast("int").as("band"), $"band_key", $"sig"))
   }
 
   /** The full committed standing band table (every committed segment). */
@@ -141,13 +155,11 @@ object MinhashStore {
     require(ids.nonEmpty,
       s"minhash store at $storeDir has no committed segment — " +
         "ingest a batch first")
-    val paths = dataSegPaths(spark, s"$storeDir/edges", ids)
-    if (paths.isEmpty) // committed, duplicate-free corpus: a typed empty log
-      spark.range(0).select($"id".as("doc_a"), $"id".as("doc_b"),
-        $"id".cast("double").as("est_jaccard"))
-    else spark.read.option("basePath", s"$storeDir/edges")
-      .parquet(paths: _*)
-      .select($"doc_a", $"doc_b", $"est_jaccard")
+    readSub(spark, s"$storeDir/edges", ids)(
+      _.select($"doc_a", $"doc_b", $"est_jaccard"))
+      .getOrElse( // committed, duplicate-free corpus: a typed empty log
+        spark.range(0).select($"id".as("doc_a"), $"id".as("doc_b"),
+          $"id".cast("double").as("est_jaccard")))
   }
 
   /** The accumulated online screen decisions (one row per ingested
@@ -158,15 +170,13 @@ object MinhashStore {
     require(ids.nonEmpty,
       s"minhash store at $storeDir has no committed segment — " +
         "ingest a batch first")
-    val paths = dataSegPaths(spark, s"$storeDir/decisions", ids)
-    if (paths.isEmpty) // only empty batches were ever committed
-      spark.range(0).select($"id".as("doc_id"), $"id".as("n_candidates"),
-        $"id".cast("double").as("max_est_jaccard"), $"id".as("matched_doc"),
-        ($"id" > 0).as("keep"))
-    else spark.read.option("basePath", s"$storeDir/decisions")
-      .parquet(paths: _*)
-      .select($"doc_id", $"n_candidates", $"max_est_jaccard",
-        $"matched_doc", $"keep")
+    readSub(spark, s"$storeDir/decisions", ids)(
+      _.select($"doc_id", $"n_candidates", $"max_est_jaccard",
+        $"matched_doc", $"keep"))
+      .getOrElse( // only empty batches were ever committed
+        spark.range(0).select($"id".as("doc_id"), $"id".as("n_candidates"),
+          $"id".cast("double").as("max_est_jaccard"), $"id".as("matched_doc"),
+          ($"id" > 0).as("keep")))
   }
 
   /** Ingest one arriving batch — the per-batch unit of the standing
@@ -289,57 +299,55 @@ object MinhashStore {
     dedupKeepBestStored(docs, dir)
   }
 
-  private val CompactTmp = "_compact_tmp"
-  private val CompactMarker = "_COMPACT_TARGET"
-
-  private def segIdsOnDisk(fs: FileSystem, root: String): Seq[Long] = {
-    val p = new Path(root)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("seg="))
-      .map(_.stripPrefix("seg=").toLong).sorted
-  }
-
-  /** Completes or abandons a fold the marker protocol left behind
-    * (q121's recoverCompaction verbatim, per subdir); no-op on a
-    * healthy table. Run by every reader and every compaction, so a
-    * crash mid-finish can never surface a half-folded table.
+  /** One subdir's fold — [[graft.SegmentProtocol]]'s fold protocol
+    * (r19: the shared kernel replaced this file's verbatim copy) with
+    * the store's own invariants layered on:
+    *
+    *  - the fold set is the on-disk segments INTERSECTED with the
+    *    commit ledger (r19, ADVICE): a crashed uncommitted ingest
+    *    leaves seg dirs without a marker, and folding one would make
+    *    its phantom rows reader-visible inside a committed base (or
+    *    fold committed rows into an uncommitted target id every
+    *    reader skips). Uncommitted dirs BELOW the newest committed id
+    *    are deleted — the monotonic-id guard means a replay of that
+    *    id would be refused, so the dir can never commit and is dead
+    *    garbage; an uncommitted dir ABOVE it is an ingest awaiting
+    *    replay and is left alone (and, being above every committed
+    *    id, can never sit below a fold target).
+    *  - only data-bearing segments are read (r19, ADVICE): a
+    *    duplicate-free corpus commits edge segments holding only
+    *    _SUCCESS, and a path list of those would fail schema
+    *    inference. If the whole fold set is empty dirs there is
+    *    nothing to publish — the folded dirs are simply deleted
+    *    (readers resolve a missing seg dir to no extra path).
     */
-  private def recoverSub(fs: FileSystem, root: String): Unit = {
-    val tmp = new Path(root, CompactTmp)
-    if (!fs.exists(tmp)) return
-    if (fs.exists(new Path(tmp, CompactMarker))) finishSub(fs, root)
-    else fs.delete(tmp, true) // crashed before the commit point
-  }
-
-  private def finishSub(fs: FileSystem, root: String): Unit = {
-    val tmp = new Path(root, CompactTmp)
-    val markerPath = new Path(tmp, CompactMarker)
-    val in = fs.open(markerPath)
-    val target = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-                 finally in.close()
-    segIdsOnDisk(fs, root).filter(_ <= target)
-      .foreach(i => fs.delete(new Path(s"$root/seg=$i"), true))
-    val dst = new Path(s"$root/seg=$target")
-    require(fs.rename(tmp, dst),
-      s"store compaction rename $tmp -> $dst failed — same-filesystem " +
-        "rename is the protocol's atomicity primitive")
-    // marker cleanup LAST (a crash here leaves a "_"-file parquet
-    // readers ignore) — the q121 ordering argument verbatim
-    fs.delete(new Path(dst, CompactMarker), false)
-  }
-
   private def foldSub(spark: SparkSession, root: String,
-                      partitioned: Boolean, keepNewest: Int): Int = {
+                      committed: Seq[Long], partitioned: Boolean,
+                      keepNewest: Int): Int = {
     val fs = fsOf(spark, root)
-    recoverSub(fs, root)
-    val fold = segIdsOnDisk(fs, root).dropRight(keepNewest)
+    graft.SegmentProtocol.recoverFold(fs, root)
+    val onDisk = graft.SegmentProtocol.segIdsOnDisk(fs, root)
+    val committedSet = committed.toSet
+    if (committed.nonEmpty)
+      onDisk.filter(i => !committedSet(i) && i < committed.max)
+        .foreach(i => fs.delete(new Path(s"$root/seg=$i"), true))
+    val fold = onDisk.filter(committedSet).dropRight(keepNewest)
     if (fold.length < 2) return 0
     val target = fold.last
-    val tmp = new Path(root, CompactTmp)
+    require(committedSet(target), s"fold target $target is not committed")
+    val tmp = new Path(root, graft.SegmentProtocol.FoldTmp)
     fs.delete(tmp, true) // an uncommitted earlier attempt is garbage
+    val dataPaths = fold.map(i => new Path(s"$root/seg=$i"))
+      .filter(graft.SegmentProtocol.hasDataFiles(fs, _))
+    if (dataPaths.isEmpty) {
+      // nothing to publish: drop the empty folded dirs directly —
+      // no marker needed, a crash mid-delete leaves empty dirs that
+      // carry no data and fold again next period
+      fold.foreach(i => fs.delete(new Path(s"$root/seg=$i"), true))
+      return fold.length
+    }
     val df = spark.read.option("basePath", root)
-      .parquet(fold.map(i => s"$root/seg=$i"): _*).drop("seg")
+      .parquet(dataPaths.map(_.toString): _*).drop("seg")
     // band rows are immutable facts, so the fold is PURE CONCATENATION
     // (simpler than q121's latest-wins); the bands subdir re-applies
     // the one-file-per-band layout law on the way through
@@ -350,11 +358,7 @@ object MinhashStore {
           .write.partitionBy("band")
       else df.write
     writer.mode("overwrite").parquet(tmp.toString)
-    val out = fs.create(new Path(tmp, CompactMarker), true)
-    try out.write(target.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    finishSub(fs, root)
+    graft.SegmentProtocol.commitFold(fs, root, target)
     fold.length
   }
 
@@ -378,10 +382,13 @@ object MinhashStore {
   def compactStore(spark: SparkSession, storeDir: String,
                    keepNewest: Int = 1): Int = {
     require(keepNewest >= 0, s"keepNewest must be >= 0: $keepNewest")
-    val folded = foldSub(spark, s"$storeDir/bands", partitioned = true,
+    val committed = committedIds(spark, storeDir)
+    val folded = foldSub(spark, s"$storeDir/bands", committed,
+      partitioned = true, keepNewest)
+    foldSub(spark, s"$storeDir/edges", committed, partitioned = false,
       keepNewest)
-    foldSub(spark, s"$storeDir/edges", partitioned = false, keepNewest)
-    foldSub(spark, s"$storeDir/decisions", partitioned = false, keepNewest)
+    foldSub(spark, s"$storeDir/decisions", committed, partitioned = false,
+      keepNewest)
     folded
   }
 
@@ -395,12 +402,14 @@ object MinhashStore {
     graft.Pipeline.stage(s"compact-minhash:$storeDir") { spark =>
       import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
       val fs = fsOf(spark, storeDir)
-      val before = segIdsOnDisk(fs, s"$storeDir/bands").length
+      val before =
+        graft.SegmentProtocol.segIdsOnDisk(fs, s"$storeDir/bands").length
       val folded =
         if (before > maxSegments) compactStore(spark, storeDir, keepNewest)
         else 0
       Seq((before.toLong, folded.toLong,
-          segIdsOnDisk(fs, s"$storeDir/bands").length.toLong))
+          graft.SegmentProtocol.segIdsOnDisk(fs, s"$storeDir/bands")
+            .length.toLong))
         .toDF("segments_before", "segments_folded", "segments_after")
     }
 

@@ -221,18 +221,35 @@ object Multimodal {
       * excluded: 63 bits, bit 63 always 0 — the hamming-band pairing
       * kernel is width-agnostic.
       */
-    def pHash(img: PpmImage): Long = {
+    def pHash(img: PpmImage): Long =
+      pHashWindow(img, 0, 0, img.width, img.height)
+
+    /** [[pHash]] of a pixel WINDOW `[wx, wx+ww) × [wy, wy+wh)` — the
+      * tiled-hash primitive (r19, crop tolerance): the pooling grid is
+      * laid over the window with the same integer arithmetic pHash
+      * lays it over a whole image, so the hash of a window is
+      * BIT-IDENTICAL to the whole-image pHash of the standalone crop
+      * of those pixels (cell gx of both reads byte-for-byte the same
+      * pixels; everything downstream of the grid is shared). That
+      * exactness is what lets a tile family detect a border crop: if
+      * an upload is a crop whose window matches one of the original's
+      * tiles, tile hash vs whole hash collide at hamming 0 —
+      * misaligned-by-a-pixel crops degrade to near-collision, which
+      * the hamming band pairing still catches.
+      */
+    def pHashWindow(img: PpmImage, wx: Int, wy: Int,
+                    ww: Int, wh: Int): Long = {
       val G = 32
       val q = new Array[Long](G * G)
       var totalQ = 0L
       var gy = 0
       while (gy < G) {
-        val y0 = gy * img.height / G
-        val y1 = math.max(y0 + 1, (gy + 1) * img.height / G)
+        val y0 = wy + gy * wh / G
+        val y1 = math.max(y0 + 1, wy + (gy + 1) * wh / G)
         var gx = 0
         while (gx < G) {
-          val x0 = gx * img.width / G
-          val x1 = math.max(x0 + 1, (gx + 1) * img.width / G)
+          val x0 = wx + gx * ww / G
+          val x1 = math.max(x0 + 1, wx + (gx + 1) * ww / G)
           var s = 0L; var c = 0L
           var y = y0
           while (y < y1) {
@@ -316,6 +333,57 @@ object Multimodal {
       var p = 0
       while (p < w2 * h2) {
         val sx = (p % w2) / 2; val sy = (p / w2) / 2
+        val si = (sy * img.width + sx) * 3
+        val di = header.length + p * 3
+        out(di) = img.pixels(si)
+        out(di + 1) = img.pixels(si + 1)
+        out(di + 2) = img.pixels(si + 2)
+        p += 1
+      }
+      out
+    }
+
+    /** The crop-tolerant tile family of an image (r19, VERDICT #6 —
+      * q133's documented gap: a rescale preserves the whole-frame
+      * pHash grid, a CROP shifts it wholesale, so every bit can flip):
+      * the whole-frame pHash (variant 0) plus nine 75%-window pHashes
+      * at the 3×3 offsets of the `w/8` grid (variant 1 + oy·3 + ox).
+      * A border crop of up to 25% that lands on the eighth-grid —
+      * what a thumbnailer or aspect-ratio normalizer produces —
+      * matches one tile BIT-FOR-BIT ([[pHashWindow]]'s exactness);
+      * off-grid crops land within band-pairing distance of the
+      * nearest tile. Ten 8-byte hashes per image: the per-image cost
+      * is 10× of q133's, still decode-dominated, and the pairing
+      * stays banded (never all-pairs). Images narrower than the
+      * eighth grid (w or h < 8) carry only the whole-frame hash.
+      */
+    def pHashTiles(img: PpmImage): Seq[(Int, Long)] = {
+      val whole = (0, pHash(img))
+      val (u, v) = (img.width / 8, img.height / 8)
+      if (u < 1 || v < 1) Seq(whole)
+      else whole +: (for (oy <- 0 until 3; ox <- 0 until 3) yield
+        (1 + oy * 3 + ox,
+          pHashWindow(img, ox * u, oy * v, 6 * u, 6 * v)))
+    }
+
+    /** Re-encode a decoded raster's top-left 75% window (the
+      * [[pHashTiles]] variant-1 tile: offset `(0, 0)`, size
+      * `(6·w/8, 6·h/8)` — a bottom/right border trim, what an aspect
+      * normalizer or letterbox remover produces) as a standalone P6
+      * payload — the cropped upload a crop-tolerant dedup must trace
+      * back to its original. Same real encode seam as
+      * [[encodePpmUpscale2x]]: full bytes, re-decoded downstream.
+      */
+    def encodePpmCropBorder(img: PpmImage): Array[Byte] = {
+      val (u, v) = (img.width / 8, img.height / 8)
+      val (x0, y0, w2, h2) = (0, 0, 6 * u, 6 * v)
+      val header = s"P6\n$w2 $h2\n${img.maxval}\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + w2 * h2 * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var p = 0
+      while (p < w2 * h2) {
+        val sx = x0 + p % w2; val sy = y0 + p / w2
         val si = (sy * img.width + sx) * 3
         val di = header.length + p * 3
         out(di) = img.pixels(si)
@@ -482,6 +550,74 @@ object Multimodal {
           .map(img => (id, MediaDecoder.dHash(img)))
       })
       .toDF("doc_id", "dhash")
+  }
+
+  /** Sidecar-asset id base for cropped renditions (the q137 feed):
+    * crop ids are `doc_id + CropIdBase`, disjoint from both corpus
+    * ids and the thumbnail range.
+    */
+  val CropIdBase = 2000000000L
+
+  /** Every `CropEvery`-th doc (≡ every 5th IMAGE doc) carries a
+    * central-75% crop rendition in [[asMultimodalWithCrops]].
+    */
+  val CropEvery = 25L
+
+  /** The multimodal corpus WITH a cropped-upload sidecar feed: every
+    * 5th image doc also appears as its 75% border-trim crop under
+    * `doc_id + CropIdBase` — the aspect-ratio-normalized or
+    * letterbox-stripped re-upload crop-tolerant dedup (q137) exists
+    * to trace back. Same real seam as the thumbnail feed: decode,
+    * [[MediaDecoder.encodePpmCropBorder]], full P6 bytes re-decoded
+    * downstream.
+    */
+  def asMultimodalWithCrops(documents: DataFrame): DataFrame = {
+    val base = asMultimodal(documents)
+    val spark = base.sparkSession
+    import spark.implicits.{newProductEncoder, newStringEncoder}
+    val crops = base
+      .filter($"modality" === "image" && $"doc_id" % CropEvery === 0)
+      .select($"doc_id", $"payload",
+        $"meta.source", $"meta.n_chars", $"meta.lang")
+      .as[(Long, Array[Byte], String, Long, String)]
+      .mapPartitions(_.flatMap { case (id, payload, src, nc, lang) =>
+        MediaDecoder.decodePpm(payload).map { img =>
+          (id + CropIdBase, "image",
+            MediaDecoder.encodePpmCropBorder(img), src, nc, lang)
+        }
+      })
+      .toDF("doc_id", "modality", "payload", "source", "n_chars", "lang")
+      .select($"doc_id", $"modality", $"payload",
+        struct($"source", $"n_chars", $"lang").as("meta"))
+    base.unionByName(crops)
+  }
+
+  /** Per-image tiled pHash table — [[imagePHashes]] widened to the
+    * [[MediaDecoder.pHashTiles]] family: (doc_id, variant, phash),
+    * ten rows per image off the SAME single decode pass. variant 0 is
+    * exactly [[imagePHashes]]'s whole-frame hash, so a whole-vs-whole
+    * collision in the tiled pairing carries q133's rendition signal
+    * unchanged; variants 1-9 add the crop-window signal.
+    */
+  def imagePHashTiled(multimodal: DataFrame): DataFrame = {
+    val spark = multimodal.sparkSession
+    import spark.implicits.newProductEncoder
+    multimodal
+      .filter($"modality" === "image")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        MediaDecoder.decodePpm(payload).toSeq.flatMap(img =>
+          // blank-window guard: a perfectly uniform window (border,
+          // letterbox, the synthetic shard's dot padding) hashes to
+          // exactly 0 — every flat region corpus-wide would collide
+          // there, which is structure-free noise the same way the
+          // MaxImageBandDf hot buckets are; dropped at the source
+          MediaDecoder.pHashTiles(img).collect {
+            case (variant, h) if h != 0L => (id, variant, h)
+          })
+      })
+      .toDF("doc_id", "variant", "phash")
   }
 
   /** Per-image 63-bit DCT pHash table — [[imageDHashes]] with

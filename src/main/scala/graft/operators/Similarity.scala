@@ -800,7 +800,8 @@ object Similarity {
   private def encodeCellsLit(embeddings: DataFrame,
       cents: IndexedSeq[IndexedSeq[Seq[Long]]],
       coarse: IndexedSeq[(Long, Seq[Long])],
-      byResidual: Boolean = false): DataFrame = {
+      byResidual: Boolean = false,
+      withD2: Boolean = false): DataFrame = {
     val spans = spansOf(cents)
     val coarseLit = typedlit(coarse.map(_._2.toList).toList)
     val cidsLit = typedlit(coarse.map(_._1).toList)
@@ -814,8 +815,22 @@ object Similarity {
         if (byResidual)
           zip_with($"v", element_at(coarseLit, $"pos"), (x, y) => x - y)
         else $"v")
+    // withD2 (r19, the delta-manifest ledger): the squared coarse
+    // residual of the row it encodes — the exact value [[assignD2]]
+    // computes (same integer math, same argmin winner: bestCode's
+    // position tie-break IS ascending-cid because `coarse` is sorted).
+    // Persisted next to the codes so a later DELETE can subtract its
+    // victims' (n, Σd2) without touching the raw vectors; the search
+    // scan never references it, so parquet column pruning keeps it
+    // out of the hot path's I/O.
+    val d2Cols =
+      if (!withD2) Nil
+      else Seq(aggregate(
+        zip_with($"v", element_at(coarseLit, $"pos"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x).as("d2"))
     base.select(
-      $"vec_id" +: $"cid" +:
+      ($"vec_id" +: $"cid" +: d2Cols) ++
       cents.indices.map { m =>
         val (start, len) = spans(m)
         bestCode(slice($"ev", start + 1, len),
@@ -1115,9 +1130,23 @@ object Similarity {
     Seq((nCells, nSub, kCodes, byResidual))
       .toDF("n_cells", "n_sub", "k_codes", "by_residual")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    encodeCellsLit(embeddings, cents, coarse, byResidual)
+    encodeCellsLit(embeddings, cents, coarse, byResidual, withD2 = true)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+    // seed the manifest ledger (r19, VERDICT #4) from the codes just
+    // written — a columnar (cid, d2) read-back, cheaper than a second
+    // encode pass of the corpus, and self-consistent by construction.
+    // A build is a full reset: stale ledger segments from a previous
+    // build of the same dir would double-count. An EMPTY corpus wrote
+    // no part file (only _SUCCESS) — nothing to seed, and reading it
+    // would fail schema inference
+    val idxFs = graft.SegmentProtocol.fsOf(spark, dir)
+    idxFs.delete(new org.apache.hadoop.fs.Path(deltaRoot(dir)), true)
+    if (graft.SegmentProtocol.hasDataFiles(idxFs,
+        new org.apache.hadoop.fs.Path(s"$dir/codes")))
+      writeDeltaSeg(spark, dir, spark.read.parquet(s"$dir/codes")
+        .groupBy(col("cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("d_n"), sum($"d2").as("d_sum_d2")))
   }
 
   /** The stored code table restricted to a probe set — THE scan whose
@@ -1131,7 +1160,15 @@ object Similarity {
     */
   def storedCodes(spark: org.apache.spark.sql.SparkSession,
                   indexDir: String, probedCells: Seq[Long]): DataFrame = {
-    val raw = spark.read.parquet(s"$indexDir/codes")
+    // NON-MUTATING read-around of a crashed compaction swap (r19,
+    // VERDICT #1): between the two renames the live layout is the
+    // marker-committed side dir — reading it serves exactly what the
+    // finished swap would, and the tombstone anti-join above this scan
+    // stays harmless (the tmp has them folded out already)
+    val (codes, _, tmp) = codesPaths(indexDir)
+    val live = graft.SegmentProtocol.swapReadPath(
+      graft.SegmentProtocol.fsOf(spark, indexDir), codes, tmp)
+    val raw = spark.read.parquet(live.toString)
     val lits: Seq[Any] = raw.schema("cid").dataType match {
       case org.apache.spark.sql.types.IntegerType => probedCells.map(_.toInt)
       case _ => probedCells
@@ -1345,6 +1382,10 @@ object Similarity {
   def ivfpqAppendIndex(batch: DataFrame, indexDir: String): Unit = {
     val spark = batch.sparkSession
     graft.functions.Registry.ensure(spark)
+    // recover-before-mutate (r19): appending into a mid-swap index
+    // with no codes/ dir would create a fresh one-batch layout that
+    // swap recovery would then promote or park over the real corpus
+    ivfpqRecoverCompact(spark, indexDir)
     val coarse = readCoarse(spark, indexDir)
     val cents = readCodebooks(spark, indexDir)
     require(coarse.nonEmpty && cents.head.nonEmpty,
@@ -1352,9 +1393,16 @@ object Similarity {
         "train/write it before appending")
     val byResidual = spark.read.parquet(s"$indexDir/meta").head()
       .getAs[Boolean]("by_residual")
-    encodeCellsLit(batch, cents, coarse, byResidual)
+    val encoded = encodeCellsLit(batch, cents, coarse, byResidual,
+      withD2 = true)
+    encoded
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(s"$indexDir/codes")
+    // the batch's positive manifest delta (r19, VERDICT #4) — per-cell
+    // (n, Σd2) of exactly the rows just appended; the re-evaluated
+    // encode is a batch-sized map, not a corpus pass
+    writeDeltaSeg(spark, indexDir, encoded.groupBy($"cid")
+      .agg(count(lit(1)).as("d_n"), sum($"d2").as("d_sum_d2")))
   }
 
   /** Compact an appended IVFPQ index back to one file per cell — the
@@ -1397,9 +1445,43 @@ object Similarity {
     * scheduled for append small-files — is the same single rewrite
     * with the filter fused into it.
     */
-  def ivfpqDeleteIds(ids: DataFrame, indexDir: String): Unit =
-    ids.select(col("vec_id").cast("long").as("vec_id"))
-      .write.mode("append").parquet(s"$indexDir/tombstones")
+  def ivfpqDeleteIds(ids: DataFrame, indexDir: String): Unit = {
+    val spark = ids.sparkSession
+    // recover-before-mutate (r19): every index mutation settles a
+    // pending crashed swap first, so the single-writer sequence never
+    // interleaves new writes with a half-done cutover (the new
+    // tombstone itself would stay correct either way — recovery never
+    // touches the tombstone table)
+    ivfpqRecoverCompact(spark, indexDir)
+    // NET-NEW victims only, materialized BEFORE the tombstone write
+    // (the anti-join reads the table the write appends to): repeat and
+    // absent ids must contribute zero to both the tombstone table and
+    // the manifest delta, or a replayed delete would double-subtract
+    val distinctIds = ids.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct()
+    val newIds = (readTombstones(spark, indexDir) match {
+      case None => distinctIds
+      case Some(ts) => distinctIds.join(ts, Seq("vec_id"), "left_anti")
+    }).localCheckpoint(true)
+    if (newIds.isEmpty) return
+    newIds.write.mode("append").parquet(s"$indexDir/tombstones")
+    // the victims' negative manifest delta (r19, VERDICT #4), from
+    // their own stored (cid, d2) rows — a columnar probe of the code
+    // table, no raw-vector access. Tombstone-first write order: a
+    // crash between the two leaves the ledger over-counting (deleted
+    // rows still counted — conservative for drift) and the replay a
+    // no-op; the periodic ivfpqAuditManifest reconciles. An index
+    // that predates the ledger (no manifest_delta) skips the delta —
+    // its monitor reads fall back to the full scan anyway.
+    if (!graft.SegmentProtocol.fsOf(spark, indexDir)
+        .exists(new org.apache.hadoop.fs.Path(deltaRoot(indexDir)))) return
+    writeDeltaSeg(spark, indexDir,
+      spark.read.parquet(s"$indexDir/codes")
+        .select(col("cid").cast("long").as("cid"), $"vec_id", $"d2")
+        .join(newIds, Seq("vec_id"))
+        .groupBy($"cid")
+        .agg((-count(lit(1))).as("d_n"), (-sum($"d2")).as("d_sum_d2")))
+  }
 
   /** The distinct tombstoned vec_ids, None when nothing was ever
     * deleted (the common case — and the zero-overhead search path).
@@ -1412,40 +1494,114 @@ object Similarity {
     else Some(spark.read.parquet(p.toString).select($"vec_id").distinct())
   }
 
-  def ivfpqCompactIndex(spark: org.apache.spark.sql.SparkSession,
-                        indexDir: String): Unit = {
-    val tmp = s"$indexDir/codes_compact_tmp"
-    val all = spark.read.parquet(s"$indexDir/codes")
-    // fold deletions into the rewrite: tombstoned rows simply don't
-    // make it into the compacted layout (the FAISS remove_ids fold)
-    val live = readTombstones(spark, indexDir) match {
-      case None => all
-      case Some(ts) => all.join(ts, Seq("vec_id"), "left_anti")
-    }
-    live
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-    // the swap goes through the Hadoop FileSystem API (r18, ADVICE):
-    // the store this compacts is Spark-written, so it can live on any
-    // Hadoop FS — a raw java.nio move only worked for driver-local
-    // paths. rename() is the same same-filesystem atomicity primitive
-    // the q121 segment protocol relies on.
+  private def codesPaths(indexDir: String) = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val codes = new Path(root, "codes")
-    val old = new Path(root, "codes_old")
-    require(fs.rename(codes, old),
-      s"compaction rename $codes -> $old failed")
-    require(fs.rename(new Path(root, "codes_compact_tmp"), codes),
-      s"compaction rename of the compacted layout into $codes failed " +
-        "— recover by renaming codes_old back")
-    fs.delete(old, true)
-    // tombstones are folded into the new layout — clear them LAST: a
-    // crash right here leaves tombstones that anti-join nothing
-    // (their rows are already gone), so both the search and the next
-    // compaction remain correct and idempotent
-    fs.delete(new Path(root, "tombstones"), true)
+    (new Path(root, "codes"), new Path(root, "codes_old"),
+      new Path(root, "codes_compact_tmp"))
+  }
+
+  /** WRITER-CLASS recovery for a crashed codes compaction (r19,
+    * VERDICT #1 — the swap finally gets the marker treatment its two
+    * sibling protocols got in r18): finish a marker-committed swap
+    * forward, abandon a pre-marker tmp, drop a leftover parked copy.
+    * [[graft.SegmentProtocol.recoverSwap]] is the whole
+    * implementation. Runs at the start of EVERY index mutation
+    * ([[ivfpqCompactIndex]], [[ivfpqAppendIndex]], [[ivfpqDeleteIds]])
+    * — an append against a mid-swap index with no `codes/` dir would
+    * otherwise CREATE a fresh one-batch codes dir that recovery would
+    * then park over the real corpus. Reads don't need it:
+    * [[storedCodes]] reads around the crash window via
+    * [[graft.SegmentProtocol.swapReadPath]] without mutating.
+    *
+    * Tombstones survive recovery untouched in every window: the
+    * compacted tmp has the snapshot folded OUT, so its files anti-join
+    * nothing once the swap lands (harmless), and files appended after
+    * the snapshot still anti-join their rows — the next successful
+    * compaction clears both.
+    */
+  def ivfpqRecoverCompact(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String): Unit = {
+    val (codes, old, tmp) = codesPaths(indexDir)
+    graft.SegmentProtocol.recoverSwap(
+      graft.SegmentProtocol.fsOf(spark, indexDir), codes, old, tmp)
+  }
+
+  def ivfpqCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): Unit = {
+    val (codes, old, tmp) = codesPaths(indexDir)
+    val fs = graft.SegmentProtocol.fsOf(spark, indexDir)
+    graft.SegmentProtocol.recoverSwap(fs, codes, old, tmp)
+    fs.delete(tmp, true) // an uncommitted earlier attempt is garbage
+    // snapshot the tombstone FILES before folding: exactly these are
+    // deleted after the swap, so a deletion landing mid-compaction
+    // (forbidden by single-writer, but cheap to be exact about) is
+    // never silently dropped — its file outlives the fold and its
+    // rows still anti-join
+    val tsFiles = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+      if (!fs.exists(p)) Seq.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+    val all = spark.read.parquet(codes.toString)
+    // fold deletions into the rewrite: tombstoned rows simply don't
+    // make it into the compacted layout (the FAISS remove_ids fold)
+    val live =
+      if (tsFiles.isEmpty) all
+      else all.join(spark.read.parquet(tsFiles.map(_.toString): _*)
+        .select($"vec_id").distinct(), Seq("vec_id"), "left_anti")
+    live
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+    // the marker inside the fully-written tmp is the commit point;
+    // park-promote-drop is the kernel's swap (same-filesystem rename
+    // as the atomicity primitive, Hadoop FS API throughout — r18
+    // ADVICE). A crash ANYWHERE now re-runs to the same index:
+    // recoverSwap finishes forward past the marker, abandons before it
+    graft.SegmentProtocol.commitSwap(fs, codes, old, tmp)
+    // folded tombstone files are cleared LAST: a crash right here
+    // leaves files that anti-join nothing (their rows are already
+    // gone), so search and the next compaction stay correct
+    tsFiles.foreach(fs.delete(_, false))
+    val tsDir = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    if (fs.exists(tsDir) && fs.listStatus(tsDir).forall(s =>
+        s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith(".")))
+      fs.delete(tsDir, true)
+    // bound the manifest ledger's segment fan-in while we're here —
+    // the codes rewrite changed no live stats (tombstones were already
+    // subtracted at delete time), so this is a pure additive fold of
+    // the delta segments under the shared kernel
+    compactDeltaLedger(spark, indexDir)
+  }
+
+  /** Fold every manifest-ledger delta segment into one base: per-cell
+    * sums are additive, so the fold is one groupBy over the segments'
+    * union, marker-committed like every fold here. No-op below two
+    * data segments.
+    */
+  private def compactDeltaLedger(spark: org.apache.spark.sql.SparkSession,
+                                 indexDir: String): Unit = {
+    val root = deltaRoot(indexDir)
+    val fs = graft.SegmentProtocol.fsOf(spark, root)
+    graft.SegmentProtocol.recoverFold(fs, root)
+    val ids = graft.SegmentProtocol.segIdsOnDisk(fs, root)
+    if (ids.length < 2) return
+    val dataPaths = ids.map(i => new org.apache.hadoop.fs.Path(s"$root/seg=$i"))
+      .filter(graft.SegmentProtocol.hasDataFiles(fs, _)).map(_.toString)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      graft.SegmentProtocol.FoldTmp)
+    fs.delete(tmp, true)
+    if (dataPaths.isEmpty) {
+      ids.foreach(i =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/seg=$i"), true))
+      return
+    }
+    spark.read.parquet(dataPaths: _*)
+      .groupBy($"cid")
+      .agg(sum($"d_n").as("d_n"), sum($"d_sum_d2").as("d_sum_d2"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    graft.SegmentProtocol.commitFold(fs, root, ids.last)
   }
 
   private val ivfpqAppendDirs =
@@ -1541,6 +1697,120 @@ object Similarity {
       .orderBy($"cid")
   }
 
+  // ------------------------------------------------------------------
+  // The standing manifest ledger (r19, VERDICT #4): q136's health
+  // signal maintained INCREMENTALLY — per-cell (n, Σd2) delta segments
+  // written by every index mutation from the batch's own rows, so the
+  // coordinator-period drift read costs O(nCells × mutations-since-
+  // fold) instead of one broadcast-argmin scan of the corpus. The
+  // per-cell additivity of (n, Σd2) makes the ledger EXACT (the
+  // scaladoc of ivfpqIndexManifest named this); segments fold under
+  // the shared SegmentProtocol kernel during index compaction.
+  //
+  //  - build/retrain writes seg=0 from the codes it just wrote (the
+  //    d2 column encodeCellsLit persists — same integer residual as
+  //    assignD2, same argmin winner);
+  //  - append writes one positive delta segment ∝ batch;
+  //  - delete writes one negative delta segment from the victims' own
+  //    stored (cid, d2) rows — net-new victims only, so replays and
+  //    absent ids contribute zero;
+  //  - codes compaction changes no live stats: the ledger is
+  //    untouched, only its segments are folded.
+  //
+  // Crash honesty: a mutation writes codes/tombstones and its delta
+  // segment as two non-atomic writes (mutations are ledger-serialized
+  // like every store write here, so the window is a crashed batch, not
+  // concurrency). The tombstone-first order makes a crashed DELETE
+  // leave the manifest over-counting (deleted rows still counted —
+  // conservative for the drift ratio) and its replay a no-op; the
+  // periodic full-scan audit [[ivfpqAuditManifest]] reconciles, and a
+  // retrain rewrites seg=0 from scratch.
+  // ------------------------------------------------------------------
+
+  private def deltaRoot(indexDir: String) = s"$indexDir/manifest_delta"
+
+  private def writeDeltaSeg(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, deltas: DataFrame): Unit = {
+    val root = deltaRoot(indexDir)
+    val fs = graft.SegmentProtocol.fsOf(spark, root)
+    graft.SegmentProtocol.recoverFold(fs, root) // writer-class
+    val next = graft.SegmentProtocol.segIdsOnDisk(fs, root)
+      .lastOption.getOrElse(-1L) + 1
+    deltas.coalesce(1).write.mode("overwrite").parquet(s"$root/seg=$next")
+  }
+
+  /** The delta-maintained per-cell manifest: (cid, n_vectors, sum_d2)
+    * summed over the ledger's segments (merge-on-read, the q121
+    * pattern; a committed-but-unfinished fold is read around, never
+    * mutated). None when the index predates the ledger — callers fall
+    * back to the full scan. Cells whose net count reached zero are
+    * dropped, matching the full scan's absent-cell shape.
+    */
+  def ivfpqDeltaManifest(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String): Option[DataFrame] = {
+    val root = deltaRoot(indexDir)
+    val fs = graft.SegmentProtocol.fsOf(spark, root)
+    val (ids, fold) = graft.SegmentProtocol.readView(fs, root)
+    val paths = ids.map(i => new org.apache.hadoop.fs.Path(s"$root/seg=$i"))
+      .filter(graft.SegmentProtocol.hasDataFiles(fs, _)).map(_.toString) ++
+      fold.collect {
+        case (tmp, _) if graft.SegmentProtocol.hasDataFiles(fs, tmp) =>
+          tmp.toString
+      }
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths: _*)
+      .groupBy($"cid")
+      .agg(sum($"d_n").as("n_vectors"), sum($"d_sum_d2").as("sum_d2"))
+      .filter($"n_vectors" > 0)
+      .orderBy($"cid"))
+  }
+
+  /** The periodic AUDIT: recompute the live per-cell stats with the
+    * full broadcast-argmin scan ([[ivfpqIndexManifest]]'s math),
+    * rewrite the ledger to a single fresh base segment under the fold
+    * protocol, and return the reconciliation — per-cell ledger vs
+    * actual. This is the corpus-priced pass a deployment schedules at
+    * audit cadence while the per-mutation deltas carry the
+    * coordinator-period reads; it also heals the documented
+    * crashed-mutation skew.
+    */
+  def ivfpqAuditManifest(embeddings: DataFrame, indexDir: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    val actual = ivfpqIndexManifest(embeddings, indexDir)
+      .select($"cid", $"n_vectors".as("n_actual"), $"sum_d2".as("sum_actual"))
+      .localCheckpoint(true)
+    // materialized EAGERLY: the rewrite below replaces the very
+    // segment files this frame reads — a lazy ledger side would
+    // surface FILE_NOT_EXIST at the caller's collect
+    val ledger = (ivfpqDeltaManifest(spark, indexDir) match {
+      case Some(m) => m.select($"cid", $"n_vectors".as("n_ledger"),
+        $"sum_d2".as("sum_ledger"))
+      case None => actual.select($"cid", lit(0L).as("n_ledger"),
+        lit(0L).as("sum_ledger")).filter(lit(false))
+    }).localCheckpoint(true)
+    // rewrite: fold the whole ledger into one base carrying the
+    // audited truth (marker-committed, readers never see half of it)
+    val root = deltaRoot(indexDir)
+    val fs = graft.SegmentProtocol.fsOf(spark, root)
+    graft.SegmentProtocol.recoverFold(fs, root)
+    val onDisk = graft.SegmentProtocol.segIdsOnDisk(fs, root)
+    val target = onDisk.lastOption.getOrElse(0L)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      graft.SegmentProtocol.FoldTmp)
+    fs.delete(tmp, true)
+    actual.select($"cid", $"n_actual".as("d_n"),
+        $"sum_actual".as("d_sum_d2"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    graft.SegmentProtocol.commitFold(fs, root, target)
+    actual.join(ledger, Seq("cid"), "full_outer")
+      .select($"cid",
+        coalesce($"n_ledger", lit(0L)).as("n_ledger"),
+        coalesce($"n_actual", lit(0L)).as("n_actual"),
+        coalesce($"sum_ledger", lit(0L)).as("sum_d2_ledger"),
+        coalesce($"sum_actual", lit(0L)).as("sum_d2_actual"))
+      .orderBy($"cid")
+  }
+
   private val RetrainMarker = "_RETRAIN_READY"
 
   /** Completes or abandons a retrain the marker protocol left behind
@@ -1555,22 +1825,12 @@ object Similarity {
   private def recoverRetrain(spark: org.apache.spark.sql.SparkSession,
                              indexDir: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val idx = new Path(indexDir)
-    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(s"${indexDir}_retrain_tmp")
-    val old = new Path(s"${indexDir}_retrain_old")
-    if (!fs.exists(tmp)) {
-      // crash between the park and... nothing: old exists only while
-      // tmp does (tmp is promoted before old is dropped) — except the
-      // final window after promote, where only the drop remains
-      if (fs.exists(old)) fs.delete(old, true)
-      return
-    }
-    if (!fs.exists(new Path(tmp, RetrainMarker))) { fs.delete(tmp, true); return }
-    if (fs.exists(idx)) require(fs.rename(idx, old),
-      s"retrain recovery: parking $idx failed")
-    require(fs.rename(tmp, idx), s"retrain recovery: promoting $tmp failed")
-    fs.delete(old, true)
+    // the kernel's swap recovery (r19, VERDICT #5: one implementation
+    // for all three store protocols), keyed by the retrain marker
+    graft.SegmentProtocol.recoverSwap(
+      graft.SegmentProtocol.fsOf(spark, indexDir),
+      new Path(indexDir), new Path(s"${indexDir}_retrain_old"),
+      new Path(s"${indexDir}_retrain_tmp"), RetrainMarker)
   }
 
   /** Manifest-driven retrain decision (q136) — the index-lifecycle
@@ -1608,8 +1868,16 @@ object Similarity {
     recoverRetrain(spark, indexDir)
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val agg = ivfpqIndexManifest(embeddings, indexDir)
-      .agg(sum($"n_vectors"), sum($"sum_d2")).head()
+    // the drift signal comes from the standing delta ledger when the
+    // index carries one (r19, VERDICT #4): O(nCells) rows per
+    // coordinator period instead of a broadcast-argmin corpus scan —
+    // exact, because every mutation appended its own (n, Σd2) deltas.
+    // A ledger-less index (or a caller that wants the audit price)
+    // falls back to the full scan.
+    val agg = (ivfpqDeltaManifest(spark, indexDir) match {
+      case Some(ledger) => ledger
+      case None => ivfpqIndexManifest(embeddings, indexDir)
+    }).agg(sum($"n_vectors"), sum($"sum_d2")).head()
     val n = if (agg.isNullAt(0)) 0L else agg.getLong(0)
     val meanD2 = if (n == 0L) 0.0 else agg.getLong(1).toDouble / n
     val healthPath = new Path(s"$indexDir/health")
@@ -1637,22 +1905,24 @@ object Similarity {
         nCells = meta.getAs[Int]("n_cells"), nSub = meta.getAs[Int]("n_sub"),
         kCodes = meta.getAs[Int]("k_codes"), iters = iters,
         byResidual = meta.getAs[Boolean]("by_residual"))
-      // fresh baseline: the live corpus against the NEW quantizer
-      val freshAgg = ivfpqIndexManifest(embeddings, tmp)
+      // fresh baseline: the LIVE corpus against the NEW quantizer —
+      // the new index was built from `live` and carries no tombstone
+      // table (the swap discards the old one), so baselining the raw
+      // `embeddings` frame would count deleted ids as live corpus
+      // forever after the promote (r19, ADVICE). Read from the new
+      // index's own just-seeded ledger: O(nCells) rows, and exactly
+      // the full scan's numbers (encode's argmin IS assignD2's)
+      val freshAgg = ivfpqDeltaManifest(spark, tmp)
+        .getOrElse(ivfpqIndexManifest(live, tmp))
         .agg(sum($"n_vectors"), sum($"sum_d2")).head()
       val freshN = freshAgg.getLong(0)
       Seq((freshAgg.getLong(1).toDouble / freshN, freshN))
         .toDF("mean_d2", "n_vectors")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/health")
-      // the commit point, then the two-rename swap
-      fs.create(new Path(tmp, RetrainMarker), true).close()
-      val idx = new Path(indexDir)
-      val old = new Path(s"${indexDir}_retrain_old")
-      require(fs.rename(idx, old), s"retrain: parking $idx failed")
-      require(fs.rename(new Path(tmp), idx),
-        s"retrain: promoting the new index into $idx failed — " +
-          "recoverRetrain finishes this forward")
-      fs.delete(old, true)
+      // the commit point, then the park-promote-drop swap — the
+      // kernel's (recoverRetrain finishes a crash here forward)
+      graft.SegmentProtocol.commitSwap(fs, new Path(indexDir),
+        new Path(s"${indexDir}_retrain_old"), new Path(tmp), RetrainMarker)
     }
     Seq((n, meanD2, baseline, drifted))
       .toDF("n_live", "mean_d2", "baseline_mean_d2", "retrained")

@@ -723,6 +723,89 @@ class DedupSimilaritySpec extends AnyFunSuite {
         "pairs — the gap narrowed; re-measure before claiming it")
   }
 
+  // ---- q137 imageNearDupCrop: tiled crop-tolerant pHash dedup ----
+
+  test("q137 pHashWindow is bit-exact against the standalone crop; the whole-frame pHash drifts across the same crop") {
+    import graft.operators.Multimodal.MediaDecoder
+    val rng = new scala.util.Random(31)
+    for (dim <- Seq(16, 64)) {
+      val base = Array.fill(dim * dim * 3)(rng.nextInt(256))
+      val img = MediaDecoder.decodePpm(ppmWH(dim, dim)(base(_))).get
+      val u = dim / 8
+      // the central 75% window, re-encoded as a standalone image
+      val cw = 6 * u
+      val crop = MediaDecoder.decodePpm(ppmWH(cw, cw) { i =>
+        val p = i / 3; val ch = i % 3
+        base((((u + p / cw) * dim) + (u + p % cw)) * 3 + ch)
+      }).get
+      assert(MediaDecoder.pHashWindow(img, u, u, cw, cw) ==
+        MediaDecoder.pHash(crop),
+        s"window hash must equal the standalone crop's pHash at $dim×$dim " +
+          "— the pooling grid reads byte-for-byte the same pixels")
+      // and the capability gap is real: the whole-frame hash shifts
+      // its grid against the pixels and leaves the near-dup radius
+      val drift = java.lang.Long.bitCount(
+        MediaDecoder.pHash(img) ^ MediaDecoder.pHash(crop))
+      info(s"whole-frame pHash drift across a 75% crop at $dim×$dim: $drift")
+      assert(drift > 3,
+        s"whole-frame pHash survived the crop (hamming $drift) — the " +
+          "q137 capability-gap claim needs re-measuring")
+    }
+  }
+
+  test("q137 planted pipeline: the border-trim crop joins its original's clique at hamming 0") {
+    import spark.implicits._
+    import graft.operators.Multimodal.CropIdBase
+    val textA = "the quick brown fox jumps over the lazy dog and keeps going for a while"
+    val textB = "zzzzz qqqqq wwwww mmmmm xxxxx zzzzz qqqqq wwwww mmmmm xxxxx zzzzz qqqqq"
+    val docs = Seq(
+      (0L, textA, "en", "s", textA.length.toLong),
+      (5L, textA, "en", "s", textA.length.toLong),
+      (10L, textB, "en", "s", textB.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // doc 0 (≡0 mod 25) carries its 75% border-trim crop under
+    // CropIdBase; the crop's WHOLE hash equals tile 1 of any image
+    // with doc 0's content, so the hamming-0 clique is {0, 5, crop(0)}
+    // — doc 10's different text stays out, and the dot-padding tiles
+    // that are identical across ALL three docs must NOT pair them
+    // (the blank-window guard: uniform windows hash to 0, dropped)
+    val out = Dedup.imageNearDupCrop(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((0L, 5L, 0), (0L, CropIdBase, 0),
+        (5L, CropIdBase, 0)),
+      s"planted crop clique mismatch: $out")
+  }
+
+  test("q137 corpus-level: every planted crop pair found at hamming 0; whole-frame pHash drops the majority on the same feed") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.CropIdBase
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val feed = Multimodal.asMultimodalWithCrops(docs)
+    val expected = feed.filter(col("doc_id") >= CropIdBase)
+      .select(col("doc_id")).collect()
+      .map(r => (r.getLong(0) - CropIdBase, r.getLong(0))).toSet
+    assert(expected.nonEmpty, "the sf corpus planted no crops — widen CropEvery")
+    val got = Dedup.imageNearDupCrop(docs)
+      .filter(col("hamming") === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(got),
+      s"q137 missed crop pairs: ${expected -- got}")
+    // the same feed through q133's whole-frame machinery at the same
+    // radius: the crop shifts the 32×32 grid against the pixels, so
+    // whole-frame pHash misses most crop pairs — the measured gap
+    // this operator exists to close
+    val wholePairs = Dedup.hammingBandPairs(
+        Multimodal.imagePHashes(feed).localCheckpoint(true),
+        "phash", maxHamming = 3, maxBandDf = Dedup.MaxImageBandDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = expected -- wholePairs
+    info(s"whole-frame pHash caught ${(expected intersect wholePairs).size}/" +
+      s"${expected.size} crop pairs; tiled caught all")
+    assert(missed.size * 2 > expected.size,
+      s"whole-frame pHash missed only ${missed.size}/${expected.size} " +
+        "crop pairs — the gap narrowed; re-measure before claiming it")
+  }
+
   // ---- q129 standing MinHash screen ----
 
   test("q129 two-batch merge-on-read decisions equal one-shot q127 exactly") {
@@ -966,8 +1049,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
           !f.getName.startsWith(".")) == 1),
       "the folded base segment broke the one-file-per-band law")
     // crash mid-finish: re-fold to a committed tmp, delete a folded
-    // seg, leave the rename undone — the next READER must finish
-    // forward and return the identical table
+    // seg, leave the rename undone — a READER must return the
+    // identical table by reading AROUND the crash (the committed tmp
+    // stands in for seg=<target>) WITHOUT mutating anything (r19,
+    // ADVICE: reader-side recovery could race an in-flight writer);
+    // the next WRITER finishes the fold forward
     val bandsRoot = s"$store/bands"
     val tmp = new java.io.File(bandsRoot, "_compact_tmp")
     val folded = spark.read.option("basePath", bandsRoot)
@@ -981,9 +1067,112 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(MinhashStore.storedBands(spark, store).get.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getSeq[Long](3))).toSet == before._1,
-      "reader did not recover the mid-finish crash to the same table")
+      "read-around of the mid-finish crash diverged from the table")
+    assert(tmp.exists(),
+      "a READ mutated the crashed fold — finishing forward is writer-class")
+    assert(MinhashStore.compactStore(spark, store) == 0,
+      "recovery-only compaction run must fold nothing new")
     assert(segsOf("bands") == Seq(3L) && !tmp.exists(),
-      s"recovery must finish the rename: ${segsOf("bands")}")
+      s"the writer must finish the rename: ${segsOf("bands")}")
+    assert(MinhashStore.storedBands(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getSeq[Long](3))).toSet == before._1,
+      "the finished fold changed the stored bands")
+  }
+
+  test("q129 compaction honors the commit ledger: uncommitted segments are never folded, dead ones are swept, pending ones survive") {
+    import graft.operators.MinhashStore
+    val docs = Tables.documents(spark, dir)
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id")).collect()
+      .map(_.getLong(0))
+    val store = mkTmp("graft_mh_ledger")
+    val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    // committed batches 0, 1, 3 — id 2 is deliberately skipped, the
+    // slot a crashed uncommitted ingest would occupy
+    MinhashStore.ingestBatch(docs.filter(col("doc_id") <= c1), store, 0L)
+    MinhashStore.ingestBatch(
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), store, 1L)
+    MinhashStore.ingestBatch(docs.filter(col("doc_id") > c2), store, 3L)
+    def snapshot() = (
+      MinhashStore.storedBands(spark, store).get.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getSeq[Long](3))).toSet,
+      MinhashStore.storedEdges(spark, store).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      MinhashStore.storedDecisions(spark, store).collect()
+        .map(r => (r.getLong(0), r.getBoolean(4))).toSet)
+    val before = snapshot()
+    // plant a DEAD uncommitted segment (id 2 < newest committed 3 —
+    // the monotonic guard refuses its replay, so it can never commit)
+    // with real rows copied from a committed segment: the ADVICE
+    // failure mode was exactly these phantom rows reaching a folded
+    // base and becoming reader-visible
+    for (sub <- Seq("bands", "edges", "decisions")) {
+      val src = s"$store/$sub/seg=0"
+      if (new java.io.File(src).exists() &&
+          new java.io.File(src).listFiles().exists(f =>
+            f.getName.endsWith(".parquet")))
+        spark.read.parquet(src).write.parquet(s"$store/$sub/seg=2")
+      else new java.io.File(s"$store/$sub/seg=2").mkdirs()
+    }
+    // and a PENDING uncommitted segment (id 9 > newest committed — an
+    // in-flight or crashed ingest awaiting replay): must survive
+    spark.read.parquet(s"$store/bands/seg=0")
+      .write.parquet(s"$store/bands/seg=9")
+    assert(snapshot() == before,
+      "uncommitted segments leaked into a committed read")
+    def segsOf(sub: String) =
+      Option(new java.io.File(s"$store/$sub").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+        .map(_.getName.stripPrefix("seg=").toLong).sorted.toSeq
+    // fold: committed ∩ on-disk minus the newest = {0, 1} → base seg=1;
+    // seg=2 is swept as dead garbage, seg=9 is left for its replay
+    assert(MinhashStore.compactStore(spark, store) == 2,
+      "fold set must be the committed segments only")
+    assert(segsOf("bands") == Seq(1L, 3L, 9L),
+      s"expected dead seg swept, pending kept: ${segsOf("bands")}")
+    assert(!new java.io.File(s"$store/edges/seg=2").exists() &&
+      !new java.io.File(s"$store/decisions/seg=2").exists(),
+      "dead uncommitted segments must be swept from every subdir")
+    assert(snapshot() == before,
+      "ledger-aware compaction changed a committed read")
+    // the pending slot replays cleanly after the fold
+    MinhashStore.ingestBatch(docs.filter(col("doc_id") <= c1), store, 9L)
+    assert(MinhashStore.committedIds(spark, store) == Seq(0L, 1L, 3L, 9L))
+  }
+
+  test("q129 duplicate-free corpus: empty edge segments commit, read, and compact without a schema-inference crash") {
+    import spark.implicits._
+    import graft.operators.MinhashStore
+    // 30 docs with pairwise-disjoint vocabularies: no shared shingle,
+    // no candidate pair, EVERY edges segment is an empty write — the
+    // ADVICE crash shape for the fold's parquet read
+    val docs = (0L until 30L).map(i =>
+      (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e")).toDF("doc_id", "text")
+    val store = mkTmp("graft_mh_nodup")
+    MinhashStore.ingestBatch(docs.filter($"doc_id" < 10), store, 0L)
+    MinhashStore.ingestBatch(
+      docs.filter($"doc_id" >= 10 && $"doc_id" < 20), store, 1L)
+    MinhashStore.ingestBatch(docs.filter($"doc_id" >= 20), store, 2L)
+    assert(MinhashStore.storedEdges(spark, store).count() == 0,
+      "disjoint-vocabulary docs must produce no edges")
+    val bandsBefore = MinhashStore.storedBands(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // the fold: bands/decisions concatenate normally; edges' fold set
+    // holds no data file at all — the path the old code fed to
+    // spark.read.parquet and crashed with "Unable to infer schema"
+    assert(MinhashStore.compactStore(spark, store) == 2)
+    assert(MinhashStore.storedEdges(spark, store).count() == 0,
+      "empty edge log must survive compaction as a typed empty frame")
+    assert(MinhashStore.storedBands(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      == bandsBefore, "compaction changed the band table")
+    val dec = MinhashStore.storedDecisions(spark, store).collect()
+    assert(dec.length == 30 && dec.forall(_.getBoolean(4)),
+      "every unique doc must be kept")
+    assert(MinhashStore.dedupKeepBestStored(docs, store).count() == 30,
+      "merge-on-read retention must keep all unique docs")
   }
 
   test("q129 store layout: every band of every segment is one pruned partition file") {

@@ -1203,6 +1203,185 @@ class NewOpsSpec extends AnyFunSuite {
       "a tombstoned mod-11 id leaked into the declared results")
   }
 
+  test("q130/q135 codes compaction: both crash windows recover — reads answer around the crash without mutating, the next writer finishes") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val d = mkTmp("graft_cswap")
+    Similarity.ivfpqWriteIndex(emb, d)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val before = sig(Similarity.ivfpqStoredTopK(emb, d))
+
+    // CRASH WINDOW A (pre-marker): a tmp without the marker is an
+    // abandoned compaction write — searches keep reading codes/, the
+    // read never touches the tmp, and the next writer discards it
+    val tmp = new java.io.File(s"$d/codes_compact_tmp")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.write(new java.io.File(tmp, "part-junk").toPath,
+      Array[Byte](1, 2, 3))
+    assert(sig(Similarity.ivfpqStoredTopK(emb, d)) == before,
+      "a pre-marker tmp changed the search answer")
+    assert(tmp.exists(), "a READ deleted the writer's unmarked tmp")
+    Similarity.ivfpqRecoverCompact(spark, d)
+    assert(!tmp.exists(), "writer-class recovery must abandon the unmarked tmp")
+    assert(sig(Similarity.ivfpqStoredTopK(emb, d)) == before)
+
+    // CRASH WINDOW B (post-marker, mid-swap): the compacted layout is
+    // complete and marker-committed, codes/ is parked as codes_old —
+    // the exact state a crash between the two renames leaves. The
+    // r18 verdict's one product gap: this used to strand the index
+    // with NO codes dir and a manual-recovery error message.
+    spark.read.parquet(s"$d/codes").repartition(col("cid"))
+      .write.partitionBy("cid").parquet(tmp.toString)
+    new java.io.File(tmp, "_SWAP_READY").createNewFile()
+    assert(new java.io.File(s"$d/codes")
+      .renameTo(new java.io.File(s"$d/codes_old")), "test setup rename failed")
+    // a search DURING the window answers byte-identically by reading
+    // the committed tmp, and mutates nothing
+    assert(sig(Similarity.ivfpqStoredTopK(emb, d)) == before,
+      "mid-swap search did not answer from the committed layout")
+    assert(tmp.exists() && new java.io.File(s"$d/codes_old").exists() &&
+      !new java.io.File(s"$d/codes").exists(),
+      "a READ mutated the crashed swap — finishing is writer-class")
+    // the next mutation finishes the swap forward
+    Similarity.ivfpqRecoverCompact(spark, d)
+    assert(new java.io.File(s"$d/codes").exists() && !tmp.exists() &&
+      !new java.io.File(s"$d/codes_old").exists() &&
+      !new java.io.File(s"$d/codes/_SWAP_READY").exists(),
+      "recovery did not finish the swap forward")
+    assert(sig(Similarity.ivfpqStoredTopK(emb, d)) == before,
+      "the finished swap changed the search answer")
+
+    // and a real compaction through the new protocol is still
+    // byte-identical end-to-end (the q135 fold assertions keep
+    // covering the tombstone path)
+    Similarity.ivfpqCompactIndex(spark, d)
+    assert(sig(Similarity.ivfpqStoredTopK(emb, d)) == before)
+  }
+
+  test("q136 delta manifest: ledger ≡ full-scan manifest through build+appends+deletes; audit heals planted skew") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val d = mkTmp("graft_ledger")
+    Similarity.ivfpqWriteIndex(emb, d)
+    // two appends (one off-manifold, one in-distribution) and a
+    // delete batch with repeats and an absent id — the net-new logic
+    // must keep the ledger exact through all of it
+    val blob = emb.filter($"vec_id" % 17 === 0)
+      .select(($"vec_id" + 10000000L).as("vec_id"),
+        expr("transform(embedding, x -> x + CAST(10.0 AS FLOAT))")
+          .as("embedding"))
+    val clones = emb.filter($"vec_id" % 13 === 5)
+      .select(($"vec_id" + 20000000L).as("vec_id"), $"embedding")
+    Similarity.ivfpqAppendIndex(blob, d)
+    Similarity.ivfpqAppendIndex(clones, d)
+    val corpus = emb.select($"vec_id", $"embedding")
+      .unionByName(blob).unionByName(clones)
+    val victims = emb.filter($"vec_id" % 7 === 1).select($"vec_id")
+    Similarity.ivfpqDeleteIds(victims, d)
+    Similarity.ivfpqDeleteIds(victims, d) // replay: must subtract zero
+    Similarity.ivfpqDeleteIds(Seq(777777777L).toDF("vec_id"), d) // absent
+    def ledger() = Similarity.ivfpqDeltaManifest(spark, d).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def actual() = Similarity.ivfpqIndexManifest(corpus, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ledger() == actual(),
+      "delta-maintained manifest diverged from the full scan after " +
+        "build + 2 appends + deletes")
+    // the drift decision reads the ledger — its numbers must be the
+    // full scan's exactly (n over live rows, mean over their Σd2)
+    val full = actual()
+    val (fn, fsum) = (full.toSeq.map(_._2).sum, full.toSeq.map(_._3).sum)
+    val decision = Similarity.ivfpqRetrainIfDrifted(corpus, d).head()
+    assert(decision.getAs[Long]("n_live") == fn &&
+      decision.getAs[Double]("mean_d2") == fsum.toDouble / fn,
+      "ledger-driven decision diverged from the full-scan numbers")
+    // compaction folds the delta segments (1 base) and the code rows;
+    // the ledger stays exact. The full-scan comparand changes with it:
+    // the physical fold clears the tombstone table, so the audit scan
+    // must now be handed the LIVE lake (a purge removes rows from the
+    // corpus too) — the ledger needs no such care, which is the point
+    Similarity.ivfpqCompactIndex(spark, d)
+    val corpusLive = corpus.join(victims, Seq("vec_id"), "left_anti")
+    def actualLive(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfpqIndexManifest(c, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val segs = Option(new java.io.File(s"$d/manifest_delta").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("seg="))
+    assert(segs == 1, s"ledger fold must leave one base segment: $segs")
+    assert(ledger() == actualLive(corpusLive),
+      "ledger diverged after compaction fold")
+    // planted skew (the documented crashed-mutation window): drop the
+    // ledger's base segment's data, append a batch, audit reconciles
+    val extra = emb.filter($"vec_id" % 19 === 2)
+      .select(($"vec_id" + 30000000L).as("vec_id"), $"embedding")
+    Similarity.ivfpqAppendIndex(extra, d)
+    val corpus2 = corpusLive.unionByName(extra)
+    def rmRfL(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val pp = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(pp))
+        java.nio.file.Files.walk(pp).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val baseSeg = new java.io.File(s"$d/manifest_delta").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .map(_.getName.stripPrefix("seg=").toLong).min
+    rmRfL(s"$d/manifest_delta/seg=$baseSeg")
+    val skewed = Similarity.ivfpqDeltaManifest(spark, d).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val truth = Similarity.ivfpqIndexManifest(corpus2, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(skewed != truth, "the planted skew has no teeth")
+    val audit = Similarity.ivfpqAuditManifest(corpus2, d)
+    assert(audit.collect().exists(r =>
+      r.getAs[Long]("n_ledger") != r.getAs[Long]("n_actual")),
+      "the audit must report the discrepancy it found")
+    assert(Similarity.ivfpqDeltaManifest(spark, d).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == truth,
+      "the audit must rewrite the ledger to the full-scan truth")
+  }
+
+  test("q136 retrain baseline excludes tombstoned ids: post-retrain health counts the live corpus only") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val root = mkTmp("graft_rt_live")
+    val d = s"$root/index"
+    Similarity.ivfpqWriteIndex(emb, d)
+    // tombstone a slice BEFORE the baseline run, then drive drift with
+    // the q136 off-manifold blob so a retrain fires with tombstones
+    // outstanding — the refreshed baseline must be computed from the
+    // LIVE corpus (the new index carries no tombstone table, so a
+    // baseline over the raw frame would count deleted ids forever)
+    val deleted = emb.filter($"vec_id" % 7 === 1).select($"vec_id")
+    val nDeleted = deleted.count()
+    Similarity.ivfpqDeleteIds(deleted, d)
+    val run1 = Similarity.ivfpqRetrainIfDrifted(emb, d).head()
+    assert(!run1.getAs[Boolean]("retrained"), "baseline run must not fire")
+    val blob = emb.filter($"vec_id" % 17 === 0)
+      .select(($"vec_id" + 10000000L).as("vec_id"),
+        expr("transform(embedding, x -> x + CAST(10.0 AS FLOAT))")
+          .as("embedding"))
+    Similarity.ivfpqAppendIndex(blob, d)
+    val corpus2 = emb.select($"vec_id", $"embedding").unionByName(blob)
+    val run2 = Similarity.ivfpqRetrainIfDrifted(corpus2, d).head()
+    assert(run2.getAs[Boolean]("retrained"), "planted drift must fire")
+    val health = spark.read.parquet(s"$d/health").head()
+    val liveN = corpus2.count() - nDeleted
+    assert(health.getAs[Long]("n_vectors") == liveN,
+      s"refreshed baseline counted ${health.getAs[Long]("n_vectors")} " +
+        s"vectors, want the live corpus $liveN — deleted ids leaked in")
+    // the promoted index folded the tombstones: deleted ids are gone
+    // from the code table, not merely masked
+    val storedIds = spark.read.parquet(s"$d/codes")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(!storedIds.exists(i => i < 10000000L && i % 7 == 1),
+      "retrain must fold tombstones out of the rebuilt code table")
+    assert(!new java.io.File(s"$d/tombstones").exists(),
+      "the promoted index must not carry the old tombstone table")
+  }
+
   test("q136 retrain: planted off-manifold drift fires exactly one retrain; post-retrain search ≡ fresh build") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

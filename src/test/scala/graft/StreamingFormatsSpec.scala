@@ -11,6 +11,14 @@ class StreamingFormatsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Engine.builder("local[4]", 4).getOrCreate()
   val dir = "/root/testdata/sf0.001"
 
+  private def rmRfLocal(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   test("mapGroupsWithState user profiles equal the batch aggregate") {
     val events = Tables.events(spark, dir)
     val got = EventStream.userProfiles(events)
@@ -523,28 +531,41 @@ class StreamingFormatsSpec extends AnyFunSuite {
     assert(EventStream.compactSegments(spark, table, keepNewest = 1) == 0)
 
     // CRASH WINDOW A (pre-commit): a tmp dir without the marker is an
-    // abandoned write — the folded segments are intact, so recovery
-    // must discard it and leave the table untouched
+    // abandoned write — the folded segments are intact. A READER must
+    // ignore it WITHOUT touching it (r19: the tmp might be an
+    // in-flight writer's, not a crash's — reader-side deletion raced
+    // exactly that); the next WRITER discards it.
     val tmp = new java.io.File(table, "_compact_tmp")
     assert(tmp.mkdir())
     Files.write(new java.io.File(tmp, "part-junk").toPath,
       Array[Byte](1, 2, 3))
     assert(keyed(EventStream.storedValueSketch(spark, table)) == before)
-    assert(!tmp.exists(), "uncommitted compaction tmp not cleaned up")
+    assert(tmp.exists(),
+      "a READ deleted the unmarked tmp — reads must never mutate")
+    assert(EventStream.compactSegments(spark, table, keepNewest = 1) == 0)
+    assert(!tmp.exists(), "the writer did not discard the abandoned tmp")
 
     // CRASH WINDOW B (post-commit, pre-rename): merged data + marker
-    // durable, folded segments possibly half-deleted — recovery must
-    // FINISH: fold everything ≤ target into seg=<target>. Build the
-    // exact on-disk state a crash there leaves.
+    // durable, folded segments possibly half-deleted. A READER must
+    // see the identical table by reading AROUND the crash (tmp stands
+    // in for seg=<target>) without mutating; the next WRITER finishes
+    // the fold forward. Build the exact on-disk state a crash there
+    // leaves.
     EventStream.storedValueSketch(spark, table)
       .write.parquet(tmp.toString)
     Files.write(new java.io.File(tmp, "_COMPACT_TARGET").toPath,
       ids(2).toString.getBytes("UTF-8"))
+    rmRfLocal(s"$table/seg=${ids(2)}") // the crash: target gone, tmp committed
     assert(keyed(EventStream.storedValueSketch(spark, table)) == before,
-      "post-commit recovery changed the read")
+      "read-around of a committed-but-unfinished fold changed the read")
+    assert(tmp.exists(),
+      "a READ finished the fold — finishing forward is writer-class")
+    assert(EventStream.compactSegments(spark, table, keepNewest = 1) == 0)
     assert(segNames == Seq(s"seg=${ids(2)}"),
-      s"recovery did not publish the base segment: $segNames")
+      s"the writer did not publish the base segment: $segNames")
     assert(!tmp.exists())
+    assert(keyed(EventStream.storedValueSketch(spark, table)) == before,
+      "the finished fold changed the read")
     // and the Druid question still answers identically off the
     // fully-compacted single-segment table
     assert(TimeSeries.quantileRollupFrom(
