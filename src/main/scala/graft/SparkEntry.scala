@@ -395,6 +395,15 @@ object SparkEntry {
     // collision and q133-signal-preservation specs pin it)
     "q137_image_crop_dedup" -> ((s, d) =>
       Dedup.imageNearDupCrop(Tables.documents(s, d))),
+    // STREAMING ingest into the persisted IVFPQ store: the held-out
+    // third lands as marker-committed codes_seg segments (exactly-once
+    // under checkpoint replay — q129's discipline for the ANN store),
+    // searched through the base+segments union without compaction
+    // (rows-only: temp-dir store + iterative trainers; byte-equality
+    // with q134's batch-append store, replay idempotence, and the
+    // fold/sweep crash windows are spec-pinned)
+    "q138_ivfpq_stream" -> ((s, d) =>
+      Similarity.ivfpqStreamRoundTrip(s, d)),
   )
 
   /** q67: per-language keep fractions (the "cap the over-represented

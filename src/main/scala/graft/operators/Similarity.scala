@@ -1142,6 +1142,10 @@ object Similarity {
     // would fail schema inference
     val idxFs = graft.SegmentProtocol.fsOf(spark, dir)
     idxFs.delete(new org.apache.hadoop.fs.Path(deltaRoot(dir)), true)
+    // same full-reset rule for streaming segments AND their commit
+    // markers (q138): a rebuild of the same dir starts a fresh ingest
+    // history — stale markers would falsely no-op a new stream's ids
+    idxFs.delete(new org.apache.hadoop.fs.Path(segRoot(dir)), true)
     if (graft.SegmentProtocol.hasDataFiles(idxFs,
         new org.apache.hadoop.fs.Path(s"$dir/codes")))
       writeDeltaSeg(spark, dir, spark.read.parquet(s"$dir/codes")
@@ -1165,16 +1169,53 @@ object Similarity {
     // marker-committed side dir — reading it serves exactly what the
     // finished swap would, and the tombstone anti-join above this scan
     // stays harmless (the tmp has them folded out already)
+    val fs = graft.SegmentProtocol.fsOf(spark, indexDir)
     val (codes, _, tmp) = codesPaths(indexDir)
-    val live = graft.SegmentProtocol.swapReadPath(
-      graft.SegmentProtocol.fsOf(spark, indexDir), codes, tmp)
-    val raw = spark.read.parquet(live.toString)
+    val live = graft.SegmentProtocol.swapReadPath(fs, codes, tmp)
+    val base = cidPruned(spark.read.parquet(live.toString), probedCells)
+    // committed streaming segments (q138) union in UNDER the same
+    // per-scan typed isin — the partition filter prunes each scan to
+    // the probed cells, base and segments alike
+    liveSegDirs(fs, indexDir) match {
+      case Seq() => base
+      case segs => base.unionByName(
+        cidPruned(spark.read.option("basePath", segRoot(indexDir))
+          .parquet(segs.map(_.toString): _*), probedCells).drop("seg"))
+    }
+  }
+
+  /** The probed-cell filter in the scan's own INFERRED partition type
+    * (small cids surface as int) so no cast sits between the filter
+    * and the pruning; cid is widened back to long above the scan.
+    */
+  private def cidPruned(raw: DataFrame, probedCells: Seq[Long]): DataFrame = {
     val lits: Seq[Any] = raw.schema("cid").dataType match {
       case org.apache.spark.sql.types.IntegerType => probedCells.map(_.toInt)
       case _ => probedCells
     }
     raw.filter(col("cid").isin(lits: _*))
       .withColumn("cid", col("cid").cast("long"))
+  }
+
+  /** Every live code row — base layout (swap-aware) plus committed
+    * streaming segments — with cid widened to long. The unpruned
+    * union: mutation-side probes (delete deltas, compaction folds)
+    * that must see the whole store.
+    */
+  private def allLiveCodes(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String): DataFrame = {
+    val fs = graft.SegmentProtocol.fsOf(spark, indexDir)
+    val (codes, _, tmp) = codesPaths(indexDir)
+    val live = graft.SegmentProtocol.swapReadPath(fs, codes, tmp)
+    val base = spark.read.parquet(live.toString)
+      .withColumn("cid", col("cid").cast("long"))
+    liveSegDirs(fs, indexDir) match {
+      case Seq() => base
+      case segs => base.unionByName(
+        spark.read.option("basePath", segRoot(indexDir))
+          .parquet(segs.map(_.toString): _*)
+          .withColumn("cid", col("cid").cast("long")).drop("seg"))
+    }
   }
 
   /** IVFPQ top-k search FROM a persisted index (q130) — [[ivfpqTopK]]
@@ -1401,8 +1442,213 @@ object Similarity {
     // the batch's positive manifest delta (r19, VERDICT #4) — per-cell
     // (n, Σd2) of exactly the rows just appended; the re-evaluated
     // encode is a batch-sized map, not a corpus pass
-    writeDeltaSeg(spark, indexDir, encoded.groupBy($"cid")
-      .agg(count(lit(1)).as("d_n"), sum($"d2").as("d_sum_d2")))
+    if (graft.SegmentProtocol.fsOf(spark, indexDir)
+        .exists(new org.apache.hadoop.fs.Path(deltaRoot(indexDir))))
+      writeDeltaSeg(spark, indexDir, encoded.groupBy($"cid")
+        .agg(count(lit(1)).as("d_n"), sum($"d2").as("d_sum_d2")))
+  }
+
+  // ------------------------------------------------------------------
+  // STREAMING ingest segments (q138) — [[ivfpqAppendIndex]] gets the
+  // exactly-once discipline q129's MinhashStore established: an
+  // arriving batch lands as a marker-committed `codes_seg/seg=<id>`
+  // segment (mode=overwrite, so a replay of the window between a sink
+  // write and the streaming checkpoint's offset commit rewrites the
+  // same bytes instead of appending duplicates — the one thing the
+  // bare append-mode write of q134 cannot give a streaming sink), and
+  // the scheduled compaction folds committed segments into the base
+  // `codes/` layout under the swap kernel, restoring the
+  // one-file-per-cell law. The folded-segment handoff is the manifest
+  // pointer the compaction scaladoc promised: the compacted layout
+  // carries a `_FOLDED_SEGS` list ("_"-prefixed, invisible to the
+  // parquet scan), readers exclude listed segments OBSERVATIONALLY
+  // (their rows are in the base now), and the next WRITER sweeps the
+  // dirs — migrating each segment's ledger delta into the main
+  // manifest ledger by one atomic rename — under the single-writer
+  // rule. Crash anywhere: re-running the sweep converges; the only
+  // transient is a ledger UNDERCOUNT of not-yet-migrated folded
+  // segments (drift-neutral — n and Σd2 shrink together) that the
+  // next mutation or audit closes.
+  // ------------------------------------------------------------------
+
+  private def segRoot(indexDir: String) = s"$indexDir/codes_seg"
+
+  private def segMarkerPath(indexDir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"${segRoot(indexDir)}/commits/$batchId")
+
+  private[graft] val FoldedSegsFile = "_FOLDED_SEGS"
+
+  private def committedSegIds(fs: org.apache.hadoop.fs.FileSystem,
+                              indexDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"${segRoot(indexDir)}/commits")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).sorted
+  }
+
+  /** Segment ids a compaction folded into the live base layout, per
+    * the base's own `_FOLDED_SEGS` list (read from the swap-aware
+    * live path — during the mid-swap window the committed tmp carries
+    * the list, and missing it there would double-count).
+    */
+  private def foldedSegIds(fs: org.apache.hadoop.fs.FileSystem,
+                           indexDir: String): Set[Long] = {
+    val (codes, _, tmp) = codesPaths(indexDir)
+    val live = graft.SegmentProtocol.swapReadPath(fs, codes, tmp)
+    val f = new org.apache.hadoop.fs.Path(live, FoldedSegsFile)
+    if (!fs.exists(f)) Set.empty
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in).getLines()
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  /** True when the segment dir holds code data OUTSIDE its hidden
+    * `_delta` — an empty batch's segment (or one that only got as far
+    * as its delta) must not reach a parquet path list.
+    */
+  private def segHasCodes(fs: org.apache.hadoop.fs.FileSystem,
+                          segDir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(segDir) && fs.listStatus(segDir).exists(s =>
+      !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") &&
+        graft.SegmentProtocol.hasDataFiles(fs, s.getPath))
+
+  /** The streaming segments a reader should union with the base
+    * layout: committed (marker present) AND on disk AND not folded
+    * AND carrying code data. Purely observational.
+    */
+  private def liveSegDirs(fs: org.apache.hadoop.fs.FileSystem,
+                          indexDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val committed = committedSegIds(fs, indexDir).toSet
+    if (committed.isEmpty) return Seq.empty
+    val folded = foldedSegIds(fs, indexDir)
+    graft.SegmentProtocol.segIdsOnDisk(fs, segRoot(indexDir))
+      .filter(i => committed(i) && !folded(i))
+      .map(i => new org.apache.hadoop.fs.Path(s"${segRoot(indexDir)}/seg=$i"))
+      .filter(segHasCodes(fs, _))
+  }
+
+  /** Ingest one arriving vector batch as a marker-committed streaming
+    * segment (q138) — [[graft.operators.MinhashStore.ingestBatch]]'s
+    * contract for the ANN store: single-writer, `batchId` fresh and
+    * above every committed id or a committed replay (no-op); cost ∝
+    * batch (one [[encodeCellsLit]] projection against the stored
+    * quantizers, one overwrite write, one batch-sized delta
+    * aggregation). The segment's manifest-ledger delta lives INSIDE
+    * the segment (`_delta`, hidden from the codes scan), so one
+    * marker governs codes and ledger as a unit and a pre-marker crash
+    * leaves nothing visible anywhere.
+    */
+  def ivfpqIngestBatch(batch: DataFrame, indexDir: String,
+                       batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.Registry.ensure(spark)
+    ivfpqRecoverCompact(spark, indexDir) // writer-class: swap + seg sweep
+    val fs = graft.SegmentProtocol.fsOf(spark, indexDir)
+    if (fs.exists(segMarkerPath(indexDir, batchId))) return // committed replay
+    val committed = committedSegIds(fs, indexDir)
+    require(committed.forall(_ < batchId),
+      s"batchId $batchId is below a committed segment " +
+        s"(${committed.max}) but carries no marker — the streaming " +
+        "checkpoint and the store disagree; refusing to rewrite history")
+    val coarse = readCoarse(spark, indexDir)
+    val cents = readCodebooks(spark, indexDir)
+    require(coarse.nonEmpty && cents.head.nonEmpty,
+      s"ivfpqIngestBatch: index at $indexDir has an empty quantizer — " +
+        "train/write it before ingesting")
+    val byResidual = spark.read.parquet(s"$indexDir/meta").head()
+      .getAs[Boolean]("by_residual")
+    val segDir = s"${segRoot(indexDir)}/seg=$batchId"
+    encodeCellsLit(batch, cents, coarse, byResidual, withD2 = true)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(segDir)
+    // the segment's ledger delta, from its own just-written columnar
+    // (cid, d2) — self-consistent by construction, same as the build's
+    // seed; skipped for an empty batch (nothing to count, and the
+    // empty read would fail schema inference)
+    if (segHasCodes(fs, new org.apache.hadoop.fs.Path(segDir)))
+      spark.read.parquet(segDir)
+        .groupBy(col("cid").cast("long").as("cid"))
+        .agg(count(lit(1)).as("d_n"), sum($"d2").as("d_sum_d2"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$segDir/_delta")
+    // the commit point — only now does the segment (codes AND delta)
+    // become visible; the marker survives the compaction fold so a
+    // late replay of a folded batch stays a no-op forever
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"${segRoot(indexDir)}/commits"))
+    fs.create(segMarkerPath(indexDir, batchId), true).close()
+  }
+
+  /** STREAMING ingest — [[ivfpqIngestBatch]] as the checkpointed
+    * exactly-once sink (the q129/q121 shape): the streaming engine's
+    * batchId keys the segment, the checkpoint's offset log is the
+    * ingest ledger, and the marker protocol absorbs the replay window
+    * between a sink write and the offset commit. Stateless
+    * pass-through sink — the standing index IS the state, on disk.
+    * Processes whatever the source holds now and returns; re-invoking
+    * with the same checkpoint resumes.
+    */
+  def ivfpqIngestStreamOnce(vecs: DataFrame, indexDir: String,
+                            checkpointDir: String): Unit = {
+    val q = vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfpqIngestBatch(batch, indexDir, batchId)
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop(); q.awaitTermination()
+    }
+  }
+
+  /** WRITER-CLASS sweep of compaction-folded streaming segments, per
+    * the live layout's `_FOLDED_SEGS` list: migrate each surviving
+    * segment's `_delta` into the main manifest ledger (one atomic
+    * rename — sum-preserving, so a crash at any point leaves the
+    * ledger readable and convergent), drop the segment dir, clear the
+    * list last. Runs at the start of every index mutation via
+    * [[ivfpqRecoverCompact]]; a reader never calls it.
+    */
+  private def sweepFoldedSegs(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String): Unit = {
+    val fs = graft.SegmentProtocol.fsOf(spark, indexDir)
+    val (codes, _, tmp) = codesPaths(indexDir)
+    val live = graft.SegmentProtocol.swapReadPath(fs, codes, tmp)
+    val listFile = new org.apache.hadoop.fs.Path(live, FoldedSegsFile)
+    if (!fs.exists(listFile)) return
+    foldedSegIds(fs, indexDir).toSeq.sorted.foreach { id =>
+      val segDir = new org.apache.hadoop.fs.Path(
+        s"${segRoot(indexDir)}/seg=$id")
+      if (fs.exists(segDir)) {
+        migrateSegDelta(fs, indexDir, segDir)
+        fs.delete(segDir, true)
+      }
+    }
+    fs.delete(listFile, false)
+  }
+
+  /** Move a segment's `_delta` into the main manifest ledger as a
+    * fresh segment — one same-filesystem rename, so the contribution
+    * is never both places and never lost mid-move. No-op when the
+    * delta is absent or empty (an empty batch counted nothing).
+    */
+  private def migrateSegDelta(fs: org.apache.hadoop.fs.FileSystem,
+                              indexDir: String,
+                              segDir: org.apache.hadoop.fs.Path): Unit = {
+    val delta = new org.apache.hadoop.fs.Path(segDir, "_delta")
+    if (!graft.SegmentProtocol.hasDataFiles(fs, delta)) {
+      fs.delete(delta, true); return
+    }
+    val root = deltaRoot(indexDir)
+    graft.SegmentProtocol.recoverFold(fs, root) // writer-class
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val next = graft.SegmentProtocol.segIdsOnDisk(fs, root)
+      .lastOption.getOrElse(-1L) + 1
+    val dst = new org.apache.hadoop.fs.Path(s"$root/seg=$next")
+    require(fs.rename(delta, dst),
+      s"ledger delta migration rename $delta -> $dst failed")
   }
 
   /** Compact an appended IVFPQ index back to one file per cell — the
@@ -1476,8 +1722,8 @@ object Similarity {
     if (!graft.SegmentProtocol.fsOf(spark, indexDir)
         .exists(new org.apache.hadoop.fs.Path(deltaRoot(indexDir)))) return
     writeDeltaSeg(spark, indexDir,
-      spark.read.parquet(s"$indexDir/codes")
-        .select(col("cid").cast("long").as("cid"), $"vec_id", $"d2")
+      allLiveCodes(spark, indexDir)
+        .select($"cid", $"vec_id", $"d2")
         .join(newIds, Seq("vec_id"))
         .groupBy($"cid")
         .agg((-count(lit(1))).as("d_n"), (-sum($"d2")).as("d_sum_d2")))
@@ -1525,14 +1771,22 @@ object Similarity {
     val (codes, old, tmp) = codesPaths(indexDir)
     graft.SegmentProtocol.recoverSwap(
       graft.SegmentProtocol.fsOf(spark, indexDir), codes, old, tmp)
+    // retire compaction-folded streaming segments (q138) — their rows
+    // live in the base now; a crash mid-sweep re-runs to convergence
+    sweepFoldedSegs(spark, indexDir)
   }
 
   def ivfpqCompactIndex(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String): Unit = {
     val (codes, old, tmp) = codesPaths(indexDir)
     val fs = graft.SegmentProtocol.fsOf(spark, indexDir)
-    graft.SegmentProtocol.recoverSwap(fs, codes, old, tmp)
+    ivfpqRecoverCompact(spark, indexDir) // swap recovery + folded-seg sweep
     fs.delete(tmp, true) // an uncommitted earlier attempt is garbage
+    // snapshot the committed streaming segments (q138) the rewrite
+    // folds — exactly these are listed in the new layout's
+    // _FOLDED_SEGS and swept after the swap lands
+    val segDirs = liveSegDirs(fs, indexDir)
+    val segIdsToFold = segDirs.map(_.getName.stripPrefix("seg=").toLong)
     // snapshot the tombstone FILES before folding: exactly these are
     // deleted after the swap, so a deletion landing mid-compaction
     // (forbidden by single-writer, but cheap to be exact about) is
@@ -1544,7 +1798,7 @@ object Similarity {
       else fs.listStatus(p).toSeq.map(_.getPath)
         .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
     }
-    val all = spark.read.parquet(codes.toString)
+    val all = allLiveCodes(spark, indexDir) // base + committed segments
     // fold deletions into the rewrite: tombstoned rows simply don't
     // make it into the compacted layout (the FAISS remove_ids fold)
     val live =
@@ -1554,12 +1808,25 @@ object Similarity {
     live
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(tmp.toString)
+    // the folded-segment list rides INSIDE the committed layout
+    // ("_"-prefixed, invisible to the scan): from the commit point on,
+    // readers exclude these segments (their rows are in the base) and
+    // the post-swap sweep — re-runnable from any crash — retires the
+    // dirs and migrates their ledger deltas
+    if (segIdsToFold.nonEmpty) {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(tmp, FoldedSegsFile), true)
+      try out.write(segIdsToFold.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     // the marker inside the fully-written tmp is the commit point;
     // park-promote-drop is the kernel's swap (same-filesystem rename
     // as the atomicity primitive, Hadoop FS API throughout — r18
     // ADVICE). A crash ANYWHERE now re-runs to the same index:
     // recoverSwap finishes forward past the marker, abandons before it
     graft.SegmentProtocol.commitSwap(fs, codes, old, tmp)
+    sweepFoldedSegs(spark, indexDir)
     // folded tombstone files are cleared LAST: a crash right here
     // leaves files that anti-join nothing (their rows are already
     // gone), so search and the next compaction stay correct
@@ -1630,6 +1897,43 @@ object Similarity {
         emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0), d.toString)
       ivfpqAppendIndex(
         emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 =!= 0), d.toString)
+      d.toString
+    })
+    ivfpqStoredTopK(emb, dir)
+  }
+
+  private val ivfpqStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Declared q138 shape — q134's deployment cadence through the
+    * STREAMING ingest path: build on the base 2/3 of the corpus, land
+    * the held-out third as two marker-committed streaming segments
+    * (batch ids 0 and 1 — exactly what the checkpointed sink assigns),
+    * then answer the standard query batch from the SEGMENT-BACKED
+    * store — no compaction, so the declared read exercises the
+    * base+segments union under the probed-cell pruning. Search results
+    * are byte-identical to q134's batch-append store (spec-pinned):
+    * encode is the same pure projection, only the landing layout and
+    * its replay discipline differ.
+    */
+  def ivfpqStreamRoundTrip(spark: org.apache.spark.sql.SparkSession,
+                           sfDir: String): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = ivfpqStreamDirs.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_str")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(d))
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      ivfpqWriteIndex(emb.filter($"vec_id" % 3 =!= 2), d.toString)
+      ivfpqIngestBatch(
+        emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0),
+        d.toString, 0L)
+      ivfpqIngestBatch(
+        emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 =!= 0),
+        d.toString, 1L)
       d.toString
     })
     ivfpqStoredTopK(emb, dir)
@@ -1751,12 +2055,17 @@ object Similarity {
     val root = deltaRoot(indexDir)
     val fs = graft.SegmentProtocol.fsOf(spark, root)
     val (ids, fold) = graft.SegmentProtocol.readView(fs, root)
+    // committed streaming segments carry their own not-yet-migrated
+    // deltas (q138) — part of the ledger until the sweep moves them
+    val segDeltas = liveSegDirs(fs, indexDir)
+      .map(d => new org.apache.hadoop.fs.Path(d, "_delta"))
+      .filter(graft.SegmentProtocol.hasDataFiles(fs, _)).map(_.toString)
     val paths = ids.map(i => new org.apache.hadoop.fs.Path(s"$root/seg=$i"))
       .filter(graft.SegmentProtocol.hasDataFiles(fs, _)).map(_.toString) ++
       fold.collect {
         case (tmp, _) if graft.SegmentProtocol.hasDataFiles(fs, tmp) =>
           tmp.toString
-      }
+      } ++ segDeltas
     if (paths.isEmpty) None
     else Some(spark.read.parquet(paths: _*)
       .groupBy($"cid")
@@ -1789,9 +2098,14 @@ object Similarity {
         lit(0L).as("sum_ledger")).filter(lit(false))
     }).localCheckpoint(true)
     // rewrite: fold the whole ledger into one base carrying the
-    // audited truth (marker-committed, readers never see half of it)
+    // audited truth (marker-committed, readers never see half of it).
+    // Streaming segments' deltas migrate into the main ledger FIRST
+    // (rename-atomic, sum-preserving — the audit is writer-class) so
+    // the fold below covers them; left in place they would
+    // double-count on top of the rewritten base
     val root = deltaRoot(indexDir)
     val fs = graft.SegmentProtocol.fsOf(spark, root)
+    liveSegDirs(fs, indexDir).foreach(migrateSegDelta(fs, indexDir, _))
     graft.SegmentProtocol.recoverFold(fs, root)
     val onDisk = graft.SegmentProtocol.segIdsOnDisk(fs, root)
     val target = onDisk.lastOption.getOrElse(0L)

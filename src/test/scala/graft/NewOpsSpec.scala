@@ -1973,4 +1973,202 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------
+  // q138 — streaming ingest segments for the IVFPQ store
+  // ------------------------------------------------------------------
+
+  private def topkSig(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+
+  private def segCommits(d: String): Seq[Long] =
+    Option(new java.io.File(s"$d/codes_seg/commits").listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)) // skip .crc sidecars
+      .map(_.toLong).toSeq.sorted
+
+  test("q138 streaming segments: segment store ≡ batch-append store; replay, junk pre-marker dirs, and empty batches are invisible") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val dStr = mkTmp("graft_q138_str")
+    val dApp = mkTmp("graft_q138_app")
+    val baseF = emb.filter($"vec_id" % 3 =!= 2)
+    val b0 = emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0)
+    val b1 = emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 =!= 0)
+    Similarity.ivfpqWriteIndex(baseF, dStr)
+    Similarity.ivfpqWriteIndex(baseF, dApp)
+    Similarity.ivfpqIngestBatch(b0, dStr, 0L)
+    Similarity.ivfpqIngestBatch(b1, dStr, 1L)
+    Similarity.ivfpqAppendIndex(b0, dApp)
+    Similarity.ivfpqAppendIndex(b1, dApp)
+    // encode is the same pure projection — only the landing layout
+    // differs, so search from segments ≡ search from appended base
+    val want = topkSig(Similarity.ivfpqStoredTopK(emb, dApp))
+    assert(topkSig(Similarity.ivfpqStoredTopK(emb, dStr)) == want,
+      "segment-backed search diverged from the batch-append store")
+    // the declared round-trip is exactly this recipe
+    assert(topkSig(Similarity.ivfpqStreamRoundTrip(spark, dir)) == want,
+      "declared q138 round-trip diverged from the hand-built store")
+    // ledger stays exact through the segment path (deltas ride inside
+    // the segments until a compaction migrates them)
+    def ledger() = Similarity.ivfpqDeltaManifest(spark, dStr).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def actual() = Similarity.ivfpqIndexManifest(emb, dStr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ledger() == actual(),
+      "delta ledger diverged from the full scan with live segments")
+    // committed replay is a no-op: same store bytes, same answer
+    Similarity.ivfpqIngestBatch(b1, dStr, 1L)
+    assert(segCommits(dStr) == Seq(0L, 1L) &&
+      topkSig(Similarity.ivfpqStoredTopK(emb, dStr)) == want,
+      "committed replay changed the store")
+    // a pre-marker crash leaves a junk segment dir no reader touches
+    // (it would fail the scan if read — the marker is the visibility
+    // gate), and the overwrite-mode replay retires it: an EMPTY batch
+    // under that id commits a data-less segment readers also skip
+    val junk = new java.io.File(s"$dStr/codes_seg/seg=9/cid=0")
+    assert(junk.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(junk, "part-junk.parquet").toPath,
+      Array[Byte](9, 9, 9))
+    assert(topkSig(Similarity.ivfpqStoredTopK(emb, dStr)) == want,
+      "an uncommitted junk segment reached the scan")
+    Similarity.ivfpqIngestBatch(emb.filter(lit(false)), dStr, 9L)
+    assert(!junk.exists(),
+      "the replay's overwrite must retire the crashed write")
+    assert(segCommits(dStr) == Seq(0L, 1L, 9L) &&
+      topkSig(Similarity.ivfpqStoredTopK(emb, dStr)) == want &&
+      ledger() == actual(),
+      "an empty committed segment must be invisible to every read")
+    // an UNCOMMITTED id below committed history is refused (the
+    // streaming checkpoint and the store disagree)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dStr/codes_seg/commits/1"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfpqIngestBatch(b1, dStr, 1L)
+    }
+    assert(err.getMessage.contains("refusing to rewrite history"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dStr/codes_seg/commits/1"))
+  }
+
+  test("q138 compaction folds segments: the post-swap crash window reads exactly once and the next writer converges store and ledger") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val d = mkTmp("graft_q138_fold")
+    val baseF = emb.filter($"vec_id" % 3 =!= 2)
+    val b0 = emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0)
+    val b1 = emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 =!= 0)
+    Similarity.ivfpqWriteIndex(baseF, d)
+    Similarity.ivfpqIngestBatch(b0, d, 0L)
+    Similarity.ivfpqIngestBatch(b1, d, 1L)
+    // victims span BOTH layouts: base rows and stream-ingested rows —
+    // the delete's ledger probe must see the segments too
+    val victims = emb.filter($"vec_id" % 11 === 3).select($"vec_id")
+    Similarity.ivfpqDeleteIds(victims, d)
+    val before = topkSig(Similarity.ivfpqStoredTopK(emb, d))
+    val liveN = emb.count() - victims.count()
+    val allCells = (0L until 16L).toSeq
+    def storedN() = Similarity.storedCodes(spark, d, allCells).count()
+    def ledgerSum() = Similarity.ivfpqDeltaManifest(spark, d).get
+      .agg(sum($"n_vectors")).head().getLong(0)
+    // plant the compaction crash MID-SWAP with segments folded: the
+    // committed tmp carries the folded layout + the _FOLDED_SEGS list,
+    // codes/ is parked — the exact state a crash between the two
+    // renames leaves, with the folded segment dirs still on disk
+    val segRoot = s"$d/codes_seg"
+    val folded = spark.read.parquet(s"$d/codes")
+      .withColumn("cid", col("cid").cast("long"))
+      .unionByName(spark.read.option("basePath", segRoot)
+        .parquet(s"$segRoot/seg=0", s"$segRoot/seg=1")
+        .withColumn("cid", col("cid").cast("long")).drop("seg"))
+      .join(spark.read.parquet(s"$d/tombstones").select($"vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+    val tmp = s"$d/codes_compact_tmp"
+    folded.repartition(col("cid"))
+      .write.partitionBy("cid").parquet(tmp)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/_FOLDED_SEGS"),
+      "0\n1".getBytes("UTF-8"))
+    new java.io.File(tmp, "_SWAP_READY").createNewFile()
+    assert(new java.io.File(s"$d/codes")
+      .renameTo(new java.io.File(s"$d/codes_old")), "test setup rename")
+    // reads DURING the window: answer from the committed tmp, exclude
+    // the folded segments (their rows are in the folded layout), and
+    // mutate nothing — every live row exactly once
+    assert(topkSig(Similarity.ivfpqStoredTopK(emb, d)) == before,
+      "mid-swap segment-folding search diverged")
+    assert(storedN() == liveN,
+      s"mid-swap scan must read every live row exactly once: " +
+        s"${storedN()} vs $liveN")
+    assert(new java.io.File(s"$segRoot/seg=0").exists() &&
+      new java.io.File(s"$d/codes_old").exists(),
+      "a READ mutated the crashed compaction")
+    // the ledger's documented transient: folded segments' deltas are
+    // excluded but not yet migrated — an UNDERCOUNT (never a double
+    // count) until the next writer closes it
+    assert(ledgerSum() < liveN,
+      "crash-window ledger should under-count, never double-count")
+    // the next writer converges everything: swap finished, segments
+    // retired, deltas migrated by rename, list cleared
+    Similarity.ivfpqRecoverCompact(spark, d)
+    assert(new java.io.File(s"$d/codes").exists() &&
+      !new java.io.File(s"$d/codes_old").exists() &&
+      !new java.io.File(tmp).exists() &&
+      !new java.io.File(s"$d/codes/_FOLDED_SEGS").exists() &&
+      !new java.io.File(s"$segRoot/seg=0").exists() &&
+      !new java.io.File(s"$segRoot/seg=1").exists(),
+      "writer-class recovery left compaction state behind")
+    assert(segCommits(d) == Seq(0L, 1L),
+      "commit markers must outlive the fold — they gate late replays")
+    assert(topkSig(Similarity.ivfpqStoredTopK(emb, d)) == before &&
+      storedN() == liveN, "recovery changed the store's answer")
+    assert(ledgerSum() == liveN,
+      "migrated deltas must restore the exact ledger")
+    // a REAL compaction end-to-end now folds tombstones physically and
+    // restores the one-file-per-cell law; a late replay of a folded
+    // batch stays a no-op forever
+    Similarity.ivfpqCompactIndex(spark, d)
+    assert(!new java.io.File(s"$d/tombstones").exists())
+    val filesPerCell =
+      Option(new java.io.File(s"$d/codes").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(filesPerCell.nonEmpty && filesPerCell.forall(_ == 1),
+      s"compaction broke the one-file-per-cell law: $filesPerCell")
+    Similarity.ivfpqIngestBatch(b0, d, 0L)
+    assert(topkSig(Similarity.ivfpqStoredTopK(emb, d)) == before &&
+      storedN() == liveN,
+      "a late replay of a folded batch duplicated its rows")
+  }
+
+  test("q138 streaming twin: the checkpointed sink's segments equal the batch path and an idle restart adds nothing") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, dir)
+    val baseF = emb.filter($"vec_id" % 3 =!= 2)
+    val rows = emb.filter($"vec_id" % 3 === 2)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+      .sortBy(_._1)
+    val (a, b) = rows.splitAt(rows.length / 2)
+    val dStr = mkTmp("graft_q138_tw")
+    val ckpt = mkTmp("graft_q138_tw_ckpt")
+    Similarity.ivfpqWriteIndex(baseF, dStr)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float], Int)]
+    def stream = ms.toDF.toDF("vec_id", "embedding", "label")
+    ms.addData(a.toSeq)
+    Similarity.ivfpqIngestStreamOnce(stream, dStr, ckpt)
+    ms.addData(b.toSeq)
+    Similarity.ivfpqIngestStreamOnce(stream, dStr, ckpt)
+    assert(segCommits(dStr) == Seq(0L, 1L),
+      "streaming ingest did not commit exactly the two engine batches")
+    Similarity.ivfpqIngestStreamOnce(stream, dStr, ckpt)
+    assert(segCommits(dStr) == Seq(0L, 1L), "an idle restart grew the store")
+    // the streamed store answers byte-identically to the declared
+    // batch-built q138 store (same corpus split, same quantizers)
+    assert(topkSig(Similarity.ivfpqStoredTopK(emb, dStr)) ==
+      topkSig(Similarity.ivfpqStreamRoundTrip(spark, dir)),
+      "streamed store diverged from the batch-ingested q138 store")
+  }
+
 }

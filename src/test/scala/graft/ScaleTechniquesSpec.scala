@@ -380,6 +380,33 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"cap lost exact image dups at 10×: ${(z1 -- z10).take(5)}")
   }
 
+  test("10×: q137 finds every planted crop pair under the engaged caps") {
+    import org.apache.spark.sql.functions._
+    val dir10 = "/tmp/sf1"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir10/_MANIFEST.json")),
+      "10× scale point absent — python3 tools/gen_sf1.py")
+    // the crop-tolerance contract at scale: the blank-window guard
+    // and the hot-band cap both engage harder at 10× (dot-padding
+    // tiles multiply with the corpus), and the recall they must not
+    // cost is exactly the planted crop edge — every crop asset in the
+    // feed still traces to its original at hamming 0
+    val docs = Tables.documents(spark, dir10)
+    val feed = operators.Multimodal.asMultimodalWithCrops(docs)
+    val expected = feed
+      .filter(col("doc_id") >= operators.Multimodal.CropIdBase)
+      .select(col("doc_id")).collect()
+      .map(r => (r.getLong(0) - operators.Multimodal.CropIdBase,
+        r.getLong(0))).toSet
+    assert(expected.size >= 100,
+      s"10× corpus planted only ${expected.size} crops — feed too thin")
+    val got = operators.Dedup.imageNearDupCrop(docs)
+      .filter(col("hamming") === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(got),
+      s"q137 lost crop pairs at 10×: ${(expected -- got).take(5)}")
+  }
+
   test("10×: fuzzy dictionary grows on its natural axis; plan-stats pick flips to PassJoin with scale") {
     import org.apache.spark.sql.functions.{concat, xxhash64}
     val dir10 = "/tmp/sf1"
