@@ -65,6 +65,18 @@ import scala.collection.mutable.ArrayBuffer
   *    indexed by a type-8 v2 name B-tree, the layout libver-latest
   *    switches to past ~8 attributes; reuses the dense-group
   *    structures verbatim)
+  *  - SHARED messages (r19): committed targets (a message living in
+  *    another object header — H5Tcommit named datatypes, and the
+  *    v1/v2 record formats older files carry) and the SOHM table
+  *    (superblock extension → Shared Message Table message → SMTB
+  *    block → per-index fractal heaps holding the encoded message
+  *    bodies; H5Pset_shared_mesg_nindexes files), resolved for
+  *    header messages and dense-attribute records alike
+  *  - OBJECT references (r19): class-7 values decode as the
+  *    referenced header addresses and [[parse]] resolves attribute
+  *    references to object paths — covering netCDF-4's
+  *    DIMENSION_LIST (vlen of refs) and REFERENCE_LIST (compound
+  *    with a ref member) dimension-scale machinery
   *
   * Out of scope, by design (throws with a precise message rather
   * than misreading): paged data blocks attached DIRECTLY to the EA
@@ -72,11 +84,11 @@ import scala.collection.mutable.ArrayBuffer
   * library geometry never produces them), virtual
   * storage (layout class 3), B-tree v2 depth > 1 and multi-level
   * indirect fractal-heap blocks (groups with ~100k+ links),
-  * reference datatypes, vlen sequences over non-numeric bases,
-  * enums over non-fixed-point bases,
-  * compound/vlen-sequence/array ATTRIBUTE values (names
-  * parse, values stay empty), and shared (SOHM-table) dense
-  * attribute messages.
+  * region references (dataspace-selection heap state), vlen
+  * sequences over non-numeric non-reference bases,
+  * enums over non-fixed-point bases, and mixed-compound /
+  * non-reference vlen-sequence ATTRIBUTE values (names
+  * parse, values stay empty).
   *
   * Scale shape: identical to [[NetCdf]] — one file is one task; the
   * byte array arrives via Spark's `binaryFile` source and is parsed
@@ -104,10 +116,19 @@ object Hdf5 {
     * REAL sequence in `strs` (r15 — h5py exposes these as string
     * arrays; `str` keeps the ","-joined form for flat consumers) —
     * undecodable shapes keep the name with every payload slot empty.
+    *
+    * OBJECT-REFERENCE attrs (r19 — plain class-7 values and vlen
+    * sequences over them, netCDF-4's DIMENSION_LIST): the referenced
+    * header addresses land in `refAddrs` (and in `num` as exact
+    * doubles), and [[parse]] resolves them to object PATHS in
+    * `strs`/`str` once the whole file is walked. A compound's
+    * reference MEMBERS (REFERENCE_LIST) stay raw addresses in
+    * `fields` — a member column is numeric by shape.
     */
   final case class Attr(name: String, num: Seq[Double], str: String,
                         fields: Seq[(String, Seq[Double])] = Seq.empty,
-                        strs: Seq[String] = Seq.empty)
+                        strs: Seq[String] = Seq.empty,
+                        refAddrs: Seq[Long] = Seq.empty)
   /** Version-4 chunked-layout index description (libver-latest files).
     * `flags` bit 0 = partial boundary chunks stored unfiltered; bit 1
     * = the Single Chunk is filtered (then `singleSize`/`singleMask`
@@ -166,8 +187,23 @@ object Hdf5 {
   def parse(bytes: Array[Byte]): H5File = {
     val b = new Buf(bytes)
     val out = ArrayBuffer.empty[H5Var]
-    descend(b, rootAddress(b), "", out)
-    H5File(out.toSeq)
+    val paths = scala.collection.mutable.Map.empty[Long, String]
+    descend(b, rootAddress(b), "", out, ChecksumVerify, paths)
+    // object-reference attrs resolve to PATHS once the whole tree is
+    // walked (r19) — a reference may point at an object visited after
+    // its referrer. Unresolvable addresses keep the "@<addr>" form
+    // rather than failing the read: a dangling reference is the
+    // referenced object's defect, not the referrer's.
+    H5File(out.toSeq.map { v =>
+      if (v.attrs.forall(_.refAddrs.isEmpty)) v
+      else v.copy(attrs = v.attrs.map { a =>
+        if (a.refAddrs.isEmpty) a
+        else {
+          val ps = a.refAddrs.map(ad => paths.getOrElse(ad, s"@$ad"))
+          a.copy(strs = ps, str = ps.mkString(","))
+        }
+      })
+    })
   }
 
   private def rootAddress(b: Buf): Long = {
@@ -245,8 +281,19 @@ object Hdf5 {
     * misparse.
     */
   private def messages(b: Buf, addr: Long,
-                       mode: Int = ChecksumVerify): Seq[(Int, Long, Int)] = {
+                       mode: Int = ChecksumVerify,
+                       depth: Int = 0): Seq[(Int, Long, Int)] = {
     val out = ArrayBuffer.empty[(Int, Long, Int)]
+    // a SHARED message (flags bit 1) stores a pointer record in place
+    // of the body — resolve it here so every consumer sees the real
+    // message bytes (r19: committed datatypes + SOHM heap messages).
+    // In checksum-fix mode the walk only reads link topology, which is
+    // never shareable — pass the raw record through untouched.
+    def add(t: Int, body: Long, sz: Int, fl: Int): Unit =
+      if ((fl & 0x02) != 0 && mode == ChecksumVerify) {
+        val (ra, rl) = resolveShared(b, t, body, depth)
+        out += ((t, ra, rl))
+      } else out += ((t, body, sz))
     if (b.sig(addr, "OHDR")) {
       val flags = b.u8(addr + 5)
       var p = addr + 6
@@ -266,7 +313,7 @@ object Hdf5 {
             b.requireSig(ca, "OCHK")
             headerChecksum(b, ca, ca + cl - 4, mode)
             scan(ca + 4, ca + cl - 4)
-          } else out += ((t, body, sz))
+          } else add(t, body, sz, b.u8(q + 3))
           q = body + sz
         }
       }
@@ -282,7 +329,7 @@ object Hdf5 {
           if (t == 16) {
             val ca = b.u64(q + 8); val cl = b.u64(q + 16)
             scan(ca, ca + cl) // v1 continuations have no signature
-          } else out += ((t, q + 8, sz))
+          } else add(t, q + 8, sz, b.u8(q + 4))
           q += 8 + sz // v1 message bodies are already 8-byte-padded sizes
         }
       }
@@ -291,13 +338,106 @@ object Hdf5 {
     out.toSeq
   }
 
+  // ---------------------------------------------------------------
+  // shared messages (r19) — the two mechanisms the library writes:
+  // a COMMITTED target (the message lives in another object header —
+  // H5Tcommit's named datatypes, and the v1/v2 record format older
+  // files carry) and the SOHM heap (H5Pset_shared_mesg_nindexes
+  // files: the message body lives in a shared fractal heap indexed
+  // by the superblock extension's Shared Message Table).
+  // ---------------------------------------------------------------
+
+  /** Resolve a shared-message record to the real (bodyOffset, size).
+    * Record formats per the spec: v1 = version, type, 6 reserved,
+    * header address; v2 = version, type, header address; v3 =
+    * version, location type (1 = SOHM heap + 8-byte heap ID,
+    * 2 = object header address).
+    */
+  private def resolveShared(b: Buf, msgType: Int, body: Long,
+                            depth: Int): (Long, Int) = {
+    require(depth < 4,
+      s"shared message chain for type $msgType deeper than 4 — cyclic?")
+    b.u8(body) match {
+      case 1 => sharedFromHeader(b, msgType, b.u64(body + 8), depth)
+      case 2 => sharedFromHeader(b, msgType, b.u64(body + 2), depth)
+      case 3 => b.u8(body + 1) match {
+        case 2 => sharedFromHeader(b, msgType, b.u64(body + 2), depth)
+        case 1 => sohmHeapObject(b, msgType, body + 2)
+        case t => sys.error(s"shared message v3 location type $t unsupported")
+      }
+      case v => sys.error(s"unsupported shared message version $v")
+    }
+  }
+
+  /** A committed message: the target object header holds the real
+    * message of the same type (a named datatype's header holds the
+    * datatype message every referencing dataset shares).
+    */
+  private def sharedFromHeader(b: Buf, msgType: Int, addr: Long,
+                               depth: Int): (Long, Int) =
+    messages(b, addr, ChecksumVerify, depth + 1)
+      .collectFirst { case (`msgType`, p, sz) => (p, sz) }
+      .getOrElse(sys.error(
+        s"shared message target header at $addr carries no type-$msgType message"))
+
+  /** Fetch a shared message's bytes from the SOHM fractal heap whose
+    * table index covers `msgType` — the heap object IS the encoded
+    * message body. The type→flag mapping is the table's own
+    * (dataspace/datatype/fill/pipeline/attribute are the shareable
+    * five).
+    */
+  private def sohmHeapObject(b: Buf, msgType: Int, idAt: Long): (Long, Int) = {
+    val typeFlag = msgType match {
+      case 1 => 0x0001; case 3 => 0x0002; case 5 => 0x0004
+      case 11 => 0x0008; case 12 => 0x0010
+      case t => sys.error(s"message type $t is not SOHM-shareable")
+    }
+    val heapAddr = sohmIndexes(b).collectFirst {
+      case (flags, heap) if (flags & typeFlag) != 0 => heap
+    }.getOrElse(sys.error(
+      s"no SOHM table index covers shared message type $msgType"))
+    val heap = new FractalHeap(b, heapAddr)
+    val (addr, len) = heap.get(b.slice(idAt, heap.idLen))
+    (addr, len.toInt)
+  }
+
+  /** The SOHM table's (message-type-flags, fractal heap address) per
+    * index, from the superblock extension's Shared Message Table
+    * message (type 15) and the SMTB block it addresses. Empty when
+    * the file carries no extension or no table.
+    */
+  private def sohmIndexes(b: Buf): Seq[(Int, Long)] = {
+    if (b.u8(8) < 2) return Seq.empty // v0/v1 superblocks: no extension
+    val ext = b.u64(20)
+    if (ext == Undef) return Seq.empty
+    messages(b, ext).collectFirst { case (15, p, _) =>
+      val ver = b.u8(p)
+      require(ver == 0, s"unsupported shared message table version $ver")
+      val tableAddr = b.u64(p + 1)
+      val n = b.u8(p + 9)
+      b.requireSig(tableAddr, "SMTB")
+      blockChecksum(b, tableAddr, tableAddr + 4 + 30L * n,
+        "shared message table")
+      (0 until n).map { i =>
+        // per index: version 1, index type 1, message type flags 2,
+        // min message size 4, list cutoff 2, btree cutoff 2,
+        // number of messages 2, index address 8, heap address 8
+        val q = tableAddr + 4 + 30L * i
+        (b.u16(q + 2), b.u64(q + 22))
+      }
+    }.getOrElse(Seq.empty)
+  }
+
   /** Descend one group object header, appending datasets to `out`.
     * In checksum-fix mode only headers are touched (dataset bodies
     * may hold the deliberately-corrupt bytes a spec plants).
     */
   private def descend(b: Buf, addr: Long, prefix: String,
                       out: ArrayBuffer[H5Var],
-                      mode: Int = ChecksumVerify): Unit = {
+                      mode: Int = ChecksumVerify,
+                      paths: scala.collection.mutable.Map[Long, String] =
+                        scala.collection.mutable.Map.empty): Unit = {
+    paths(addr) = prefix.stripSuffix("/")
     val msgs = messages(b, addr, mode)
     val links = ArrayBuffer.empty[(String, Long)]
     var isDataset = false
@@ -318,7 +458,8 @@ object Hdf5 {
     }
     if (isDataset) {
       if (mode == ChecksumVerify) out += buildVar(b, prefix.stripSuffix("/"), msgs)
-    } else links.foreach { case (name, a) => descend(b, a, s"$prefix$name/", out, mode) }
+    } else links.foreach { case (name, a) =>
+      descend(b, a, s"$prefix$name/", out, mode, paths) }
   }
 
   /** Hard links only (soft/external links carry no object address). */
@@ -378,18 +519,22 @@ object Hdf5 {
       s"attribute name-index record size $recSize too small for " +
         s"heap ID ${heap.idLen} + flags/order/hash")
     recs.flatMap { r =>
-      val (addr, len) = heap.get(b.slice(r, heap.idLen))
       // the record's message-flags byte carries header-message flags;
-      // only the SHARED bit (0x02) changes what the heap object IS (a
-      // pointer into the SOHM table this reader does not model) —
-      // reject that bit specifically. Other bits (constant 0x01, the
-      // fail-on-unknown family) describe handling policy, not body
-      // layout, so the message still parses as a plain attribute
-      // (r16, ADVICE — a constant attribute used to trip the SOHM
-      // error with a misleading message).
-      require((b.u8(r + heap.idLen) & 0x02) == 0,
-        "shared dense attribute message unsupported (SOHM table)")
-      parseAttr(b, addr, len.toInt)
+      // only the SHARED bit (0x02) changes what the heap ID MEANS —
+      // it indexes the SOHM fractal heap (where the encoded attribute
+      // message lives) instead of this store's own heap (r19 — the
+      // former precise rejection made real; a shared record in a file
+      // with no SOHM table still errors precisely). Other bits
+      // (constant 0x01, the fail-on-unknown family) describe handling
+      // policy, not body layout, so the message still parses as a
+      // plain attribute (r16, ADVICE).
+      if ((b.u8(r + heap.idLen) & 0x02) != 0) {
+        val (addr, len) = sohmHeapObject(b, 12, r)
+        parseAttr(b, addr, len)
+      } else {
+        val (addr, len) = heap.get(b.slice(r, heap.idLen))
+        parseAttr(b, addr, len.toInt)
+      }
     }
   }
 
@@ -680,7 +825,17 @@ object Hdf5 {
           s"array datatype size $size != ${dims.mkString("x")} × ${baseDt.size}")
         (Dtype(10, size, baseDt.littleEndian, baseDt.signed,
           base = Some(baseDt), arrayDims = dims), baseAt + baseLen - p)
-      case c => sys.error(s"unsupported HDF5 datatype class $c (reference out of scope)")
+      case 7 => // reference (r19): OBJECT references only — one 8-byte
+        // object-header address per element, the machinery behind
+        // netCDF-4's DIMENSION_LIST (vlen of refs) and REFERENCE_LIST
+        // (compound with a ref member). Region references carry
+        // dataspace-selection heap state a flat address cannot, and
+        // reject precisely.
+        require((bit0 & 0xf) == 0,
+          s"region reference datatype unsupported (reference type ${bit0 & 0xf}; object references only)")
+        require(size == 8, s"object reference size $size != 8 (one file address)")
+        (Dtype(7, size, littleEndian = true, signed = false), 8L)
+      case c => sys.error(s"unsupported HDF5 datatype class $c (region references and opaque out of scope)")
     }
   }
 
@@ -785,9 +940,13 @@ object Hdf5 {
       // readCompound — parseDtype already rejects non-fixed-point
       // enum bases (r16, ADVICE: the attribute path was the one
       // consumer that left enum-over-int compounds named-but-empty)
+      // reference members (cls 7, r19 — netCDF-4's REFERENCE_LIST
+      // {dataset ref, dim index}) decode as exact address doubles
+      // through readElem's 8-byte integer path
       if (dt.members.nonEmpty &&
           dt.members.forall(m =>
-            m.dtype.cls == 0 || m.dtype.cls == 1 || m.dtype.cls == 8))
+            m.dtype.cls == 0 || m.dtype.cls == 1 || m.dtype.cls == 8 ||
+              m.dtype.cls == 7))
         return Some(Attr(name, Seq.empty, "", dt.members.map(m =>
           m.name -> (0L until n).map(i =>
             readElem(b.bytes, q + i * dt.size + m.offset, m.dtype)))))
@@ -798,6 +957,25 @@ object Hdf5 {
       val k = dt.arrayDims.product
       return Some(Attr(name, (0L until n).flatMap(i => (0 until k).map(j =>
         readElem(b.bytes, q + i * dt.size + j.toLong * base.size, base))), ""))
+    }
+    if (dt.cls == 9 && dt.base.exists(_.cls == 7)) {
+      // vlen OBJECT-REFERENCE sequences (r19 — netCDF-4's
+      // DIMENSION_LIST): each 16-byte descriptor resolves against the
+      // global heap to `len` consecutive 8-byte object addresses;
+      // null descriptors (unwritten dims) contribute nothing
+      val addrs = (0L until n).flatMap { i =>
+        val p0 = q + i * dt.size
+        val len = b.u32(p0); val addr = b.u64(p0 + 4)
+        val idx = b.u32(p0 + 12).toInt
+        if (addr == 0 || addr == Undef || len == 0) Seq.empty[Long]
+        else {
+          val (dataAt, objSize) = globalHeapObject(b, addr, idx)
+          require(len * 8 <= objSize,
+            s"vlen reference sequence of $len overruns its $objSize-byte heap object")
+          (0L until len).map(j => b.u64(dataAt + 8 * j))
+        }
+      }
+      return Some(Attr(name, addrs.map(_.toDouble), "", refAddrs = addrs))
     }
     if (dt.cls == 9 && !dt.vlenString)
       return Some(Attr(name, Seq.empty, ""))
@@ -816,7 +994,12 @@ object Hdf5 {
         Attr(name, Seq.empty, elems.mkString(","), strs = elems)
       })
     else if (dt.cls == 3) Some(Attr(name, Seq.empty, b.ascii(q, dt.size * n).takeWhile(_ != 0)))
-    else {
+    else if (dt.cls == 7) {
+      // plain object-reference values (r19): exact addresses now,
+      // paths resolved in [[parse]]'s whole-file pass
+      val addrs = (0L until n).map(i => b.u64(q + i * dt.size))
+      Some(Attr(name, addrs.map(_.toDouble), "", refAddrs = addrs))
+    } else {
       val nums = (0L until n).map(i => readElem(b.bytes, q + i * dt.size, dt))
       Some(Attr(name, nums, ""))
     }

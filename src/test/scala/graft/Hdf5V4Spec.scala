@@ -1388,15 +1388,240 @@ class Hdf5V4Spec extends AnyFunSuite {
     assert(ver.getMessage.contains("version"), ver.getMessage)
   }
 
-  test("constant-flagged dense attribute parses; only the SHARED bit is the SOHM rejection") {
+  test("constant-flagged dense attribute parses; a SHARED record in a table-less file errors precisely") {
     // 0x01 = constant: handling policy, not body layout — must parse
     val attrs = Hdf5.parse(denseFixture(msgFlags = 0x01))("d").attrs
     assert(attrs.exists(a => a.name == "scale_factor" && a.num == Seq(0.25)),
       s"$attrs")
-    // 0x02 = shared: the heap object is a SOHM pointer, not a message
-    val shared = intercept[IllegalArgumentException](
+    // 0x02 = shared: the heap ID indexes the SOHM heap (r19 — the
+    // resolving path has its own positive fixture below); this file
+    // carries NO shared message table, so resolution must error
+    // precisely rather than decode the ID against the wrong heap
+    val shared = intercept[RuntimeException](
       Hdf5.parse(denseFixture(msgFlags = 0x02)))
     assert(shared.getMessage.contains("SOHM"), shared.getMessage)
+  }
+
+  // ----------------------------------------------------------------
+  // shared messages (r19): committed targets + the SOHM table
+  // ----------------------------------------------------------------
+
+  /** v1 object header with per-message FLAGS (bit 1 = shared). */
+  private def v1HeaderF(w: W, msgs: Seq[(Int, Int, Array[Byte])]): Long = {
+    val start = w.pos
+    val padded = msgs.map { case (t, fl, b) =>
+      (t, fl, b ++ Array.fill((8 - b.length % 8) % 8)(0.toByte))
+    }
+    val hdrSize = padded.map(8 + _._3.length).sum
+    w.u8(1); w.u8(0); w.u16(msgs.length); w.u32(1); w.u32(hdrSize.toLong); w.pad(4)
+    padded.foreach { case (t, fl, b) =>
+      w.u16(t); w.u16(b.length); w.u8(fl); w.pad(3); w.bytes(b)
+    }
+    start
+  }
+
+  /** One direct-root fractal heap holding `objs` (the denseAttrStore
+    * heap shape, standalone); returns (header address, heap IDs).
+    */
+  private def directHeap(w: W, objs: Seq[Array[Byte]]): (Long, Seq[Array[Byte]]) = {
+    val offSz = 4; val lenSz = 3; val idLen = 1 + offSz + lenSz
+    val blk = w.pos
+    w.ascii("FHDB"); w.u8(0)
+    val hdrAddrAt = w.pos; w.u64(0)
+    w.uN(0, offSz)
+    val ids = objs.map { m =>
+      val off = w.pos - blk
+      w.bytes(m)
+      msgBytes { x => x.u8(0); x.uN(off, offSz); x.uN(m.length.toLong, lenSz) }
+    }
+    val hdr = w.pos
+    w.patchU64(hdrAddrAt, hdr)
+    w.ascii("FRHP"); w.u8(0)
+    w.u16(idLen); w.u16(0)
+    w.u8(0)
+    w.u32(4096)
+    (0 until 12).foreach(_ => w.u64(0))
+    w.u16(4)
+    w.u64(512); w.u64(512)
+    w.u16(32); w.u16(1)
+    w.u64(blk)
+    w.u16(1); w.u32(0)
+    w.patchU32(hdr + 142, w.cksum(hdr, hdr + 142))
+    (hdr, ids)
+  }
+
+  /** SOHM plumbing: shared heap + SMTB table + a v1 superblock-
+    * extension header carrying the type-15 message; patches the
+    * superblock extension pointer. Returns the messages' heap IDs.
+    */
+  private def sohmTable(w: W, msgs: Seq[Array[Byte]],
+                        typeFlags: Int): Seq[Array[Byte]] = {
+    val (heapHdr, ids) = directHeap(w, msgs)
+    val table = w.pos
+    w.ascii("SMTB")
+    w.u8(0)            // version
+    w.u8(1)            // index type (unread: the heap ID is the lookup)
+    w.u16(typeFlags)   // message type flags
+    w.u32(0)           // min message size
+    w.u16(0); w.u16(0) // list / btree cutoffs
+    w.u16(msgs.length)
+    w.u64(Undef)       // index address (dedup structure, unread)
+    w.u64(heapHdr)
+    w.u32(0)
+    w.patchU32(table + 34, w.cksum(table, table + 34))
+    val ext = v1Header(w, Seq((15, msgBytes { x =>
+      x.u8(0); x.u64(table); x.u8(1)
+    })))
+    w.patchU64(20, ext)
+    ids
+  }
+
+  private def sharedV1(addr: Long): Array[Byte] =
+    msgBytes { x => x.u8(1); x.u8(0); x.pad(6); x.u64(addr) }
+  private def sharedV2(addr: Long): Array[Byte] =
+    msgBytes { x => x.u8(2); x.u8(0); x.u64(addr) }
+  private def sharedV3Committed(addr: Long): Array[Byte] =
+    msgBytes { x => x.u8(3); x.u8(2); x.u64(addr) }
+  private def sharedV3Heap(id: Array[Byte]): Array[Byte] =
+    msgBytes { x => x.u8(3); x.u8(1); x.bytes(id) }
+
+  // ----------------------------------------------------------------
+  // object references (r19): the netCDF-4 dimension-scale machinery
+  // ----------------------------------------------------------------
+
+  /** datatype v1 class 7 OBJECT reference (one 8-byte address) */
+  private def objRefMsg: Array[Byte] = msgBytes { w =>
+    w.u8(0x17); w.u8(0); w.u8(0); w.u8(0); w.u32(8)
+  }
+  /** class 7 REGION reference — must reject, never misread */
+  private def regionRefMsg: Array[Byte] = msgBytes { w =>
+    w.u8(0x17); w.u8(1); w.u8(0); w.u8(0); w.u32(12)
+  }
+  /** class 9 SEQUENCE over object references (DIMENSION_LIST's type) */
+  private def vlenRefSeqMsg: Array[Byte] = msgBytes { w =>
+    w.u8(0x19); w.u8(0); w.u8(0); w.u8(0)
+    w.u32(16)
+    w.bytes(objRefMsg)
+  }
+
+  test("object references resolve to paths: DIMENSION_LIST, REFERENCE_LIST, plain refs; region refs reject") {
+    val bytes = file { w =>
+      val xData = w.pos; w.bytes(f64le(1.0)); w.bytes(f64le(2.0))
+      val vData = w.pos; w.u32(7); w.u32(8)
+      // the dimension-scale dataset "x" — referenced three ways below
+      val x = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(2))), (3, f64Msg),
+        (8, contiguousMsg(xData, 16))))
+      // DIMENSION_LIST: one vlen descriptor whose GCOL object holds
+      // one 8-byte object address
+      val gcol = gcolRawFor(w, Seq(msgBytes(_.u64(x))))
+      val dimListPayload = msgBytes { p => p.u32(1); p.u64(gcol); p.u32(1) }
+      // REFERENCE_LIST: compound {dataset ref @0, dimension u32 @8}
+      val refListPayload = msgBytes { p => p.u64(x); p.u32(0) }
+      val v = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(2))), (3, int32Msg),
+        (8, contiguousMsg(vData, 8)),
+        (12, attrMsgV1("DIMENSION_LIST", vlenRefSeqMsg, Seq(1), dimListPayload)),
+        (12, attrMsgV1("REFERENCE_LIST",
+          compoundV3Msg(12, Seq(("dataset", 0, objRefMsg), ("dimension", 8, int32Msg))),
+          Seq(1), refListPayload)),
+        (12, attrMsgV1("ref0", objRefMsg, Seq(1), msgBytes(_.u64(x))))))
+      rootFor(w, "x" -> x, "v" -> v)
+    }
+    val attrs = Hdf5.parse(bytes)("v").attrs
+    val dl = attrs.find(_.name == "DIMENSION_LIST").get
+    assert(dl.strs == Seq("x") && dl.str == "x" && dl.refAddrs.length == 1,
+      s"DIMENSION_LIST did not resolve to the dim scale's path: $dl")
+    val rl = attrs.find(_.name == "REFERENCE_LIST").get
+    assert(rl.fields.map(_._1) == Seq("dataset", "dimension") &&
+      rl.fields.head._2 == dl.num && rl.fields(1)._2 == Seq(0.0),
+      s"REFERENCE_LIST member decode diverged: $rl")
+    assert(attrs.find(_.name == "ref0").exists(_.strs == Seq("x")),
+      "plain object-reference attr did not resolve")
+    assert(readVar(bytes, "v").toSeq == Seq(7.0, 8.0),
+      "reference attrs must not disturb the data read")
+    // region references carry selection heap state — precise rejection
+    val region = file { w =>
+      val data = w.pos; w.u64(0); w.u32(0)
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(1))), (3, regionRefMsg),
+        (8, contiguousMsg(data, 12))))
+      rootFor(w, "d" -> d)
+    }
+    val e = intercept[IllegalArgumentException](Hdf5.parse(region))
+    assert(e.getMessage.contains("region reference"), e.getMessage)
+  }
+
+  test("committed (named) datatype resolves through v1/v2/v3 shared records") {
+    def build(shared: Long => Array[Byte]): Array[Byte] = file { w =>
+      val data = w.pos
+      w.u32(7); w.u32((-3).toLong & 0xffffffffL)
+      val named = v1Header(w, Seq((3, int32Msg))) // the H5Tcommit object
+      val d = v1HeaderF(w, Seq(
+        (1, 0, dataspaceMsg(Seq(2))),
+        (3, 0x02, shared(named)),
+        (8, 0, contiguousMsg(data, 8))))
+      rootFor(w, "d" -> d)
+    }
+    for (mk <- Seq(sharedV1 _, sharedV2 _, sharedV3Committed _))
+      assert(readVar(build(mk)).toSeq == Seq(7.0, -3.0),
+        "committed-datatype dataset misread")
+  }
+
+  test("SOHM-table shared datatype AND dataspace resolve from the shared fractal heap") {
+    val bytes = file { w =>
+      val data = w.pos
+      w.u32(5); w.u32(6); w.u32(7)
+      val ids = sohmTable(w, Seq(int32Msg, dataspaceMsg(Seq(3))),
+        typeFlags = 0x0003) // datatype | dataspace
+      val d = v1HeaderF(w, Seq(
+        (1, 0x02, sharedV3Heap(ids(1))),
+        (3, 0x02, sharedV3Heap(ids(0))),
+        (8, 0, contiguousMsg(data, 12))))
+      rootFor(w, "d" -> d)
+    }
+    assert(readVar(bytes).toSeq == Seq(5.0, 6.0, 7.0),
+      "SOHM-heap shared messages misread")
+  }
+
+  test("SOHM-shared dense attribute record resolves; v3 location type 0 rejects precisely") {
+    val bytes = file { w =>
+      val data = w.pos
+      w.u32(7)
+      val ids = sohmTable(w,
+        Seq(attrV3("scale_factor", f64Msg, Seq(1), f64le(0.25))),
+        typeFlags = 0x0010) // attribute
+      // a dense store whose ONLY record carries the shared bit: its
+      // heap-ID field holds the SOHM heap ID, the store's own heap is
+      // empty (idLen source only)
+      val (denseHdr, _) = directHeap(w, Seq.empty)
+      val rec = msgBytes { x =>
+        x.bytes(ids.head); x.u8(0x02); x.u32(0L); x.u32(0xabc0L)
+      }
+      val bt = btreeV2(w, btype = 8, recSize = 8 + 9, Seq(rec))
+      val attrInfo = msgBytes { x => x.u8(0); x.u8(0); x.u64(denseHdr); x.u64(bt) }
+      val d = v1Header(w, Seq(
+        (1, dataspaceMsg(Seq(1))), (3, int32Msg),
+        (8, contiguousMsg(data, 4)),
+        (21, attrInfo)))
+      rootFor(w, "d" -> d)
+    }
+    val attrs = Hdf5.parse(bytes)("d").attrs
+    assert(attrs.exists(a => a.name == "scale_factor" && a.num == Seq(0.25)),
+      s"SOHM-shared dense attribute misread: $attrs")
+    // location type 0 ("not shared") under the shared flag is a
+    // precise error, never a misparse
+    val t0 = file { w =>
+      val data = w.pos
+      w.u32(7)
+      val d = v1HeaderF(w, Seq(
+        (1, 0, dataspaceMsg(Seq(1))),
+        (3, 0x02, msgBytes { x => x.u8(3); x.u8(0); x.u64(0L) }),
+        (8, 0, contiguousMsg(data, 4))))
+      rootFor(w, "d" -> d)
+    }
+    val e = intercept[RuntimeException](Hdf5.parse(t0))
+    assert(e.getMessage.contains("location type 0"), e.getMessage)
   }
 
   test("compound ATTRIBUTE with an enum-over-int member decodes as the base") {
