@@ -1871,6 +1871,53 @@ object Similarity {
     graft.SegmentProtocol.commitFold(fs, root, ids.last)
   }
 
+  /** The codes compaction as a schedulable [[graft.Pipeline.Stage]]
+    * (the q121 coordinator cadence — and q138's scheduled payoff: the
+    * streaming segments accrete one per batch, the appends one file
+    * per touched cell, the deletes one tombstone file each, and THIS
+    * is the interval decision that folds them back to one file per
+    * cell). Inspect the store driver-side (a directory listing, no
+    * job), fire only past the fragmentation thresholds, record the
+    * decision row — the [[graft.operators.MinhashStore.compactionStage]]
+    * shape.
+    */
+  def ivfpqCompactStage(indexDir: String, maxSegments: Int = 8,
+                        maxFilesPerCell: Int = 4,
+                        maxTombstoneFiles: Int = 8): graft.Pipeline.Stage =
+    graft.Pipeline.stage(s"ann-compact:$indexDir") { spark =>
+      import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+      val fs = graft.SegmentProtocol.fsOf(spark, indexDir)
+      def stats(): (Int, Int, Int) = {
+        val segs = graft.SegmentProtocol
+          .segIdsOnDisk(fs, segRoot(indexDir)).length
+        val tsP = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+        val ts = if (!fs.exists(tsP)) 0
+          else fs.listStatus(tsP).count(s =>
+            !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+        val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+        val maxFiles = if (!fs.exists(codes)) 0
+          else fs.listStatus(codes).toSeq
+            .filter(_.getPath.getName.startsWith("cid="))
+            .map(c => fs.listStatus(c.getPath)
+              .count(_.getPath.getName.endsWith(".parquet")))
+            .maxOption.getOrElse(0)
+        (segs, ts, maxFiles)
+      }
+      val (segs0, ts0, files0) = stats()
+      // a lone tombstone batch does NOT trigger a corpus rewrite (the
+      // anti-join carries it fine); fragmentation does
+      val fire = segs0 > maxSegments || files0 > maxFilesPerCell ||
+        ts0 > maxTombstoneFiles
+      if (fire) ivfpqCompactIndex(spark, indexDir)
+      val (segs1, ts1, files1) = stats()
+      Seq((segs0.toLong, ts0.toLong, files0.toLong, fire,
+          segs1.toLong, ts1.toLong, files1.toLong))
+        .toDF("segments_before", "tombstone_files", "max_files_per_cell",
+          "compacted", "segments_after", "tombstones_after",
+          "max_files_after")
+    }
+
   private val ivfpqAppendDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -2233,6 +2280,23 @@ object Similarity {
       Seq((freshAgg.getLong(1).toDouble / freshN, freshN))
         .toDF("mean_d2", "n_vectors")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/health")
+      // streaming ingest HISTORY survives the retrain (q138): the new
+      // index carries the old one's commit markers forward, so a
+      // checkpoint replay of an already-ingested batch stays a no-op
+      // against the rebuilt store (its rows are in the new base via
+      // `live`), and the batch-id monotonicity law holds across the
+      // swap. Segments themselves are NOT carried — the rebuild
+      // re-encodes the whole live corpus.
+      val oldCommits = new Path(s"${segRoot(indexDir)}/commits")
+      if (fs.exists(oldCommits)) {
+        val dst = new Path(s"${segRoot(tmp)}/commits")
+        fs.mkdirs(dst)
+        fs.listStatus(oldCommits).foreach { s =>
+          val n = s.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith("."))
+            fs.create(new Path(dst, n), true).close()
+        }
+      }
       // the commit point, then the park-promote-drop swap — the
       // kernel's (recoverRetrain finishes a crash here forward)
       graft.SegmentProtocol.commitSwap(fs, new Path(indexDir),

@@ -2171,4 +2171,84 @@ class NewOpsSpec extends AnyFunSuite {
       "streamed store diverged from the batch-ingested q138 store")
   }
 
+  test("q138 ingest history survives a retrain: markers carry forward, a replayed batch stays a no-op") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val root = mkTmp("graft_q138_rt")
+    val d = s"$root/index"
+    val baseF = emb.filter($"vec_id" % 3 =!= 2)
+    val b0 = emb.filter($"vec_id" % 3 === 2)
+    Similarity.ivfpqWriteIndex(baseF, d)
+    Similarity.ivfpqIngestBatch(b0, d, 0L)
+    val corpus = emb.select($"vec_id", $"embedding")
+    val run1 = Similarity.ivfpqRetrainIfDrifted(corpus, d).head()
+    assert(!run1.getAs[Boolean]("retrained"), "baseline run must not fire")
+    // drive the drift with an off-manifold STREAMED batch (the q136
+    // blob, landed through the q138 path): the seg's own ledger delta
+    // must feed the monitor, and the fired retrain must preserve the
+    // ingest history it folds away
+    val blob = emb.filter($"vec_id" % 17 === 0)
+      .select(($"vec_id" + 10000000L).as("vec_id"),
+        expr("transform(embedding, x -> x + CAST(10.0 AS FLOAT))")
+          .as("embedding"))
+    Similarity.ivfpqIngestBatch(blob, d, 1L)
+    val corpus2 = corpus.unionByName(blob)
+    val run2 = Similarity.ivfpqRetrainIfDrifted(corpus2, d).head()
+    assert(run2.getAs[Boolean]("retrained"),
+      "streamed off-manifold batch must fire the drift monitor")
+    assert(segCommits(d) == Seq(0L, 1L),
+      "retrain must carry the ingest commit markers forward")
+    assert(!new java.io.File(s"$d/codes_seg/seg=1").exists(),
+      "retrain re-encodes the corpus — segments must not survive")
+    val after = topkSig(Similarity.ivfpqStoredTopK(corpus2, d))
+    def ledgerN() = Similarity.ivfpqDeltaManifest(spark, d).get
+      .agg(sum($"n_vectors")).head().getLong(0)
+    val n0 = ledgerN()
+    // a checkpoint replay of the folded batch is a marker no-op; a
+    // fresh id above the carried history still ingests
+    Similarity.ivfpqIngestBatch(blob, d, 1L)
+    assert(topkSig(Similarity.ivfpqStoredTopK(corpus2, d)) == after &&
+      ledgerN() == n0,
+      "a replayed pre-retrain batch re-ingested into the rebuilt store")
+    Similarity.ivfpqIngestBatch(emb.filter(lit(false)), d, 2L)
+    assert(segCommits(d) == Seq(0L, 1L, 2L),
+      "a fresh batch id must still ingest after the carry-forward")
+  }
+
+  test("q138 scheduled compaction stage: below-threshold no-op, above-threshold fold, clean pipeline row") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val d = mkTmp("graft_q138_stage")
+    Similarity.ivfpqWriteIndex(emb.filter($"vec_id" % 3 =!= 2), d)
+    Similarity.ivfpqIngestBatch(
+      emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0), d, 0L)
+    Similarity.ivfpqIngestBatch(
+      emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 =!= 0), d, 1L)
+    Similarity.ivfpqDeleteIds(
+      emb.filter($"vec_id" % 11 === 3).select($"vec_id"), d)
+    val before = topkSig(Similarity.ivfpqStoredTopK(emb, d))
+    // below every threshold: the interval records a no-op (a lone
+    // tombstone batch must not trigger a corpus rewrite)
+    val noop = Similarity.ivfpqCompactStage(d).build(spark).head()
+    assert(!noop.getAs[Boolean]("compacted") &&
+      noop.getAs[Long]("segments_before") == 2L &&
+      noop.getAs[Long]("tombstone_files") == 1L, s"$noop")
+    assert(new java.io.File(s"$d/codes_seg/seg=0").exists(),
+      "a no-op interval must leave the segments alone")
+    // past the segment threshold: the fold fires and converges the
+    // store — segments retired, tombstones folded, one file per cell
+    val fired = Similarity.ivfpqCompactStage(d, maxSegments = 1)
+      .build(spark).head()
+    assert(fired.getAs[Boolean]("compacted") &&
+      fired.getAs[Long]("segments_after") == 0L &&
+      fired.getAs[Long]("tombstones_after") == 0L &&
+      fired.getAs[Long]("max_files_after") == 1L, s"$fired")
+    assert(topkSig(Similarity.ivfpqStoredTopK(emb, d)) == before,
+      "the scheduled fold changed the search answer")
+    // and through the Pipeline runner: a clean metrics row
+    val row = graft.Pipeline.run(spark,
+      Seq(Similarity.ivfpqCompactStage(d))).head()
+    assert(row.getAs[Boolean]("ok"), s"$row")
+  }
+
 }
