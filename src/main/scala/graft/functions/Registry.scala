@@ -29,7 +29,15 @@ object Registry {
     ("graft_pii_scan", "graft.functions.PiiScan",
       exprs => PiiScan.fromExprs(exprs)),
     ("graft_nfc", "graft.functions.NfcNormalize",
-      exprs => NfcNormalize.fromExprs(exprs)))
+      exprs => NfcNormalize.fromExprs(exprs)),
+    ("graft_sqd2", "graft.functions.VecSqDist",
+      exprs => VecSqDist.fromExprs(exprs)),
+    ("graft_nearest_code", "graft.functions.NearestCode",
+      exprs => NearestCode.fromExprs(exprs)),
+    ("graft_quantize", "graft.functions.QuantizeVec",
+      exprs => QuantizeVec.fromExprs(exprs)),
+    ("graft_vec_sub", "graft.functions.VecSubtract",
+      exprs => VecSubtract.fromExprs(exprs)))
 
   /** Idempotently register graft functions in the session's registry.
     * Skips names already present: re-registering emits a "function

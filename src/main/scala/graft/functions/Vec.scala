@@ -18,9 +18,39 @@ import org.apache.spark.sql.functions._
   */
 object Vec {
 
-  /** Quantize `array<float>` → `array<long>` at 3 decimals. */
-  def quantize(v: Column): Column =
+  /** Quantize `array<float>` → `array<long>` at 3 decimals — resolves
+    * to the native codegen'd [[QuantizeVec]] kernel (registered via
+    * [[Registry.ensure]], which every consuming operator calls).
+    */
+  def quantize(v: Column): Column = call_function("graft_quantize", v)
+
+  /** Higher-order-function twin of [[quantize]] (differential-test
+    * reference; registration-free).
+    */
+  def quantizeHof(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000).cast("long"))
+
+  /** Exact squared L2 distance of two quantized vectors — the native
+    * [[VecSqDist]] kernel (see [[Registry.ensure]]).
+    */
+  def sqd2(a: Column, b: Column): Column = call_function("graft_sqd2", a, b)
+
+  /** Higher-order-function twin of [[sqd2]]. */
+  def sqd2Hof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Elementwise difference of two quantized vectors (residuals) —
+    * the native [[VecSubtract]] kernel.
+    */
+  def subQ(a: Column, b: Column): Column = call_function("graft_vec_sub", a, b)
+
+  /** Argmin centroid slot against an inlined `array<array<long>>`
+    * table — the native [[NearestCode]] kernel; min(struct(d2, slot))
+    * tie-break like `assignCells`.
+    */
+  def nearestCode(v: Column, cents: Column): Column =
+    call_function("graft_nearest_code", v, cents)
 
   /** Exact integer dot product of two quantized vectors — resolves to
     * the native codegen'd [[LongDotProduct]] (see [[Registry.ensure]];
@@ -44,8 +74,9 @@ object Vec {
 
   /** Signed projection of a quantized vector onto a ±1 hyperplane
     * (for sign-random-projection LSH): true if dot(v, plane) > 0.
+    * Runs through the native [[LongDotProduct]] kernel — integer
+    * multiply/add in the same order as the HOF form, bit-identical.
     */
   def planeSide(v: Column, plane: Seq[Int]): Column =
-    aggregate(zip_with(v, typedlit(plane), (x, s) => x * s),
-      lit(0L), (acc, x) => acc + x) > 0
+    dotQ(v, typedlit(plane.map(_.toLong))) > 0
 }

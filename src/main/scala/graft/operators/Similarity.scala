@@ -216,8 +216,7 @@ object Similarity {
     */
   private[operators] def assignD2(q: DataFrame,
                                   centroids: DataFrame): DataFrame = {
-    val d2 = aggregate(zip_with($"v", $"cv", (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    val d2 = Vec.sqd2($"v", $"cv")
     q.crossJoin(broadcast(centroids))
       .select($"vec_id", $"v", struct(d2.as("d2"), $"cid").as("sc"))
       .groupBy($"vec_id")
@@ -236,8 +235,7 @@ object Similarity {
     */
   def assignCellsProbed(q: DataFrame, centroids: DataFrame,
                         nProbe: Int): DataFrame = {
-    val d2 = aggregate(zip_with($"v", $"cv", (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    val d2 = Vec.sqd2($"v", $"cv")
     val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cid")
     q.crossJoin(broadcast(centroids))
       .select($"vec_id", $"v", d2.as("d2"), $"cid")
@@ -316,31 +314,62 @@ object Similarity {
                   iters: Int = 5): DataFrame = {
     graft.functions.Registry.ensure(embeddings.sparkSession)
     val q = embeddings.select($"vec_id", Vec.quantize($"embedding").as("v"))
-    lloydLoop(q, seedCentroids(q, kCents), iters)
+    val seeds = seedCentroids(q, kCents).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toIndexedSeq
+    lloydLoop(q, seeds, iters)
   }
 
   /** The Lloyd rounds shared by [[kmeansTrain]] (full-corpus frame)
     * and [[kmeansTrainSampled]] (bounded sample frame): assignment +
-    * grid-requantized means + empty-cell fallback per round, centroid
-    * frame checkpointed flat between rounds.
+    * grid-requantized means + empty-cell fallback per round.
+    *
+    * The centroid table lives on the DRIVER between rounds (k × dim
+    * longs — the [[pqTrainDriverQ]] discipline, r19): assignment is
+    * the native [[graft.functions.NearestCode]] argmin against the
+    * inlined table (cents sorted by cid, so positional tie-break IS
+    * the (d2, cid) rule), and each round is exactly ONE job — the
+    * corpus scan's (cid, dim) partial-sum collect, k × dim bounded
+    * rows — with no per-round broadcast build, join, coalesce or
+    * checkpoint. Profiled before/after at sf0.1 (OPTIMIZATION_r19.md):
+    * the DataFrame-resident loop paid ~4 jobs/round plus two
+    * checkpoint materializations. Mean update and empty-cell fallback
+    * are the same double tree as kmeansStep/centroidsOf —
+    * floor((sum·1.0/1000.0/n)·1000) — so the trained centroids are
+    * bit-identical to the previous formulation (spec-pinned
+    * equivalence in DedupSimilaritySpec).
     */
-  private def lloydLoop(q: DataFrame, seeds: DataFrame,
+  private def lloydLoop(q: DataFrame, seeds: IndexedSeq[(Long, Seq[Long])],
                         iters: Int): DataFrame = {
-    var cents = seeds.localCheckpoint(true)
+    val spark = q.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    var cents = seeds.sortBy(_._1)
     var i = 0
-    while (i < iters) {
-      val means = assignCells(q, cents)
-        .select($"cid", posexplode($"v").as(Seq("dim", "q")))
+    while (i < iters && cents.nonEmpty) {
+      val coarseLit = typedlit(cents.map(_._2.toList).toList)
+      val cidsLit = typedlit(cents.map(_._1).toList)
+      val means = q
+        .withColumn("pos", Vec.nearestCode($"v", coarseLit) + 1)
+        .select(element_at(cidsLit, $"pos").as("cid"),
+          posexplode($"v").as(Seq("dim", "q")))
         .groupBy($"cid", $"dim")
         .agg(sum($"q").as("sum_q"), count(lit(1)).as("n"))
-        .withColumn("new_mean", $"sum_q" * 1.0 / 1000.0 / $"n")
-      cents = cents.as("old")
-        .join(centroidsOf(means).as("upd"), Seq("cid"), "left_outer")
-        .select($"cid", coalesce(col("upd.cv"), col("old.cv")).as("cv"))
-        .coalesce(1).localCheckpoint(true)
+        .collect()
+      val upd = means.map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+      cents = cents.map { case (cid, cv) =>
+        val dims = cv.indices.map(d => upd.get((cid, d)))
+        if (dims.exists(_.isEmpty)) (cid, cv)
+        else (cid, dims.map {
+          case Some((s, n)) =>
+            // same double tree as kmeansStep/centroidsOf:
+            // floor((sum_q * 1.0 / 1000.0 / n) * 1000)
+            math.floor(s * 1.0 / 1000.0 / n * 1000).toLong
+          case None => 0L
+        })
+      }
       i += 1
     }
-    cents
+    cents.toDF("cid", "cv")
   }
 
   /** Bounded training-sample cap: 64 × the largest codebook this
@@ -415,7 +444,6 @@ object Similarity {
       return sq.select($"vec_id".as("cid"), $"v".as("cv"))
     val seeds = seedRows.toIndexedSeq.zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }
-      .toDF("cid", "cv")
     lloydLoop(sq, seeds, iters)
   }
 
@@ -574,14 +602,12 @@ object Similarity {
     * expression: no join, no shuffle, evaluated inside the scan
     * projection.
     */
-  private def bestCode(sv: Column, centsLit: Column, kEff: Int): Column = {
-    def d2c(cv: Column): Column =
-      aggregate(zip_with(sv, cv, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
-    array_min(transform(sequence(lit(0), lit(kEff - 1)),
-      c => struct(d2c(element_at(centsLit, c + 1)).as("d2"),
-        c.as("cid"))))("cid")
-  }
+  private def bestCode(sv: Column, centsLit: Column, kEff: Int): Column =
+    // native argmin kernel (r19, guide §4): same (d2, cid) tie-break
+    // as the HOF array_min(transform(...)) form, one tight loop per
+    // row instead of kEff interpreted lambda folds. The slice keeps
+    // the first-kEff contract; over a literal it constant-folds.
+    Vec.nearestCode(sv, slice(centsLit, 1, kEff))
 
   /** Wide-form PQ encoding against driver-resident codebooks: one
     * int code column per subspace (vec_id, c0..c{nSub-1}), computed
@@ -777,10 +803,7 @@ object Similarity {
       .select($"query_id", $"vec_id")
     val qmap = typedlit(qRows.map(row =>
       row.getLong(0) -> row.getSeq[Long](1).toList).toMap)
-    val exactD2 = aggregate(
-      zip_with($"v", element_at(qmap, $"query_id"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    val exactD2 = Vec.sqd2($"v", element_at(qmap, $"query_id"))
     val w = Window.partitionBy($"query_id").orderBy($"d2", $"vec_id")
     quantizedNonEmpty(embeddings).join(broadcast(short), Seq("vec_id"))
       .select($"query_id", $"vec_id", exactD2.as("d2"))
@@ -813,7 +836,7 @@ object Similarity {
       .withColumn("cid", element_at(cidsLit, $"pos"))
       .withColumn("ev",
         if (byResidual)
-          zip_with($"v", element_at(coarseLit, $"pos"), (x, y) => x - y)
+          Vec.subQ($"v", element_at(coarseLit, $"pos"))
         else $"v")
     // withD2 (r19, the delta-manifest ledger): the squared coarse
     // residual of the row it encodes — the exact value [[assignD2]]
@@ -825,10 +848,7 @@ object Similarity {
     // out of the hot path's I/O.
     val d2Cols =
       if (!withD2) Nil
-      else Seq(aggregate(
-        zip_with($"v", element_at(coarseLit, $"pos"),
-          (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x).as("d2"))
+      else Seq(Vec.sqd2($"v", element_at(coarseLit, $"pos")).as("d2"))
     base.select(
       ($"vec_id" +: $"cid" +: d2Cols) ++
       cents.indices.map { m =>
@@ -849,7 +869,7 @@ object Similarity {
     quantizedNonEmpty(embeddings)
       .withColumn("pos", bestCode($"v", coarseLit, coarse.size) + 1)
       .select($"vec_id", element_at(cidsLit, $"pos").as("cid"),
-        zip_with($"v", element_at(coarseLit, $"pos"), (x, y) => x - y).as("v"))
+        Vec.subQ($"v", element_at(coarseLit, $"pos")).as("v"))
   }
 
   /** Per-query probed cells, computed on the driver: argmin-d2 with
@@ -1067,10 +1087,7 @@ object Similarity {
       qRows: Array[org.apache.spark.sql.Row], k: Int): DataFrame = {
     val qmap = typedlit(qRows.map(row =>
       row.getLong(0) -> row.getSeq[Long](1).toList).toMap)
-    val exactD2 = aggregate(
-      zip_with($"v", element_at(qmap, $"query_id"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    val exactD2 = Vec.sqd2($"v", element_at(qmap, $"query_id"))
     val w = Window.partitionBy($"query_id").orderBy($"d2", $"vec_id")
     quantizedNonEmpty(embeddings).join(broadcast(short), Seq("vec_id"))
       .select($"query_id", $"vec_id", exactD2.as("d2"))
@@ -2464,8 +2481,7 @@ object Similarity {
     // both engines must drop the same rows
     val q0 = quantizedNonEmpty(embeddings)
     def d2To(cv: Seq[Long]): Column =
-      aggregate(zip_with($"v", typedlit(cv.toList),
-        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+      Vec.sqd2($"v", typedlit(cv.toList))
     val seedRow = q0.orderBy($"vec_id").limit(1).collect()
     if (seedRow.isEmpty)
       return Seq.empty[(Int, Long, Long)].toDF("round", "vec_id", "maxmin_d2")
@@ -2533,9 +2549,8 @@ object Similarity {
         // sign row sliced to the input's dimension: a shorter vector
         // (the fuzz corpora carry dim-16 embeddings) must project
         // over its real components, not null-pad to 64
-        aggregate(zip_with($"v",
-          slice(typedlit(s.map(_.toLong)), lit(1), size($"v")),
-          (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        Vec.dotQ($"v",
+          slice(typedlit(s.map(_.toLong)), lit(1), size($"v")))
       }: _*)).as(Seq("out_dim", "proj")))
       .orderBy($"vec_id", $"out_dim")
   }

@@ -310,6 +310,104 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("r19 native vector kernels match their HOF twins on real embeddings") {
+    import org.apache.spark.sql.functions.{aggregate, col, element_at, lit, sequence, slice, struct, transform, typedlit, zip_with, array_min}
+    graft.functions.Registry.ensure(spark)
+    val emb = Tables.embeddings(spark, dir)
+    // quantize: native == transform(floor(x*1000)) elementwise
+    val qdiff = emb.select(
+        graft.functions.Vec.quantize(col("embedding")).as("a"),
+        graft.functions.Vec.quantizeHof(col("embedding")).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(qdiff == 0, "graft_quantize diverged from the HOF twin")
+    val q = emb.select(col("vec_id"),
+      graft.functions.Vec.quantize(col("embedding")).as("v"))
+    // sqd2: native == aggregate(zip_with square-diff) on every pair
+    // of (vector, shifted vector) rows
+    val s = q.limit(64).collect().map(_.getSeq[Long](1))
+    val cents = s.take(16).toIndexedSeq
+    val centsLit = typedlit(cents.map(_.toList).toList)
+    val d2diff = q.select(
+        graft.functions.Vec.sqd2(col("v"), element_at(centsLit, 3)).as("a"),
+        graft.functions.Vec.sqd2Hof(col("v"), element_at(centsLit, 3)).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(d2diff == 0, "graft_sqd2 diverged from the HOF twin")
+    // nearestCode: native argmin == array_min(transform(struct)) rule
+    def d2c(sv: org.apache.spark.sql.Column, cv: org.apache.spark.sql.Column) =
+      aggregate(zip_with(sv, cv, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val hofBest = array_min(transform(sequence(lit(0), lit(cents.size - 1)),
+      c => struct(d2c(col("v"), element_at(centsLit, c + 1)).as("d2"),
+        c.as("cid"))))("cid")
+    val ncdiff = q.select(
+        graft.functions.Vec.nearestCode(col("v"), centsLit).as("a"),
+        hofBest.as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(ncdiff == 0, "graft_nearest_code diverged from the HOF argmin")
+    // vecSub: native == zip_with subtraction
+    val vsdiff = q.select(
+        graft.functions.Vec.subQ(col("v"), element_at(centsLit, 2)).as("a"),
+        zip_with(col("v"), element_at(centsLit, 2), (x, y) => x - y).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(vsdiff == 0, "graft_vec_sub diverged from the HOF twin")
+    // ragged/mismatch edges: sqd2 NULL, nearestCode null-d2-first
+    // tie-break, vecSub pad-to-max semantics, empty table → NULL
+    import spark.implicits._
+    val ragged = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    assert(ragged.select(graft.functions.Vec.sqd2($"a", $"b"))
+      .collect()(0).isNullAt(0))
+    assert(ragged.select(graft.functions.Vec.subQ($"a", $"b"))
+      .collect()(0).getSeq[Any](0) == Seq(0L, 0L, null))
+    val mixed = typedlit(List(List(9L, 9L, 9L), List(1L, 2L))) // slot 1 ragged
+    val win = Seq(Tuple1(Seq(1L, 2L))).toDF("v")
+      .select(graft.functions.Vec.nearestCode($"v", mixed)).collect()(0)
+    // HOF rule: null d2 (ragged slot 0 vs len-2 v) sorts FIRST
+    assert(win.getInt(0) == 0,
+      s"null-d2 slot must win the argmin like the HOF struct ordering: $win")
+    val empty = Seq(Tuple1(Seq(1L, 2L))).toDF("v")
+      .select(graft.functions.Vec.nearestCode($"v",
+        typedlit(List.empty[List[Long]]))).collect()(0)
+    assert(empty.isNullAt(0), "empty centroid table must yield NULL")
+  }
+
+  test("r19 driver-resident Lloyd loop is bit-identical to the DataFrame-resident formulation") {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, posexplode, sum}
+    graft.functions.Registry.ensure(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.select(col("vec_id"),
+      graft.functions.Vec.quantize(col("embedding")).as("v"))
+    // the pre-r19 loop, verbatim: broadcast-join assignment via
+    // assignCells, grid-requantized means via centroidsOf, empty-cell
+    // fallback via the left_outer join
+    def oldLoop(seeds: org.apache.spark.sql.DataFrame,
+                iters: Int): org.apache.spark.sql.DataFrame = {
+      var cents = seeds.localCheckpoint(true)
+      var i = 0
+      while (i < iters) {
+        val means = Similarity.assignCells(q, cents)
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "q")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+          .withColumn("new_mean", col("sum_q") * 1.0 / 1000.0 / col("n"))
+        cents = cents.as("old")
+          .join(Similarity.centroidsOf(means).as("upd"), Seq("cid"), "left_outer")
+          .select(col("cid"),
+            coalesce(col("upd.cv"), col("old.cv")).as("cv"))
+          .coalesce(1).localCheckpoint(true)
+        i += 1
+      }
+      cents
+    }
+    for (iters <- Seq(1, 3)) {
+      val ref = oldLoop(Similarity.seedCentroids(q, 8), iters)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val got = Similarity.kmeansTrain(emb, kCents = 8, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == ref,
+        s"driver-resident Lloyd diverged at iters=$iters")
+    }
+  }
+
   test("native dot product returns NULL on ragged vectors like the HOF twin") {
     import spark.implicits._
     graft.functions.Registry.ensure(spark)
