@@ -37,7 +37,9 @@ object Registry {
     ("graft_quantize", "graft.functions.QuantizeVec",
       exprs => QuantizeVec.fromExprs(exprs)),
     ("graft_vec_sub", "graft.functions.VecSubtract",
-      exprs => VecSubtract.fromExprs(exprs)))
+      exprs => VecSubtract.fromExprs(exprs)),
+    ("graft_rolling_fp", "graft.functions.RollingFingerprints",
+      exprs => RollingFingerprints.fromExprs(exprs)))
 
   /** Idempotently register graft functions in the session's registry.
     * Skips names already present: re-registering emits a "function

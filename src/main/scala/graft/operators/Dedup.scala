@@ -45,6 +45,7 @@ object Dedup {
 
   def ngramJaccard(documents: DataFrame, n: Int = 3, tau: Double = 0.1,
                    maxShingleDf: Long = MaxShingleDf): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
     // the hashed-shingle frame is materialized ONCE (localCheckpoint)
     // and reused by the DF-cap aggregate and both self-join sides —
     // round 7's probe showed the un-persisted form re-reading and
@@ -58,8 +59,7 @@ object Dedup {
       .withColumn("w", TextAnalysis.tokens($"text"))
       .select(
         $"doc_id",
-        array_distinct(transform(TextAnalysis.shinglesOf($"w", n), s => xxhash64(s)))
-          .as("hs"))
+        array_distinct(TextAnalysis.hashedShinglesOf($"w", n)).as("hs"))
       .withColumn("n_sh", size($"hs"))
       .localCheckpoint(true)
     val exploded = sets.select($"doc_id", $"n_sh", explode($"hs").as("h"))
@@ -128,11 +128,11 @@ object Dedup {
     */
   def minhashSignatures(documents: DataFrame, n: Int = 3,
                         k: Int = MinHashK): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
     val sh = documents
       .withColumn("w", TextAnalysis.tokens($"text"))
       .select($"doc_id",
-        explode(array_distinct(
-          transform(TextAnalysis.shinglesOf($"w", n), s => xxhash64(s)))).as("h"))
+        explode(array_distinct(TextAnalysis.hashedShinglesOf($"w", n))).as("h"))
     val sigCols = (0 until k).map { i =>
       min(xxhash64(lit(i), $"h")).as(s"m$i")
     }
@@ -325,6 +325,11 @@ object Dedup {
       .filter($"doc_id" =!= $"root")
       .select($"root".as("doc_a"), $"doc_id".as("doc_b"))
     val edges = near.select($"doc_a", $"doc_b").union(exactEdges).distinct()
+    // (r19 note, guide §2.4: pre-partitioning und/labels on the join
+    // keys was measured and REVERTED — Dataset.localCheckpoint
+    // reports UnknownPartitioning in Spark 4.1, so the clustering
+    // does not survive the per-round checkpoints and the repartition
+    // is a pure extra exchange.)
     val und = edges.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(edges.select($"doc_b".as("u"), $"doc_a".as("v")))
       .localCheckpoint(true)
@@ -544,14 +549,13 @@ object Dedup {
     */
   def substringDedup(documents: DataFrame, k: Int = 8,
                      hashFingerprints: Boolean = false): DataFrame = {
-    val fpOf: Column => Column =
-      if (hashFingerprints) xxhash64(_) else md5(_)
+    graft.functions.Registry.ensure(documents.sparkSession)
+    val mode = if (hashFingerprints) "xx" else "md5"
     val wins = documents
       .withColumn("w", TextAnalysis.tokens($"text"))
       .filter(size($"w") >= k)
       .select($"doc_id", explode(
-        transform(sequence(lit(1), size($"w") - (k - 1)), i =>
-          fpOf(concat_ws(" ", (0 until k).map(j => element_at($"w", i + j)): _*))))
+        call_function("graft_rolling_fp", $"w", lit(k), lit(1), lit(mode)))
         .as("fp"))
     val perFpDoc = wins.groupBy($"fp", $"doc_id")
       .agg(count(lit(1)).as("cnt"))
@@ -664,6 +668,7 @@ object Dedup {
     */
   def lineDedup(documents: DataFrame, span: Int = 5,
                 hashKeys: Boolean = false): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
     val spans = documents
       .withColumn("w", graft.operators.TextAnalysis.tokens($"text"))
       // NOT an empty-doc exclusion: split(trim(text)) yields [""]
@@ -674,9 +679,7 @@ object Dedup {
       // sequence(0, -1) would descend (r16, ADVICE comment fix).
       .filter(size($"w") >= 1)
       .select($"doc_id", posexplode(
-        transform(sequence(lit(0), ceil(size($"w") / lit(span.toDouble))
-            .cast("int") - 1),
-          p => concat_ws(" ", slice($"w", p * span + 1, lit(span))))))
+        call_function("graft_rolling_fp", $"w", lit(span), lit(span), lit("str"))))
       .withColumnRenamed("col", "s")
     // hash path adds the 8-byte key NEXT TO the span; string path
     // joins on the span itself (no duplicated payload either way)
@@ -846,6 +849,7 @@ object Dedup {
     */
   def exactSubstrRemoval(documents: DataFrame, k: Int = 8,
                          hashFingerprints: Boolean = false): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
     require(k >= 2, s"window width k=$k must be >= 2")
     val wins = substrWins(documents, k, hashFingerprints)
     val firsts = substrFirsts(wins)
@@ -857,14 +861,17 @@ object Dedup {
     */
   private def substrWins(documents: DataFrame, k: Int,
                          hashFingerprints: Boolean): DataFrame = {
-    val fpOf: Column => Column =
-      if (hashFingerprints) xxhash64(_) else md5(_)
+    // native rolling kernel (r19, guide §4): same window strings,
+    // same md5/xxhash64 bytes as the transform(sequence(...)) HOF
+    // form, one tight loop per doc instead of an interpreted lambda
+    // per window
+    val mode = if (hashFingerprints) "xx" else "md5"
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .withColumn("w", TextAnalysis.tokens($"text"))
       .filter(size($"w") >= k)
       .select($"doc_id", posexplode(
-        transform(sequence(lit(1), size($"w") - (k - 1)), i =>
-          fpOf(concat_ws(" ", (0 until k).map(j => element_at($"w", i + j)): _*))))
+        call_function("graft_rolling_fp", $"w", lit(k), lit(1), lit(mode)))
         .as(Seq("p0", "fp")))
       .select($"doc_id", ($"p0" + 1).as("pos"), $"fp")
   }
@@ -954,6 +961,7 @@ object Dedup {
   def exactSubstrRemovalIncremental(batch: DataFrame,
       standingFirsts: Option[DataFrame], k: Int = 8,
       hashFingerprints: Boolean = false): DataFrame = {
+    graft.functions.Registry.ensure(batch.sparkSession)
     require(k >= 2, s"window width k=$k must be >= 2")
     val wins = substrWins(batch, k, hashFingerprints)
     val firsts = mergedFirstsOf(standingFirsts, wins)
@@ -995,6 +1003,7 @@ object Dedup {
     */
   def exactSubstrRemovalTwoBatch(documents: DataFrame,
                                  k: Int = 8): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
     val cutRow = documents.agg(
       percentile_approx($"doc_id", lit(0.5), lit(100000))).head()
     // empty corpus: the median aggregate is NULL — there is nothing

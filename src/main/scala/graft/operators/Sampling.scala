@@ -240,6 +240,7 @@ object Sampling {
                           mod: Int = 97,
                           broadcastEval: Option[Boolean] = None,
                           hashShingleKeys: Boolean = false): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
     val evalBase = documents.filter($"doc_id" % mod === 0)
     val shingleKey: Column => Column =
       if (hashShingleKeys) c => xxhash64(c) else identity
@@ -313,6 +314,7 @@ object Sampling {
   def dsirWeights(documents: DataFrame, targetLang: String = "en",
                   topK: Int = 50, hashFeatures: Boolean = false,
                   numBuckets: Int = 8192): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
     val keyOf: Column => Column =
       if (hashFeatures) c => pmod(xxhash64(c), lit(numBuckets.toLong))
       else identity
@@ -438,6 +440,7 @@ object Sampling {
   def curationManifest(documents: DataFrame, qualityMin: Double = 0.5,
                        n: Int = 8, mod: Int = 97,
                        broadcastEval: Option[Boolean] = None): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
     val byHash = org.apache.spark.sql.expressions.Window
       .partitionBy(md5($"text"))
     val flags = TextAnalysis.withQuality(documents.filter($"doc_id" % mod =!= 0))
@@ -577,6 +580,12 @@ object Sampling {
       .agg(count(lit(1)).as("cnt"))
     val biasRows = base.select($"doc_id", $"split", $"y", $"n_tok",
       lit(nFeatures).as("f"), $"n_tok".as("cnt"))
+    // (r19 note, guide §2.4: pre-partitioning this frame by doc_id
+    // was measured and REVERTED — Dataset.localCheckpoint reports
+    // UnknownPartitioning in Spark 4.1, so the clustering does not
+    // survive the checkpoint and the repartition is a pure extra
+    // exchange. The per-round join-back is broadcast at runtime by
+    // AQE instead.)
     val train = featRows.unionByName(biasRows).localCheckpoint(true)
     // gradients come from the TRAIN shard only — the val shard is
     // never touched by the optimizer, so its accuracy is held-out
@@ -595,6 +604,10 @@ object Sampling {
           floor((lit(1.0) / (lit(1.0) + exp(-margin)) -
             $"y".cast("double")) / $"n_tok" * QcScale)
             .cast("long").as("gq"))
+      // both join sides inherit HashPartitioning(doc_id) from the
+      // checkpoint (gdoc is an aggregate OVER that partitioning), so
+      // the join-back is exchange-free; a broadcast would be wrong at
+      // scale — gdoc is one row per training doc, corpus-sized
       val grads = trainShard.join(gdoc, Seq("doc_id"))
         .groupBy($"f")
         .agg(sum($"cnt" * $"gq").as("g"))

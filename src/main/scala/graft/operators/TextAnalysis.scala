@@ -142,9 +142,18 @@ object TextAnalysis {
     */
   def shinglesOf(w: Column, n: Int = 3): Column =
     when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+      call_function("graft_rolling_fp", w, lit(n), lit(1), lit("str")))
       .otherwise(array().cast("array<string>"))
+
+  /** Hashed word-shingles — `transform(shinglesOf(w, n), xxhash64)`
+    * fused into the native rolling kernel (one tight loop per row;
+    * the HOF twin pays an interpreted lambda per shingle). Same
+    * xxhash64 seed/bytes, so candidate sets are identical.
+    */
+  def hashedShinglesOf(w: Column, n: Int = 3): Column =
+    when(size(w) >= n,
+      call_function("graft_rolling_fp", w, lit(n), lit(1), lit("xx")))
+      .otherwise(array().cast("array<bigint>"))
 
   /** Convenience form over raw text — fine for small/cold paths; hot
     * paths should materialize the token column and use [[shinglesOf]].
@@ -208,6 +217,7 @@ object TextAnalysis {
     * certifies the test corpora it runs on, not production data.
     */
   def repetition(documents: DataFrame): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
     val sh = documents
       .withColumn("w", tokens($"text"))
       .select($"doc_id", explode(shinglesOf($"w")).as("s"))
@@ -806,8 +816,12 @@ object TextAnalysis {
       .localCheckpoint(true)
     val c1 = c2.groupBy($"prev").agg(sum($"c2").as("c1"))
     val voc = c2.agg(countDistinct($"w").as("vsz"))
-    bi.join(c2, Seq("prev", "w"))
-      .join(c1, Seq("prev"))
+    // join the two count tables FIRST (both derive from the bounded
+    // checkpointed bigram table), so the token-level frame `bi` is
+    // shuffled once on (prev, w) instead of once more on prev —
+    // guide §2.4; row-for-row the same (c2, c1) reach each bigram
+    val stats = c2.join(c1, Seq("prev"))
+    bi.join(stats, Seq("prev", "w"))
       .crossJoin(broadcast(voc))
       .select($"doc_id", $"pos",
         (($"c2" + 1).cast("double") /

@@ -15,8 +15,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every declared query loads through here — the one choke point
+    // where the session is guaranteed in hand, so the native-function
+    // registry is ensured for the text kernels whose operators take
+    // Column-level token arrays (no session handle of their own)
+    graft.functions.Registry.ensure(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every table as a temp view so pure SQL text runs
     * against the engine — the surface a BI tool (the reference's

@@ -121,6 +121,53 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(twice == composed)
   }
 
+  test("graft_rolling_fp: every mode matches its HOF twin on real corpus text") {
+    Registry.ensure(spark)
+    import graft.sources.Tables
+    val w = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(graft.operators.TextAnalysis.tokens(col("text")).as("w"))
+    def rfp(k: Int, s: Int, m: String) =
+      call_function("graft_rolling_fp", col("w"), lit(k), lit(s), lit(m))
+    // md5 rolling windows (q124/q98/q128 shape), k = 8
+    val md5Twin = transform(sequence(lit(1), size(col("w")) - 7), i =>
+      md5(concat_ws(" ", (0 until 8).map(j => element_at(col("w"), i + j)): _*)))
+    assert(w.filter(size(col("w")) >= 8)
+      .select(rfp(8, 1, "md5").as("a"), md5Twin.as("b"))
+      .filter(!(col("a") <=> col("b"))).count() == 0,
+      "md5 windows diverged from the HOF twin")
+    // xx rolling windows, k = 8
+    val xxTwin = transform(sequence(lit(1), size(col("w")) - 7), i =>
+      xxhash64(concat_ws(" ", (0 until 8).map(j => element_at(col("w"), i + j)): _*)))
+    assert(w.filter(size(col("w")) >= 8)
+      .select(rfp(8, 1, "xx").as("a"), xxTwin.as("b"))
+      .filter(!(col("a") <=> col("b"))).count() == 0,
+      "xxhash64 windows diverged from the HOF twin")
+    // string shingles (shinglesOf shape), n = 3
+    val strTwin = transform(sequence(lit(1), size(col("w")) - 2), i =>
+      concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1),
+        element_at(col("w"), i + 2)))
+    assert(w.filter(size(col("w")) >= 3)
+      .select(rfp(3, 1, "str").as("a"), strTwin.as("b"))
+      .filter(!(col("a") <=> col("b"))).count() == 0,
+      "string shingles diverged from the HOF twin")
+    // span tiles (q122 shape), span = 5, partial last window
+    val tileTwin = transform(
+      sequence(lit(0), ceil(size(col("w")) / lit(5.0)).cast("int") - 1),
+      p => concat_ws(" ", slice(col("w"), p * 5 + 1, lit(5))))
+    assert(w.filter(size(col("w")) >= 1)
+      .select(rfp(5, 5, "str").as("a"), tileTwin.as("b"))
+      .filter(!(col("a") <=> col("b"))).count() == 0,
+      "span tiles diverged from the HOF twin")
+    // short-doc edge: n < width yields an empty array in stride-1 mode
+    import spark.implicits._
+    val short = Seq(Tuple1(Seq("a", "b"))).toDF("w")
+    assert(short.select(rfp(3, 1, "md5")).collect()(0)
+      .getSeq[Any](0).isEmpty)
+    // null token array propagates null
+    val nul = Seq(Tuple1(Option.empty[Seq[String]])).toDF("w")
+    assert(nul.select(rfp(3, 1, "md5")).collect()(0).isNullAt(0))
+  }
+
   test("native expressions propagate null inputs as null") {
     Registry.ensure(spark)
     import spark.implicits._
