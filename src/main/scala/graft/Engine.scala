@@ -19,6 +19,12 @@ object Engine {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // (r20 measured-and-rejected: lowering
+      // spark.sql.adaptive.coalescePartitions.minPartitionSize to 256k
+      // to give CPU-dense small shuffles more post-shuffle tasks was a
+      // full-suite LOSS — geomean 1.045× slower, the extra per-task
+      // fixed cost on byte-light aggregation stages outweighed the
+      // pair-join parallelism it bought. The stock 1m floor stands.)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")

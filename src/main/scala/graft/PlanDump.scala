@@ -69,7 +69,9 @@ object Profile {
           val m = s.stageInfo.taskMetrics
           val wall = (for {a <- s.stageInfo.completionTime; b <- s.stageInfo.submissionTime}
             yield (a - b) / 1e3).getOrElse(-1.0)
-          stageRows.add((s.stageInfo.stageId, s.stageInfo.name.takeWhile(_ != '\n').take(70),
+          stageRows.add((s.stageInfo.stageId,
+            f"gc=${m.jvmGCTime / 1e3}%.3f deser=${m.executorDeserializeTime / 1e3}%.3f cpu=${m.executorCpuTime / 1e9}%.3f " +
+              s.stageInfo.name.takeWhile(_ != '\n').take(40),
             s.stageInfo.numTasks, wall, m.executorRunTime / 1e3))
         }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {

@@ -55,6 +55,9 @@ object Dedup {
     // hashes, no text column), and tokenize+shingle+hash is the CPU
     // hot spot — at 100 TB one pass + executor-local reread beats
     // two full tokenize passes.
+    // (no Par.fan here: the shingle build is ~0.1 s of the query; the
+    // pair join dominates, and the fan's extra exchange + AQE stage
+    // was measured to COST q24 ~1 s in planning/fixed overhead)
     val sets = documents
       .withColumn("w", TextAnalysis.tokens($"text"))
       .select(
@@ -325,46 +328,89 @@ object Dedup {
       .filter($"doc_id" =!= $"root")
       .select($"root".as("doc_a"), $"doc_id".as("doc_b"))
     val edges = near.select($"doc_a", $"doc_b").union(exactEdges).distinct()
-    // (r19 note, guide §2.4: pre-partitioning und/labels on the join
-    // keys was measured and REVERTED — Dataset.localCheckpoint
-    // reports UnknownPartitioning in Spark 4.1, so the clustering
-    // does not survive the per-round checkpoints and the repartition
-    // is a pure extra exchange.)
-    val und = edges.select($"doc_a".as("u"), $"doc_b".as("v"))
+    // r20 (guide §2.4): the undirected edge frame is persist()ed
+    // behind an explicit repartition + sort on the probe key u — NOT
+    // localCheckpoint()ed, because InMemoryTableScan preserves the
+    // cached plan's outputPartitioning/outputOrdering where
+    // localCheckpoint reports UnknownPartitioning (the r19 probe that
+    // led to the revert; persist is the form that makes the r19 idea
+    // work). Effect: the per-round `und ⋈ labels` join re-shuffled
+    // and re-sorted the EDGE frame every round — now it shuffles once
+    // here and every round reads the cached, pre-sorted partitions.
+    // The cache is released before returning (the bounded result is
+    // checkpointed first), so re-invocations recompute from parquet.
+    // r20 restructure (guide §1.2 / §2.4, the r19 lloydLoop / r20 q117
+    // precedent): the propagation rounds leave Catalyst. The r19 form
+    // re-planned join + aggregate + join + checkpoint + certificate
+    // queries per round (~10 AQE stage-jobs and 2 actions each, and
+    // the edge frame re-shuffled on u EVERY round because
+    // localCheckpoint loses its partitioning). Both loop frames are
+    // plain key-value RDDs sharing one HashPartitioner: `und` and the
+    // label frame are co-partitioned, so the per-round neighbor-min
+    // join is NARROW on both sides and the only shuffle left is the
+    // (v, min-label) reduce — edges move across the wire ONCE at
+    // setup instead of once per round. Each round is ONE RDD job
+    // (the certificate sum is the materializing action) with zero
+    // planning. Semantics are row-identical: inner join on u = node,
+    // min per v, left join back with least() — and the certificate
+    // stays an EXACT integer sum (BigInt here ≡ the old
+    // decimal(38,0): a long sum could overflow at 100 TB id ranges
+    // and a wrapped sum could fake a fixed point). The differential
+    // spec pins this loop against the old DataFrame formulation.
+    val spark = documents.sparkSession
+    val undDf = edges.select($"doc_a".as("u"), $"doc_b".as("v"))
       .union(edges.select($"doc_b".as("u"), $"doc_a".as("v")))
-      .localCheckpoint(true)
-    // no checkpoint on the seed labels — it's a bare projection of the
-    // input scan; the per-round checkpoints below bound lineage anyway
-    var labels = documents.select($"doc_id".as("node"), $"doc_id".as("label"))
-    // the certificate sum runs in decimal(38,0): a long sum could
-    // overflow at 100 TB id ranges and a wrapped sum could fake a
-    // fixed point
-    // coalesce: on an empty input sum() is NULL and getDecimal would
-    // return null, NPE-ing the convergence compare — an empty corpus
-    // must yield an empty result, not a crash
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum($"label".cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
-        .head().getDecimal(0)
+    val seedDf = documents.select($"doc_id".as("node"), $"doc_id".as("label"))
+    val undSrc = undDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // loop-state partition count comes from the AQE-coalesced edge
+    // frame itself (scale-adaptive: tiny locally, grows with the
+    // corpus) — a core-count floor here was measured 3-5× slower,
+    // pure per-task fixed cost on sub-MB partitions
+    val nParts = math.max(1, undSrc.getNumPartitions)
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    val und = undSrc.partitionBy(part).persist()
+    var labels = seedDf.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part).persist()
+    def labelSum(rdd: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      rdd.mapPartitions { it =>
+        var s = BigInt(0); it.foreach(kv => s += kv._2); Iterator.single(s)
+      }.fold(BigInt(0))(_ + _)
     var prevSum = labelSum(labels)
+    var prevCached = labels
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val nbrMin = und.join(labels, $"u" === $"node")
-        .groupBy($"v")
-        .agg(min($"label").as("nbr_label"))
-      labels = labels.join(nbrMin, $"node" === $"v", "left")
-        .select($"node",
-          least($"label", coalesce($"nbr_label", $"label")).as("label"))
-        .localCheckpoint(true)
+      val nbrMin = und.join(labels)
+        .map { case (_, (v, lbl)) => (v, lbl) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      labels = labels.leftOuterJoin(nbrMin)
+        .mapValues { case (l, o) => math.min(l, o.getOrElse(l)) }
+        .persist()
       val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
+      prevCached.unpersist(false)
+      prevCached = labels
+      converged = s == prevSum
       prevSum = s
       iter += 1
     }
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("label"))
+    // only the UNSORTED label pairs are checkpointed (narrow, no
+    // sort) so the loop RDDs can be released; the sizes join and the
+    // output ORDER BY stay LAZY — a consumer that immediately re-joins
+    // the clusters (q123/q127/q129 keep-best) lets Catalyst eliminate
+    // the sort instead of paying an eager materialization of it
+    val labelsDf = spark.createDataFrame(
+      labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.LongType))))
+      .localCheckpoint(true)
+    und.unpersist(false)
+    labels.unpersist(false)
+    val sizes = labelsDf.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labelsDf.join(sizes, Seq("label"))
       .select($"node".as("doc_id"), $"label".as("cluster_id"),
         $"cluster_size", ($"node" === $"label").as("is_keeper"))
       .orderBy($"doc_id")
@@ -669,7 +715,7 @@ object Dedup {
   def lineDedup(documents: DataFrame, span: Int = 5,
                 hashKeys: Boolean = false): DataFrame = {
     graft.functions.Registry.ensure(documents.sparkSession)
-    val spans = documents
+    val spans = Par.fan(documents, $"doc_id")
       .withColumn("w", graft.operators.TextAnalysis.tokens($"text"))
       // NOT an empty-doc exclusion: split(trim(text)) yields [""]
       // (size 1) on an empty/whitespace doc, so such docs flow
@@ -867,9 +913,10 @@ object Dedup {
     // per window
     val mode = if (hashFingerprints) "xx" else "md5"
     graft.functions.Registry.ensure(documents.sparkSession)
-    documents
+    Par.fan(documents, $"doc_id")
       .withColumn("w", TextAnalysis.tokens($"text"))
       .filter(size($"w") >= k)
+      // (fan above: the rolling-fingerprint kernel is the CPU cost)
       .select($"doc_id", posexplode(
         call_function("graft_rolling_fp", $"w", lit(k), lit(1), lit(mode)))
         .as(Seq("p0", "fp")))
@@ -897,7 +944,7 @@ object Dedup {
       .filter(!($"doc_id" === $"first.doc_id" && $"pos" === $"first.pos"))
       .groupBy($"doc_id")
       .agg(array_sort(collect_list($"pos")).as("dups"))
-    val toks = documents
+    val toks = Par.fan(documents, $"doc_id")
       .select($"doc_id", TextAnalysis.tokens($"text").as("w"))
       // NULL-text guard only — empty docs flow through as one ""
       // token, the lineDedup/oracle convention. A NULL text would
@@ -1047,7 +1094,13 @@ object Dedup {
     */
   private[operators] def keepBestOver(documents: DataFrame,
                                       clusters: DataFrame): DataFrame = {
-    val quality = graft.operators.TextAnalysis.qualityScore(documents)
+    // r20: withQuality directly (same `quality` expression) instead
+    // of qualityScore — drops qualityScore's interior ORDER BY, whose
+    // range-sampling pass re-evaluated the whole tokenize+score
+    // subtree (guide §4.4-class duplicate evaluation), and fans the
+    // CPU-dense scoring pass (identity at scale, see Par.fan)
+    val quality = graft.operators.TextAnalysis
+      .withQuality(Par.fan(documents, $"doc_id"))
       .select($"doc_id", $"quality")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"cluster_id").orderBy($"quality".desc, $"doc_id")

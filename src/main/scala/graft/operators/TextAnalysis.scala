@@ -83,7 +83,7 @@ object TextAnalysis {
     * (q82), which computes quality and the dedup digest in the same
     * pass over the text.
     */
-  private[operators] def withQuality(documents: DataFrame): DataFrame = {
+  private[graft] def withQuality(documents: DataFrame): DataFrame = {
     graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .withColumn("toks", tokens($"text"))  // bind once; see shinglesOf note
@@ -189,7 +189,20 @@ object TextAnalysis {
 
   def piiScrub(events: DataFrame): DataFrame = {
     graft.functions.Registry.ensure(events.sparkSession)
-    events
+    // r20 (guide §4.4-class duplicate evaluation + §2.5 parallelism):
+    // the heavy graft_pii_scan used to sit BELOW the output-ordering
+    // range Exchange, so (a) the range sampling pass evaluated the
+    // whole scrub a second time, and (b) both evaluations ran inside
+    // the single-task scan of the one-row-group input file. Ordering
+    // the cheap source columns FIRST (explicit range partitioning +
+    // in-partition sort ≡ the same global event_id order) and
+    // projecting the scrub AFTER the exchange evaluates the kernel
+    // once, spread over Par.parts tasks. Same rows, same order.
+    val ordered = events
+      .select($"event_id", $"user_id", $"event_type")
+      .repartitionByRange(Par.parts(events), $"event_id")
+      .sortWithinPartitions($"event_id")
+    ordered
       // graft_pii_scan fuses the former four regex expressions
       // (2× count + nested 2× replace) into one native struct-valued
       // scan — one input evaluation, three matcher passes, same
@@ -201,7 +214,6 @@ object TextAnalysis {
           lit(EmailRe), lit(PhoneRe)))).as("pii"))
       .select($"event_id", $"pii.n_emails".as("n_emails"),
         $"pii.n_phones".as("n_phones"), $"pii.redacted".as("redacted"))
-      .orderBy($"event_id")
   }
 
   /** Within-document repetition scoring (the Gopher-style "repeated
@@ -284,12 +296,16 @@ object TextAnalysis {
     */
   def tokenCounts(events: DataFrame): DataFrame =
     events
+      // r20: order the cheap source columns, then tokenize — same
+      // restructure (and reasons) as piiScrub above
+      .select($"event_id", $"user_id", $"event_type")
+      .repartitionByRange(Par.parts(events), $"event_id")
+      .sortWithinPartitions($"event_id")
       // generator barrier, as in piiScrub: contact feeds two counters
       .select($"event_id", explode(array(contactOf)).as("contact"))
       .select($"event_id",
         size(tokens($"contact")).as("n_ws"),
         bpeishTokenCount($"contact").as("n_bpe"))
-      .orderBy($"event_id")
 
   /** One BPE-style pair-frequency step (q91): the statistic a
     * tokenizer-training loop computes each merge round — counts of

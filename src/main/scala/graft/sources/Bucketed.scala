@@ -13,10 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object Bucketed {
 
-  /** Write a table bucketed by `key` into the session catalog. */
+  /** Write a table bucketed by `key` into the session catalog.
+    *
+    * r20 (guide §6): rows are hash-repartitioned on the bucket key
+    * BEFORE the write — Spark's bucket id is the same Murmur3 pmod
+    * family as `repartition(n, col)`, so each write task holds exactly
+    * one bucket: the write runs `buckets`-wide (it ran 1-3 tasks off
+    * the raw scan) and emits ONE file per bucket instead of
+    * (tasks × buckets) small files. This is the standard pre-bucketed-
+    * write distribution step at any scale; the shuffle it adds carries
+    * only the projected join columns.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int = 8): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(buckets, col(key))
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -408,6 +408,64 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  /** The pre-r20 dupClustersFrom, verbatim (r19 HEAD, Dedup.scala):
+    * localCheckpointed undirected edges, per round a DataFrame
+    * join + min-aggregate + left-join-back + eager checkpoint, with
+    * the decimal(38,0) label-sum convergence certificate.
+    */
+  private def oldDupClusters(documents: org.apache.spark.sql.DataFrame,
+                             maxIters: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, count, least, lit, min, sum}
+    val near = Dedup.ngramJaccard(documents).select(col("doc_a"), col("doc_b"))
+    val hashes = documents.select(col("doc_id"), md5(col("text")).as("h"))
+    val keepers = hashes.groupBy(col("h")).agg(min(col("doc_id")).as("root"))
+    val exactEdges = hashes.join(keepers, Seq("h"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
+    val edges = near.union(exactEdges).distinct()
+    val und = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(edges.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    var labels = documents.select(col("doc_id").as("node"), col("doc_id").as("label"))
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = und.join(labels, col("u") === col("node"))
+        .groupBy(col("v"))
+        .agg(min(col("label")).as("nbr_label"))
+      labels = labels.join(nbrMin, col("node") === col("v"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"), (col("node") === col("label")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
+  test("r20 RDD-resident label propagation is row-identical to the DataFrame formulation") {
+    for (docs <- Seq(docsWithPlantedDup, Tables.documents(spark, dir))) {
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      val ref = oldDupClusters(docs).collect().map(key).toSeq
+      val got = Dedup.dupClusters(docs).collect().map(key).toSeq
+      assert(got == ref, s"RDD label propagation diverged " +
+        s"(first diff: ${got.zip(ref).find(p => p._1 != p._2).take(1)})")
+    }
+  }
+
   test("native dot product returns NULL on ragged vectors like the HOF twin") {
     import spark.implicits._
     graft.functions.Registry.ensure(spark)

@@ -102,4 +102,96 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSet == expected,
       "covered documents must ALL come back scored")
   }
+
+  /** The pre-r20 qualityClassifier loop, verbatim (r19 HEAD,
+    * Sampling.scala): localCheckpointed feature frame, per round one
+    * gdoc aggregate + join-back gradient collect, final scoring as a
+    * groupBy over the checkpoint. Every reduction is an integer sum
+    * and the sigmoid/update doubles are the same IEEE ops, so the r20
+    * RDD-resident loop must reproduce every margin BIT-identically
+    * (p is exp-dependent — see the test body's ulp note).
+    */
+  private def oldQualityClassifier(documents: org.apache.spark.sql.DataFrame,
+      nFeatures: Int = Sampling.QcFeatures, iters: Int = 12,
+      lrate: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    val labeled = TextAnalysis.withQuality(documents)
+      .withColumn("y", (col("quality") >= Sampling.QcLabelGate).cast("int"))
+    val base = TextAnalysis.hashSplit(
+      labeled
+        .select(col("doc_id"), col("y"),
+          filter(TextAnalysis.tokens(lower(col("text"))), w => w =!= "")
+            .as("toks"))
+        .withColumn("n_tok", greatest(size(col("toks")), lit(1)).cast("long")),
+      valPct = Sampling.QcHoldoutPct, testPct = 0)
+    val featRows = base
+      .select(col("doc_id"), col("split"), col("y"), col("n_tok"),
+        explode(col("toks")).as("w"))
+      .select(col("doc_id"), col("split"), col("y"), col("n_tok"),
+        pmod(xxhash64(col("w")), lit(nFeatures.toLong)).cast("int").as("f"))
+      .groupBy(col("doc_id"), col("split"), col("y"), col("n_tok"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+    val biasRows = base.select(col("doc_id"), col("split"), col("y"),
+      col("n_tok"), lit(nFeatures).as("f"), col("n_tok").as("cnt"))
+    val train = featRows.unionByName(biasRows).localCheckpoint(true)
+    val trainShard = train.filter(col("split") === "train")
+    val nDocs = math.max(1L,
+      trainShard.agg(countDistinct(col("doc_id"))).head().getLong(0))
+    val w = Array.fill(nFeatures + 1)(0L)
+    val vel = Array.fill(nFeatures + 1)(0.0)
+    def margin: Column =
+      col("mint").cast("double") / Sampling.QcScale / col("n_tok")
+    var i = 0
+    while (i < iters) {
+      val wLit = typedlit(w.toList)
+      val gdoc = trainShard.groupBy(col("doc_id"), col("y"), col("n_tok"))
+        .agg(sum(col("cnt") * element_at(wLit, col("f") + 1)).as("mint"))
+        .select(col("doc_id"),
+          floor((lit(1.0) / (lit(1.0) + exp(-margin)) -
+            col("y").cast("double")) / col("n_tok") * Sampling.QcScale)
+            .cast("long").as("gq"))
+      val grads = trainShard.join(gdoc, Seq("doc_id"))
+        .groupBy(col("f"))
+        .agg(sum(col("cnt") * col("gq")).as("g"))
+        .collect()
+      grads.foreach { r =>
+        val f = r.getInt(0)
+        val step = if (f == nFeatures) lrate else lrate * nFeatures
+        vel(f) = Sampling.QcMomentum * vel(f) + step * r.getLong(1).toDouble / nDocs
+        w(f) -= math.round(vel(f))
+      }
+      i += 1
+    }
+    val wLit = typedlit(w.toList)
+    train.groupBy(col("doc_id"), col("split"), col("y"), col("n_tok"))
+      .agg(sum(col("cnt") * element_at(wLit, col("f") + 1)).as("mint"))
+      .select(col("doc_id"), col("split"), col("y"), margin.as("margin"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
+      .orderBy(col("doc_id"))
+  }
+
+  test("r20 RDD-resident GD loop matches the DataFrame-resident formulation (margins bit-exact)") {
+    // margins are pure integer sums + IEEE divisions — BIT-equal.
+    // p = 1/(1+exp(-margin)) is compared to ≤2 ulp: java.lang.Math.exp
+    // is JIT-intrinsified, and the C2 stub may differ from the
+    // interpreted StrictMath fdlibm path by 1 ulp — a variance the OLD
+    // codegen'd expression was equally subject to across JIT tiers
+    // (measured here: one corpus doc's p off by exactly 1 ulp with a
+    // bit-identical margin).
+    val docs = Tables.documents(spark, dir)
+    for (iters <- Seq(1, 3)) {
+      val ref = oldQualityClassifier(docs, iters = iters).collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getInt(2), r.getDouble(3), r.getDouble(4))).toMap
+      val got = Sampling.qualityClassifier(docs, iters = iters).collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getInt(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(got.keySet == ref.keySet, "scored doc sets differ")
+      val bad = got.collect { case (k, (s, y, m, p))
+        if ref(k)._1 != s || ref(k)._2 != y || ref(k)._3 != m ||
+          math.abs(ref(k)._4 - p) > 2 * math.ulp(ref(k)._4) => k -> (ref(k), (s, y, m, p)) }
+      assert(bad.isEmpty,
+        s"RDD GD loop diverged at iters=$iters (first: ${bad.take(1)})")
+    }
+  }
 }
