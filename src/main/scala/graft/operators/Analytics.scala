@@ -20,6 +20,10 @@ object Analytics {
     * keys — scales linearly with input, no skew risk.
     */
   def pricingSummary(lineitem: DataFrame): DataFrame =
+    // (r20 measured-and-reverted: Par.fan before the aggregation —
+    // shuffling all 7 used columns cost as much as the serial partial
+    // agg saved; unlike q52's unpivot there is no per-row expansion
+    // to amortize the exchange)
     lineitem
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
@@ -629,7 +633,8 @@ object Analytics {
     * the schema-normalization step for heterogeneous metric tables.
     */
   def measureTotals(lineitem: DataFrame): DataFrame =
-    lineitem
+    // fan before the 3× unpivot expansion + decimal sums (see q01)
+    Par.fan(lineitem, $"l_orderkey")
       .unpivot(
         Array.empty[org.apache.spark.sql.Column],
         Array($"l_quantity", $"l_extendedprice", $"l_discount"),

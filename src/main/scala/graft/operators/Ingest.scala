@@ -49,7 +49,10 @@ object Ingest {
     * array is materialized once and the final projection reads plain
     * array elements. Still fully codegen'd end to end.
     */
-  def parseLogLines(lines: DataFrame): DataFrame = {
+  def parseLogLines(lines: DataFrame): DataFrame =
+    parsedLines(lines).orderBy($"event_id")
+
+  private def parsedLines(lines: DataFrame): DataFrame = {
     graft.functions.Registry.ensure(lines.sparkSession)
     lines
       .select($"event_id",
@@ -62,12 +65,26 @@ object Ingest {
         $"g"(3).as("url"),
         $"g"(4).cast("int").as("status_code"),
         $"g"(5).cast("long").as("response_size"))
-      .orderBy($"event_id")
   }
+
+  /** Order the cheap event source columns up front (explicit range
+    * partitioning + in-partition sort ≡ the same global event_id
+    * order) so a heavy per-row stage built on top runs ONCE, after
+    * the exchange, on every core — the q41 restructure (r20, guide
+    * §4.4-class duplicate evaluation: a final ORDER BY's range
+    * sampler re-executes everything below it a second time, and the
+    * one-row-group local inputs scan as a single task).
+    */
+  private def orderedEvents(events: DataFrame,
+                            cols: org.apache.spark.sql.Column*): DataFrame =
+    events.select(cols: _*)
+      .repartitionByRange(Par.parts(events), $"event_id")
+      .sortWithinPartitions($"event_id")
 
   /** End-to-end: events → log lines → parsed structured records. */
   def logParse(events: DataFrame): DataFrame =
-    parseLogLines(toLogLines(events))
+    parsedLines(toLogLines(orderedEvents(events,
+      $"event_id", $"user_id", $"ts", $"event_type", $"value")))
 
   /** JSON payload extraction + aggregation (the Kafka topics carry
     * JSON objects; Druid ingests typed dimensions from them). The
@@ -75,7 +92,8 @@ object Ingest {
     * and aggregate per derived bucket.
     */
   def jsonExtract(events: DataFrame): DataFrame =
-    events
+    // fan the scan before the per-row JSON parse (identity at scale)
+    Par.fan(events, $"event_id")
       .withColumn("k", get_json_object($"props", "$.k").cast("long"))
       .filter($"k".isNotNull)
       .groupBy(($"k" % 10).as("k_bucket"))
@@ -93,13 +111,17 @@ object Ingest {
     * serde pair a Spark Kafka source/sink uses.
     */
   def kafkaRoundTrip(events: DataFrame): DataFrame = {
-    val wire = events.select(
-      $"event_id",
-      to_json(struct(
-        unix_micros($"ts").as("timestamp"),
-        $"event_type".as("kind"),
-        $"value".as("value"),
-        lit("events").as("source"))).as("json"))
+    // ordered-first (see orderedEvents): the to_json/from_json serde
+    // pair runs once, post-exchange, instead of twice in the scan task
+    val wire = orderedEvents(events,
+        $"event_id", $"ts", $"event_type", $"value")
+      .select(
+        $"event_id",
+        to_json(struct(
+          unix_micros($"ts").as("timestamp"),
+          $"event_type".as("kind"),
+          $"value".as("value"),
+          lit("events").as("source"))).as("json"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "timestamp BIGINT, kind STRING, value DOUBLE, source STRING")
     wire
@@ -110,7 +132,6 @@ object Ingest {
         $"rec.kind".as("kind"),
         $"rec.value".as("value"),
         $"rec.source".as("source"))
-      .orderBy($"event_id")
   }
 
   /** Canonical-schema normalization (goes_satellite_etl.py:241-289):

@@ -379,6 +379,25 @@ object TextAnalysis {
     * rows-only in the oracle gate, with planted-corpus specs pinning
     * the classic merge sequences.
     */
+  /** UTF-8 binary string ordering — identical to Spark SQL's
+    * UTF8String/string sort order (byte-wise unsigned), which differs
+    * from java.lang.String's UTF-16 code-unit order for supplementary
+    * characters. The RDD-resident BPE loop must tie-break EXACTLY
+    * like the pre-r20 `orderBy(n desc, l, r)` did.
+    */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   def bpeTrain(documents: DataFrame, nMerges: Int = 10,
                vocabSizeProbe: Option[scala.collection.mutable.Buffer[Long]] =
                  None,
@@ -388,31 +407,61 @@ object TextAnalysis {
     // only the Seq→DF conversion; the full implicits would shadow the
     // package-level $ column interpolator
     import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    // r20 (guide §1.2, the q117/q66 precedent): the merge rounds leave
+    // Catalyst. The corpus scan + distinct-word collapse stays SQL;
+    // the loop state — one (syms, freq) row per distinct word — is an
+    // RDD, each round ONE job: per-partition adjacent-pair counting
+    // into a local map, a bounded top-(maxBatch+1) collect (same
+    // (n desc, l, r) order, UTF-8-binary tie-break), and the batched
+    // greedy rewrite as a plain per-row fold. The r19 form re-planned
+    // and re-codegen'd a ~16-rule nested-CASE aggregate expression per
+    // round — most of q100/q102's wall time was that analysis, not
+    // executor work.
     var vocab = documents
       .select(explode(tokens(lower($"text"))).as("w"))
       .filter($"w" =!= "")
       .groupBy($"w").agg(count(lit(1)).as("freq"))
       .select(split($"w", "").as("syms"), $"freq")
-      .localCheckpoint(true)
+      .rdd.map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      .persist()
     // test-only instrumentation: record the vocab-frame row count per
-    // ROUND (init + one per checkpointed rewrite) so the scale
-    // invariant (the loop runs on a frame that never grows — one row
-    // per distinct word, constant across merges) is assertable.
-    // None in production: zero extra jobs.
+    // ROUND (init + one per rewrite) so the scale invariant (the loop
+    // runs on a frame that never grows — one row per distinct word,
+    // constant across merges) is assertable. None in production.
     vocabSizeProbe.foreach(_ += vocab.count())
+    // top-k ordering: n DESC, then l, r ASC in UTF-8 binary order —
+    // rdd.top takes the LARGEST elements, so the string legs reverse
+    val rankOrd = new Ordering[((String, String), Long)] {
+      def compare(a: ((String, String), Long), b: ((String, String), Long)): Int = {
+        val byN = java.lang.Long.compare(a._2, b._2)
+        if (byN != 0) return byN
+        val byL = utf8Compare(b._1._1, a._1._1)
+        if (byL != 0) return byL
+        utf8Compare(b._1._2, a._1._2)
+      }
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
       val ranked = vocab
-        .filter(size($"syms") >= 2)
-        .select($"freq", explode(transform(sequence(lit(1), size($"syms") - 1),
-          i => struct(element_at($"syms", i).as("l"),
-            element_at($"syms", i + 1).as("r")))).as("p"))
-        .groupBy($"p.l", $"p.r").agg(sum($"freq").as("n"))
-        .orderBy($"n".desc, $"l", $"r")
-        .limit(maxBatch + 1).collect()
-        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+        .mapPartitions { it =>
+          val acc = new java.util.HashMap[(String, String), Long]()
+          it.foreach { case (syms, freq) =>
+            var i = 0
+            while (i < syms.length - 1) {
+              val k = (syms(i), syms(i + 1))
+              val prev = acc.get(k)
+              acc.put(k, prev + freq)
+              i += 1
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          acc.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+        }
+        .reduceByKey(_ + _)
+        .top(maxBatch + 1)(rankOrd)
+        .map { case ((l, r), n) => (l, r, n) }
       if (ranked.isEmpty) exhausted = true
       else {
         // maximal pairwise-disjoint prefix over {l, r, l+r}, capped by
@@ -446,25 +495,44 @@ object TextAnalysis {
         // The k disjoint rules fold in ONE pass: rules share no
         // symbols (and no rule's input is another's output), so the
         // combined fold equals applying each rule's fold in rank
-        // order — one collect + one checkpoint per round, not per
-        // merge.
-        vocab = vocab.select(
-          aggregate($"syms", array().cast("array<string>"),
-            (acc, x) => {
-              val fused = batch.map { case (l, r, _) =>
-                when(size(acc) > 0 &&
-                    element_at(acc, -1) === lit(l) && x === lit(r),
-                  concat(slice(acc, lit(1), size(acc) - 1),
-                    array(lit(l + r))))
-              }
-              coalesce(fused :+ concat(acc, array(x)): _*)
-            }).as("syms"),
-          $"freq")
-          .localCheckpoint(true)
+        // order — one pass per round, not per merge.
+        val rules = batch.map { case (l, r, _) => (l, r) }
+        val prev = vocab
+        vocab = vocab.map { case (syms, freq) =>
+          (bpeGreedyFold(syms, rules), freq)
+        }.persist()
         vocabSizeProbe.foreach(_ += vocab.count())
+        if (vocabSizeProbe.isEmpty) vocab.count() // materialize this round
+        prev.unpersist(false)
       }
     }
     merges.toSeq.toDF("step", "left", "right", "merged", "freq")
+  }
+
+  /** One greedy left-to-right fold applying `rules` in listed order at
+    * each position (first matching rule fuses — identical to the
+    * pre-r20 nested-CASE/coalesce column fold; with pairwise-disjoint
+    * rules at most one can match anyway).
+    */
+  private[graft] def bpeGreedyFold(syms: Array[String],
+                                   rules: Seq[(String, String)]): Array[String] = {
+    val acc = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      var fused = false
+      val it = rules.iterator
+      while (!fused && it.hasNext) {
+        val (l, r) = it.next()
+        if (acc.nonEmpty && acc.last == l && x == r) {
+          acc(acc.length - 1) = l + r
+          fused = true
+        }
+      }
+      if (!fused) acc += x
+      i += 1
+    }
+    acc.toArray
   }
 
   /** Apply a trained BPE merge table to the distinct-word vocabulary:
@@ -494,19 +562,28 @@ object TextAnalysis {
 
   def bpeApplyMerges(vocabWords: DataFrame,
                      merges: Seq[(String, String)]): DataFrame = {
-    var enc = vocabWords.select($"w", split($"w", "").as("syms"))
-    merges.grouped(BpeFoldBatch).foreach { batch =>
-      batch.foreach { case (l, r) =>
-        enc = enc.withColumn("syms",
-          aggregate($"syms", array().cast("array<string>"),
-            (acc, x) => when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(x)))))
-      }
-      enc = enc.localCheckpoint(true)
+    // r20: the per-merge fold runs as a plain per-row loop (RDD map)
+    // instead of [[BpeFoldBatch]]-chunked nested `aggregate` column
+    // expressions with a checkpoint per chunk — analyzing/codegen'ing
+    // those expression towers was most of q102's wall time, while the
+    // fold itself is vocabulary-sized. Rank-order sequential
+    // one-rule folds, exactly the pre-r20 semantics (spec-pinned
+    // against the plain-Scala reference encoder, and differentially
+    // against the old column fold).
+    val spark = vocabWords.sparkSession
+    val out = vocabWords.select($"w").rdd.map { row =>
+      val w = row.getString(0)
+      var syms = w.split("")
+      merges.foreach { rule => syms = bpeGreedyFold(syms, Seq(rule)) }
+      org.apache.spark.sql.Row(w, syms.toSeq)
     }
-    enc
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("syms",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))))
   }
 
   /** BPE corpus encoding (q102): train a merge table on the corpus
@@ -819,7 +896,10 @@ object TextAnalysis {
     * lives under.
     */
   def lmFluency(documents: DataFrame): DataFrame = {
-    val toksA = documents
+    // fan the scan before the tokenize+posexplode pass — it runs
+    // twice (the c2 collapse and the final join probe), both serial
+    // off the one-row-group local file (identity at scale, Par.fan)
+    val toksA = Par.fan(documents, $"doc_id")
       .select($"doc_id", tokens(lower($"text")).as("arr0"))
       .select($"doc_id", filter($"arr0", w => w =!= "").as("arr"))
       .filter(size($"arr") > 0)
