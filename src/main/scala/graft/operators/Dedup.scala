@@ -89,6 +89,11 @@ object Dedup {
     // shuffle_hash: both sides of the self-join shuffle identically on
     // h, so ReusedExchange computes the shingle sets ONCE (a broadcast
     // plan would rebuild them for the build side; measured 3x)
+    // (r20 probed, not shipped: pinning this exchange to core-count
+    // partitions — AQE's byte-based coalescing runs the ~2 s-CPU pair
+    // stage on 6 tasks — A/B'd inside the ±0.3 s noise band of a
+    // loaded box twice; kept the AQE default rather than claim an
+    // unevidenced win.)
     val sh = exploded.join(broadcast(hot), Seq("h"), "left_anti")
       .hint("shuffle_hash")
     sh.as("a").join(sh.as("b"),
